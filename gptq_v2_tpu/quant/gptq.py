@@ -1,0 +1,313 @@
+"""GPTQ solver: column-wise quantization with error feedback.
+
+Re-implements the semantics of the reference solver (``gptq_py.py:69-251``)
+as a jit-compiled ``lax.scan`` program — the TPU-native replacement for the
+reference's serial CUDA column loop (``gptq_cpp.cpp:51-84``,
+``gptq_cpp_kernel.cu:21-158``):
+
+* outer ``lax.scan`` over groups (static count, dynamic slicing — one
+  compilation regardless of C), inner ``lax.scan`` over the columns of a
+  group performing quantize → error → masked rank-1 update in registers/VMEM,
+* the block-tail update ``W[:, i2:] -= E_blk @ Hinv[i1:i2, i2:]`` runs as a
+  single masked full-width MXU matmul per group,
+* error feedback optionally round-trips the dequantized value through a
+  low-precision dtype (fp16 by default) so the stored error matches
+  inference numerics exactly — the TPU equivalent of the reference's
+  ``__float2half_rn`` round trip (``gptq_cpp_kernel.cu:55-66``),
+* RTN path (no Hessian) vectorizes find-params/quantize over *all* groups in
+  one shot (reference gptq_py.py:101-124 loops per group).
+
+GPTQ is row-independent, so callers may stack several same-input layers
+(e.g. q/k/v) along the row axis and solve them in one call — fewer, larger
+TPU ops than the reference's per-layer loop.
+
+Blocked updates use ``gptq_block == group`` (the only configuration the
+reference ever runs: ``llama.py:146-161`` passes
+``gptq_block_sizes=group_sizes``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_v2_tpu.quant import quantizer as qz
+from gptq_v2_tpu.quant.hessian import InvertedHessian
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _find_params_maxq(x, maxq, sym: bool, scale_bits: Optional[int]):
+    """find_params with a traced ``maxq`` (per-group mixed bit widths)."""
+    if scale_bits is not None and scale_bits > 0:
+        sym = True
+    if sym:
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = absmax * (2.0 / maxq) + qz.EPSILON
+        qzero = jnp.full_like(scale, jnp.round((maxq + 1.0) * 0.5))
+        if scale_bits is not None and scale_bits > 0:
+            smaxq = jnp.asarray(2.0 ** float(scale_bits) - 1.0, dtype=x.dtype)
+            sscale = jnp.max(scale, axis=-2, keepdims=True) / (smaxq + 1.0) ** 2.0 + qz.EPSILON
+            qscale = qz.quantize2(scale, sscale, smaxq)
+            scale = qz.dequantize2(qscale, sscale)
+            return qz.QuantParams(scale, qzero, maxq, qscale, sscale, smaxq)
+        return qz.QuantParams(scale, qzero, maxq)
+    x_max = jax.nn.relu(jnp.max(x, axis=-1, keepdims=True))
+    x_min = -jax.nn.relu(-jnp.min(x, axis=-1, keepdims=True))
+    scale = (x_max - x_min) / maxq + qz.EPSILON
+    qzero = jnp.round(-x_min / scale)
+    return qz.QuantParams(scale, qzero, maxq)
+
+
+def _feedback_dequantize(q, scale, qzero, fb_dtype):
+    """Dequantize for error feedback, optionally via low-precision round trip.
+
+    ``fb_dtype=float16`` reproduces the reference kernel's half round trip
+    (gptq_cpp_kernel.cu:55-66); ``None`` reproduces the reference pure-Python
+    path (quant.py:22-30, full fp32).  ``bfloat16`` matches TPU inference.
+    """
+    if fb_dtype is None:
+        return (q - qzero) * scale
+    lo = lambda v: v.astype(fb_dtype)
+    return ((lo(q) - lo(qzero)) * lo(scale)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "sym", "scale_bits", "fb_dtype_name",
+                     "mse", "mse_max_shrink", "mse_n_grid", "mse_norm"),
+)
+def _solve_uniform(
+    weight,  # (R, C) fp32, already act-order permuted
+    hinv,  # (C, C) fp32 upper Cholesky factor of H⁻¹
+    maxq_per_group,  # (G,) fp32
+    group_size: int,
+    sym: bool,
+    scale_bits: Optional[int],
+    fb_dtype_name: Optional[str],
+    mse: bool,
+    mse_max_shrink: float,
+    mse_n_grid: int,
+    mse_norm: float,
+):
+    R, C = weight.shape
+    g = group_size
+    G = C // g
+    fb_dtype = jnp.dtype(fb_dtype_name) if fb_dtype_name else None
+    col_ids = jnp.arange(C)
+
+    def group_body(w_full, gi):
+        i1 = gi * g
+        wblk = jax.lax.dynamic_slice(w_full, (0, i1), (R, g))
+        hblk = jax.lax.dynamic_slice(hinv, (i1, i1), (g, g))
+        params = _find_params_maxq(wblk, maxq_per_group[gi], sym, scale_bits)
+        if mse:
+            params = qz.mse_refine(params, wblk, mse_max_shrink, mse_n_grid, mse_norm)
+        scale, qzero, maxq = params.scale, params.qzero, params.maxq
+
+        jidx = jnp.arange(g)
+
+        def col_body(wb, j):
+            w_j = jax.lax.dynamic_slice(wb, (0, j), (R, 1))
+            q_j = jnp.clip(jnp.round(w_j / scale) + qzero, 0.0, maxq)
+            dq_j = _feedback_dequantize(q_j, scale, qzero, fb_dtype)
+            err_j = (w_j - dq_j) / hblk[j, j]
+            # Rank-1 update of the in-block suffix; the quantized column j
+            # itself is deliberately not updated (reference gptq_py.py:191-192).
+            hrow = jnp.where(jidx > j, hblk[j, :], 0.0)[None, :]  # (1, g)
+            wb = wb - err_j * hrow
+            return wb, (q_j[:, 0], dq_j[:, 0], err_j[:, 0])
+
+        _, (q_cols, dq_cols, err_cols) = jax.lax.scan(col_body, wblk, jidx)
+        # q_cols etc: (g, R) stacked in column order.
+
+        # Block-tail update over all remaining columns as one MXU matmul,
+        # masked so columns < i2 (incl. the block itself) are untouched.
+        hrows = jax.lax.dynamic_slice(hinv, (i1, 0), (g, C))  # (g, C)
+        hrows = jnp.where(col_ids[None, :] >= i1 + g, hrows, 0.0)
+        w_full = w_full - jax.lax.dot_general(
+            err_cols, hrows,  # (g, R)ᵀ @ (g, C) contract over g
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        aux = (scale[:, 0], qzero[:, 0])
+        if scale_bits is not None:
+            aux = aux + (params.qscale[:, 0], params.sscale[0, 0])
+        return w_full, ((q_cols, dq_cols, err_cols),) + aux
+
+    _, outs = jax.lax.scan(group_body, weight, jnp.arange(G))
+    (q_all, dq_all, err_all) = outs[0]  # each (G, g, R)
+
+    def to_rc(a):  # (G, g, R) -> (R, C) in permuted column order
+        return jnp.transpose(a, (2, 0, 1)).reshape(R, C)
+
+    result = {
+        "qweight": to_rc(q_all),
+        "quant": to_rc(dq_all),
+        "error": to_rc(err_all),
+        "scale": outs[1].T,  # (R, G)
+        "qzero": outs[2].T,  # (R, G)
+    }
+    if scale_bits is not None:
+        result["qscale"] = outs[3].T
+        result["sscale"] = outs[4]  # (G,)
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "sym", "scale_bits",
+                     "mse", "mse_max_shrink", "mse_n_grid", "mse_norm"),
+)
+def _rtn_uniform(weight, maxq_per_group, group_size, sym, scale_bits,
+                 mse, mse_max_shrink, mse_n_grid, mse_norm):
+    """Round-to-nearest over all groups at once (no Hessian).
+
+    Reference gptq_py.py:101-124, vectorized: reshape (R, C) → (G, R, g) so
+    one reduction finds every group's parameters simultaneously.
+    """
+    R, C = weight.shape
+    g = group_size
+    G = C // g
+    w = jnp.transpose(weight.reshape(R, G, g), (1, 0, 2))  # (G, R, g)
+    maxq = maxq_per_group[:, None, None]
+    params = _find_params_maxq(w, maxq, sym, scale_bits)
+    if mse:
+        params = qz.mse_refine(params, w, mse_max_shrink, mse_n_grid, mse_norm)
+    q = qz.params_quantize(params, w)
+    dq = qz.params_dequantize(params, q)
+
+    def to_rc(a):  # (G, R, g) -> (R, C)
+        return jnp.transpose(a, (1, 0, 2)).reshape(R, C)
+
+    result = {
+        "qweight": to_rc(q),
+        "quant": to_rc(dq),
+        "scale": params.scale[:, :, 0].T,  # (R, G)
+        "qzero": params.qzero[:, :, 0].T,
+    }
+    if scale_bits is not None:
+        result["qscale"] = params.qscale[:, :, 0].T
+        result["sscale"] = params.sscale[:, 0, 0]
+    return result
+
+
+def gptq_quant(
+    weight: jax.Array,  # (R=out_features, C=in_features)
+    inverted: Optional[InvertedHessian],
+    group_sizes: Sequence[int],
+    group_bit_widths: Sequence[int],
+    scale_bit_width: Optional[int] = None,
+    quant_symmetric: bool = False,
+    quant_mse: bool = False,
+    quant_max_shrink: float = 0.8,
+    quant_n_grid: int = 100,
+    quant_norm: float = 2.4,
+    feedback_dtype: Optional[str] = "float16",
+    save_dtype=jnp.float16,
+) -> dict:
+    """Quantize one weight matrix. Returns ``{'quant_meta', 'metrics', 'quant'}``.
+
+    API mirror of reference ``gptq_quant`` (gptq_py.py:69-251): per-group
+    sizes/bit-widths, optional EXL2 scale quantization, optional MSE search,
+    RTN fallback when ``inverted is None``.  ``quant_meta`` matches the
+    reference schema and dtypes (gptq_py.py:240-250): uint8 ``qweight``/
+    ``qzero``/``qscale``/``group_bit_widths``, int16 ``perm_inv``/
+    ``group_sizes``, ``scale``/``sscale`` in ``save_dtype``.
+    """
+    group_sizes = [int(s) for s in group_sizes]
+    group_bit_widths = [int(b) for b in group_bit_widths]
+    n_rows, n_cols = weight.shape
+    assert sum(group_sizes) == n_cols, (group_sizes, n_cols)
+    if len(set(group_sizes)) != 1:
+        raise NotImplementedError("non-uniform group sizes: split the call per size")
+    g = group_sizes[0]
+
+    weight_ref = weight
+    w32 = weight.astype(jnp.float32)
+
+    perm = perm_inv = None
+    if inverted is not None:
+        if inverted.perm is not None:
+            perm = inverted.perm
+            perm_inv = inverted.perm_inv
+            w32 = jnp.take(w32, perm, axis=1)
+        # Note: the reference's post-invert dead-column zeroing
+        # (gptq_py.py:95-96) is a no-op — invert() has already repaired and
+        # damped the diagonal, so no diag entry is 0. We skip it.
+
+    maxq_arr = jnp.asarray([2.0 ** b - 1.0 for b in group_bit_widths], dtype=jnp.float32)
+    common = dict(
+        sym=quant_symmetric,
+        scale_bits=scale_bit_width,
+        mse=quant_mse,
+        mse_max_shrink=quant_max_shrink,
+        mse_n_grid=quant_n_grid,
+        mse_norm=quant_norm,
+    )
+    if inverted is None:
+        out = _rtn_uniform(w32, maxq_arr, group_size=g, **common)
+        error = jnp.zeros((), dtype=jnp.float32)
+        gptq_norm_src = out["quant"] * 0.0  # reference uses `error` here (0-init path)
+    else:
+        out = _solve_uniform(
+            w32, inverted.hessian_inv, maxq_arr, group_size=g,
+            fb_dtype_name=feedback_dtype, **common,
+        )
+        error = out["error"]
+        gptq_norm_src = weight_ref.astype(jnp.float32) / jnp.diagonal(inverted.hessian_inv)
+
+    quant_perm_order = out["quant"]  # (R, C) in act-order column order
+    quant_orig = (
+        jnp.take(quant_perm_order, perm_inv, axis=1) if perm_inv is not None
+        else quant_perm_order
+    )
+    w_ref32 = weight_ref.astype(jnp.float32)
+    metrics = {
+        "gptq_error": float(jnp.mean(error.astype(jnp.float32) ** 2.0)),
+        "gptq_norm": float(jnp.mean(gptq_norm_src ** 2.0)),
+        "l2_error": float(jnp.mean(jnp.abs(quant_orig - w_ref32) ** 2.0)),
+        "l2_norm": float(jnp.mean(jnp.abs(w_ref32) ** 2.0)),
+    }
+
+    n_groups = len(group_sizes)
+    # Group re-sort by (bit_width, group_size) when scale quantization is on
+    # (reference gptq_py.py:202-212). Identity otherwise.
+    order = list(range(n_groups))
+    if scale_bit_width is not None:
+        order.sort(key=lambda ig: (group_bit_widths[ig], group_sizes[ig], -ig), reverse=True)
+    col_order = np.concatenate(
+        [np.arange(ig * g, (ig + 1) * g, dtype=np.int64) for ig in order]
+    )
+
+    def host(a):
+        return np.asarray(jax.device_get(a))
+
+    qweight = host(out["qweight"]).astype(np.uint8)[:, col_order]
+    scale = host(out["scale"].astype(save_dtype))[:, order]
+    qzero = host(out["qzero"]).astype(np.uint8)[:, order]
+    if perm is not None:
+        perm_np = host(perm).astype(np.int16)[col_order]
+    else:
+        perm_np = np.arange(n_cols, dtype=np.int16)[col_order]
+    perm_inv_np = np.argsort(perm_np).astype(np.int16)
+
+    quant_meta = {
+        "qweight": qweight,  # (R, C) codes, in stored (permuted) column order
+        "scale": scale,  # (R, G)
+        "qzero": qzero,  # (R, G)
+        "qscale": host(out["qscale"]).astype(np.uint8)[:, order] if scale_bit_width is not None else None,
+        "sscale": host(out["sscale"].astype(save_dtype))[order] if scale_bit_width is not None else None,
+        "perm": perm_np,  # (C,) stored-column -> original-column map
+        "perm_inv": perm_inv_np,  # (C,) original-column -> stored-column map
+        "group_sizes": np.asarray(group_sizes, dtype=np.int16)[order],
+        "group_bit_widths": np.asarray(group_bit_widths, dtype=np.uint8)[order],
+        "scale_bit_width": (
+            np.asarray(scale_bit_width, dtype=np.uint8) if scale_bit_width is not None else None
+        ),
+    }
+    return {"quant_meta": quant_meta, "metrics": metrics, "quant": quant_orig}

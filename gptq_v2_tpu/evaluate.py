@@ -1,0 +1,80 @@
+"""Layer-streamed perplexity evaluation.
+
+Semantics mirror the reference evaluator (reference: ``llama.py:207-247``):
+
+* hidden states for *all* eval windows stay resident (here: on the TPU),
+  decoder layers stream through one at a time (host → device), double
+  buffering via functional updates,
+* ppl = ``exp(mean(shifted cross-entropy))`` where the per-batch mean NLL is
+  weighted by batch size (the reference appends the batch-mean once per
+  sequence, ``llama.py:242-243``),
+* eval windows are non-overlapping ``seqlen`` strides (enforced upstream by
+  the data loaders, reference ``data_utils.py:57``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.pipeline import _block_fwd_for, _device_layer
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _final_norm(w, xb, eps):
+    return L.rms_norm(xb, w, eps)
+
+
+@jax.jit
+def _batch_nll(lm_head, hidden, labels):
+    """Mean shifted cross-entropy over one batch, fp32."""
+    logits = (hidden @ lm_head)[:, :-1, :].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = labels[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def evaluate_ppl(
+    cfg: L.LlamaConfig,
+    params: L.Params,
+    encodings: np.ndarray,  # (n_seq, seqlen)
+    batch_size: int = 8,
+) -> float:
+    n_seq, seqlen = encodings.shape
+    positions = jnp.arange(seqlen)
+    cos_sin = L.rope_cos_sin(cfg, positions)
+
+    embed_w = jnp.asarray(params["embed_tokens"])
+    embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
+    xs = [embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))
+          for b in range(0, n_seq, batch_size)]
+    x = jnp.concatenate(xs, axis=0)
+    del embed_w, xs
+
+    block_fwd = _block_fwd_for(cfg)
+    for li in range(cfg.num_hidden_layers):
+        lp = _device_layer(params["layers"][li])
+        outs = [block_fwd(lp, x[b:b + batch_size], cos_sin)
+                for b in range(0, n_seq, batch_size)]
+        x = jnp.concatenate(outs, axis=0)
+        del lp, outs
+
+    norm_w = jnp.asarray(params["norm"])
+    x = jnp.concatenate(
+        [_final_norm(norm_w, x[b:b + batch_size], cfg.rms_norm_eps)
+         for b in range(0, n_seq, batch_size)], axis=0)
+
+    lm_head = jnp.asarray(params["lm_head"])
+    total, weight = 0.0, 0
+    for b in range(0, n_seq, batch_size):
+        labels = jnp.asarray(encodings[b:b + batch_size])
+        nll = _batch_nll(lm_head, x[b:b + batch_size], labels)
+        bs = labels.shape[0]
+        total += float(nll) * bs
+        weight += bs
+    return float(np.exp(total / weight))

@@ -1,0 +1,285 @@
+"""Functional Llama-family decoder in pure JAX.
+
+The TPU-native replacement for the reference's use of HF
+``LlamaForCausalLM`` (reference: ``llama.py:14-17``): parameters are a plain
+pytree of arrays, every forward is a pure jittable function, and the decoder
+block exposes *capture points* at each linear's input so the quantization
+driver can read stage activations without the reference's
+Catcher/RecorderWrapper exception machinery (``model_utils.py:69-109``).
+
+Weight layout: linear weights are stored ``(in_features, out_features)`` so
+the forward pass is a plain ``x @ W`` (HF stores the transpose).  Parameter
+names mirror HF module paths (``self_attn.q_proj`` …) so loader mapping and
+per-layer metric names (``model.layers.{i}.self_attn.q_proj``) line up with
+the reference's logs.
+
+Numerics match HF Llama: RMSNorm in fp32 then cast, rotary embeddings
+computed in fp32, attention softmax in fp32 — so perplexity parity with the
+reference evaluation protocol (``llama.py:207-247``) holds.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+# Linear layers inside one decoder block, in HF naming.
+ATTN_LINEARS = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                "self_attn.o_proj")
+MLP_LINEARS = ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+BLOCK_LINEARS = ATTN_LINEARS + MLP_LINEARS
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    dtype: str = "float16"
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "LlamaConfig":
+        dtype = d.get("torch_dtype", "float16")
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            head_dim=d.get("head_dim"),
+            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def from_hf_dir(cls, path) -> "LlamaConfig":
+        with open(Path(path) / "config.json") as f:
+            return cls.from_hf_dict(json.load(f))
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        """Small config for tests; dims chosen to exercise GQA + grouping."""
+        base = dict(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5, dtype="float32",
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization / structure
+# ---------------------------------------------------------------------------
+
+
+def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
+    d, hd = cfg.hidden_size, cfg.head_dim_
+    nq, nkv, i = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
+    return {
+        "input_layernorm": (d,),
+        "self_attn.q_proj": (d, nq * hd),
+        "self_attn.k_proj": (d, nkv * hd),
+        "self_attn.v_proj": (d, nkv * hd),
+        "self_attn.o_proj": (nq * hd, d),
+        "post_attention_layernorm": (d,),
+        "mlp.gate_proj": (d, i),
+        "mlp.up_proj": (d, i),
+        "mlp.down_proj": (i, d),
+    }
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
+    """Random-init parameters (tests / benchmarking without checkpoints)."""
+    dt = cfg.jdtype
+    n_weights = cfg.num_hidden_layers * len(BLOCK_LINEARS) + 2
+    keys = iter(jax.random.split(key, n_weights))
+
+    def w(shape):
+        scale = 1.0 / math.sqrt(shape[0])
+        return (jax.random.normal(next(keys), shape, dtype=jnp.float32) * scale).astype(dt)
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        lp = {}
+        for name, shape in layer_param_shapes(cfg).items():
+            lp[name] = jnp.ones(shape, dtype=dt) if len(shape) == 1 else w(shape)
+        layers.append(lp)
+    embed = w((cfg.vocab_size, cfg.hidden_size))
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": jnp.ones((cfg.hidden_size,), dtype=dt),
+        "lm_head": embed.T if cfg.tie_word_embeddings else w((cfg.hidden_size, cfg.vocab_size)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return weight * normed.astype(x.dtype)
+
+
+def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Rotary tables ``(N, head_dim)`` in fp32 (HF half-duplicated layout).
+
+    Computed in float64 on host when positions are concrete (large angles ×
+    fp32 pow drift otherwise cost ~1e-5 vs HF); falls back to on-device fp32
+    under tracing.
+    """
+    hd = cfg.head_dim_
+    try:
+        pos = np.asarray(positions, dtype=np.float64)
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        pos = None
+    if pos is not None:
+        inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+        freqs = pos[:, None] * inv_freq[None, :]
+        emb = np.concatenate([freqs, freqs], axis=-1)
+        return (jnp.asarray(np.cos(emb), dtype=jnp.float32),
+                jnp.asarray(np.sin(emb), dtype=jnp.float32))
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (N, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (N, hd)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, N, H, hd); cos/sin: (N, hd)."""
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + _rotate_half(x) * s
+
+
+def attention(
+    q: jax.Array,  # (B, N, Hq, hd)
+    k: jax.Array,  # (B, S, Hkv, hd)
+    v: jax.Array,  # (B, S, Hkv, hd)
+    causal_offset: Optional[int] = 0,
+) -> jax.Array:
+    """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
+
+    ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
+    S - N for decode with a prefix); ``None`` disables masking.
+    """
+    b, n, hq, hd = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    groups = hq // hkv
+    qg = q.reshape(b, n, hkv, groups, hd)
+    scores = jnp.einsum("bnkgh,bskh->bkgns", qg, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    if causal_offset is not None:
+        qi = jnp.arange(n)[:, None]
+        kj = jnp.arange(s)[None, :]
+        mask = kj <= qi + causal_offset
+        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgns,bskh->bnkgh", probs, v)
+    return out.reshape(b, n, hq, hd)
+
+
+def block_apply(
+    cfg: LlamaConfig,
+    lp: Params,
+    x: jax.Array,  # (B, N, D)
+    cos: jax.Array,
+    sin: jax.Array,
+    capture: Sequence[str] = (),
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decoder block. Returns ``(hidden, {name: linear_input})``.
+
+    ``capture`` names linears whose *inputs* to return — the stage-activation
+    hook the quantization driver uses for Hessian accumulation (replacing
+    reference RecorderWrapper.stage_hessian_accumulation,
+    ``model_utils.py:101-103``).  Unused captures are DCE'd by XLA, so
+    requesting an early stage's input skips all later compute for free.
+    """
+    caps: Dict[str, jax.Array] = {}
+
+    def lin(name: str, h: jax.Array) -> jax.Array:
+        if name in capture:
+            caps[name] = h
+        return h @ lp[name]
+
+    b, n, d = x.shape
+    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = lin("self_attn.q_proj", h).reshape(b, n, hq, hd)
+    k = lin("self_attn.k_proj", h).reshape(b, n, hkv, hd)
+    v = lin("self_attn.v_proj", h).reshape(b, n, hkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v).reshape(b, n, hq * hd)
+    x = x + lin("self_attn.o_proj", attn)
+
+    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = lin("mlp.gate_proj", h)
+    up = lin("mlp.up_proj", h)
+    x = x + lin("mlp.down_proj", jax.nn.silu(gate) * up)
+    return x, caps
+
+
+def embed(cfg: LlamaConfig, params: Params, tokens: jax.Array) -> jax.Array:
+    return jnp.take(params["embed_tokens"], tokens, axis=0)
+
+
+def forward_hidden(
+    cfg: LlamaConfig, params: Params, tokens: jax.Array,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Embedding + all decoder blocks + final norm. tokens: (B, N)."""
+    if positions is None:
+        positions = jnp.arange(tokens.shape[1])
+    cos, sin = rope_cos_sin(cfg, positions)
+    x = embed(cfg, params, tokens)
+    for lp in params["layers"]:
+        x, _ = block_apply(cfg, lp, x, cos, sin)
+    return rms_norm(x, params["norm"], cfg.rms_norm_eps)
+
+
+def lm_logits(cfg: LlamaConfig, params: Params, hidden: jax.Array) -> jax.Array:
+    return hidden @ params["lm_head"]
+
+
+def forward_logits(cfg: LlamaConfig, params: Params, tokens: jax.Array) -> jax.Array:
+    return lm_logits(cfg, params, forward_hidden(cfg, params, tokens))

@@ -1,0 +1,231 @@
+"""Block-sequential, dependency-scheduled GPTQ quantization driver.
+
+TPU-native re-design of the reference's quantization orchestration
+(reference: ``llama.py:64-204``).  Key structural differences, same
+semantics:
+
+* **No Catcher / RecorderWrapper / replay machinery** (reference
+  ``model_utils.py:69-109``, ``llama.py:96-136``): the functional block
+  exposes capture points, and "error propagation through already-quantized
+  predecessors" (the GPTQ-v2 improvement, ``llama.py:171-179``) falls out
+  naturally — each stage's Hessian pass re-runs the block forward with the
+  *current* (partially quantized) parameters, so downstream stages see
+  quantized predecessors' real outputs.  XLA DCE trims everything after the
+  captured activation, so a stage forward costs only its prefix.
+* **One compilation per stage shape**, reused across all 32 blocks (the
+  reference re-dispatches eagerly per block).
+* **Host offload**: full weights stay in host RAM; one layer at a time is
+  resident on device (the reference's GPU↔CPU strategy,
+  ``llama.py:104-105,194-195``), while activations for all calibration
+  sequences stay on device.
+* Per-layer quantization results stream to disk as ``.npz`` for resumable
+  runs (the reference saves only once at the end, ``main.py:37-38``).
+
+Numerics contract (SURVEY.md §2): fp32 Hessians, ``2/n_seq`` scaling,
+act-order, cumulative damp retry, fp16-roundtrip error feedback, quantized
+weights cast to model dtype before downstream stages.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_v2_tpu import graph
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.quant import gptq as gq
+from gptq_v2_tpu.quant import hessian as hs
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Algorithm hyper-parameters.
+
+    The reference hard-codes these at call sites (``llama.py:138,146-161``);
+    here they are first-class config, enabling the bits × group × act-order
+    sweeps the reference only supports through code edits.
+    """
+
+    bits: int = 4
+    group_size: int = 128
+    sym: bool = False
+    act_order: bool = True
+    damp_ratio: float = 1e-2
+    mse: bool = False
+    mse_max_shrink: float = 0.8
+    mse_n_grid: int = 100
+    mse_norm: float = 2.4
+    scale_bit_width: Optional[int] = None
+    rtn: bool = False  # skip GPTQ error feedback entirely (round-to-nearest)
+    feedback_dtype: Optional[str] = "float16"
+    use_hessian_kernel: bool = True
+
+
+def _device_layer(lp: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in lp.items()}
+
+
+def _host_layer(lp: Dict) -> Dict:
+    return {k: np.asarray(jax.device_get(v)) for k, v in lp.items()}
+
+
+# One jitted hessian step per (config, stage) — reused across layers/batches.
+_hess_step_cache: Dict = {}
+
+
+def _hess_step_for(cfg, capture: tuple, use_kernel: bool):
+    key = (cfg, capture, use_kernel)
+    if key not in _hess_step_cache:
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def step(lp, xb, cos_sin, h):
+            cos, sin = cos_sin
+            _, caps = L.block_apply(cfg, lp, xb, cos, sin, capture=capture)
+            act = caps[capture[0]]
+            st = hs.accumulate(
+                hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
+                use_kernel=use_kernel,
+            )
+            return st.hessian
+
+        _hess_step_cache[key] = step
+    return _hess_step_cache[key]
+
+
+_block_fwd_cache: Dict = {}
+
+
+def _block_fwd_for(cfg):
+    if cfg not in _block_fwd_cache:
+
+        @jax.jit
+        def fwd(lp, xb, cos_sin):
+            cos, sin = cos_sin
+            out, _ = L.block_apply(cfg, lp, xb, cos, sin)
+            return out
+
+        _block_fwd_cache[cfg] = fwd
+    return _block_fwd_cache[cfg]
+
+
+def quantize_model(
+    cfg: L.LlamaConfig,
+    params: L.Params,
+    encodings: np.ndarray,  # (n_seq, seqlen) int
+    qcfg: QuantConfig = QuantConfig(),
+    batch_size: int = 16,
+    save_dir: Optional[str] = None,
+) -> Dict[str, Dict]:
+    """Quantize all decoder blocks in place (params is updated per layer).
+
+    Returns ``{'data': {name: quant_meta}, 'metrics': {name: metrics}}``
+    with the reference's canonical names ``model.layers.{i}.{linear}``
+    (reference ``llama.py:167-173``).
+    """
+    n_seq, seqlen = encodings.shape
+    dt = cfg.jdtype
+    results: Dict[str, Dict] = {"data": {}, "metrics": {}}
+    save_path = Path(save_dir) if save_dir else None
+    if save_path:
+        save_path.mkdir(parents=True, exist_ok=True)
+
+    positions = jnp.arange(seqlen)
+    cos_sin = L.rope_cos_sin(cfg, positions)
+
+    # Initial inputs: embedding of all calibration sequences (the functional
+    # replacement for the reference's Catcher exception hack, llama.py:20-61).
+    embed_w = jnp.asarray(params["embed_tokens"])
+    embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
+    xs = []
+    for b in range(0, n_seq, batch_size):
+        xs.append(embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size])))
+    x = jnp.concatenate(xs, axis=0)  # (n_seq, L, D) on device
+    del embed_w, xs
+
+    # Stage schedule: discovered once, identical for every block.
+    lp0 = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(params["layers"][0])
+    )
+    schedule = graph.extract_dependencies(
+        lambda p, xb, cs: L.block_apply(cfg, p, xb, cs[0], cs[1])[0],
+        lp0, jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size), dt),
+        (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
+         jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype)),
+    )
+    stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
+
+    block_fwd = _block_fwd_for(cfg)
+
+    for li in range(cfg.num_hidden_layers):
+        t0 = time.time()
+        lp = _device_layer(params["layers"][li])
+
+        for stage in stage_list:
+            first = stage.linears[0]
+            d_in = lp[first].shape[0]
+
+            if not qcfg.rtn:
+                step = _hess_step_for(cfg, (first,), qcfg.use_hessian_kernel)
+                h = jnp.zeros((d_in, d_in), jnp.float32)
+                for b in range(0, n_seq, batch_size):
+                    h = step(lp, x[b:b + batch_size], cos_sin, h)
+                state = hs.HessianState(h, jnp.asarray(n_seq, jnp.int32))
+                inv = hs.invert(state, damp_ratio=qcfg.damp_ratio,
+                                act_order=qcfg.act_order)
+                del h, state
+            else:
+                inv = None
+
+            for name in stage.linears:
+                w = lp[name].T  # (out, in) solver layout
+                n_groups = d_in // qcfg.group_size
+                res = gq.gptq_quant(
+                    w, inv,
+                    [qcfg.group_size] * n_groups, [qcfg.bits] * n_groups,
+                    scale_bit_width=qcfg.scale_bit_width,
+                    quant_symmetric=qcfg.sym,
+                    quant_mse=qcfg.mse,
+                    quant_max_shrink=qcfg.mse_max_shrink,
+                    quant_n_grid=qcfg.mse_n_grid,
+                    quant_norm=qcfg.mse_norm,
+                    feedback_dtype=qcfg.feedback_dtype,
+                    save_dtype=dt,
+                )
+                # Swap in the dequantized weight: downstream stages and the
+                # next block's inputs see real quantized outputs (the v2
+                # error-propagation, reference llama.py:171-179).
+                lp[name] = res["quant"].T.astype(dt)
+                canonical = f"model.layers.{li}.{name}"
+                results["data"][canonical] = res["quant_meta"]
+                results["metrics"][canonical] = res["metrics"]
+                logger.debug("%s %s", canonical, res["metrics"])
+                if save_path:
+                    meta = {k: v for k, v in res["quant_meta"].items() if v is not None}
+                    np.savez(save_path / f"{canonical}.npz", **meta,
+                             **{f"metric_{k}": v for k, v in res["metrics"].items()})
+                del res
+
+            del inv
+
+        # Inputs of the next block, computed with fully quantized weights
+        # (reference llama.py:184-191).
+        outs = []
+        for b in range(0, n_seq, batch_size):
+            outs.append(block_fwd(lp, x[b:b + batch_size], cos_sin))
+        x = jnp.concatenate(outs, axis=0)
+        del outs
+
+        params["layers"][li] = _host_layer(lp)
+        del lp
+        logger.info("finished block %d in %.2f s", li, time.time() - t0)
+
+    return results

@@ -19,6 +19,11 @@ import pytest
 
 import jax
 
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS; config.update after import wins. Tests must run on CPU —
+# f32 matmuls on the TPU backend demote to bf16 at default precision.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeat test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

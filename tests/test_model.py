@@ -1,0 +1,109 @@
+"""Functional Llama: numerics parity with HF transformers + structure."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.graph import OUTPUT, extract_dependencies
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return L.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_cfg):
+    return L.init_params(tiny_cfg, jax.random.key(0))
+
+
+class TestForward:
+    def test_shapes_and_finite(self, tiny_cfg, tiny_params):
+        tokens = jnp.asarray(np.arange(32).reshape(2, 16) % tiny_cfg.vocab_size)
+        logits = L.forward_logits(tiny_cfg, tiny_params, tokens)
+        assert logits.shape == (2, 16, tiny_cfg.vocab_size)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_causality(self, tiny_cfg, tiny_params):
+        """Changing a future token must not change past logits."""
+        rng = np.random.default_rng(0)
+        t1 = rng.integers(0, tiny_cfg.vocab_size, (1, 16))
+        t2 = t1.copy()
+        t2[0, -1] = (t2[0, -1] + 1) % tiny_cfg.vocab_size
+        l1 = L.forward_logits(tiny_cfg, tiny_params, jnp.asarray(t1))
+        l2 = L.forward_logits(tiny_cfg, tiny_params, jnp.asarray(t2))
+        np.testing.assert_allclose(np.asarray(l1[:, :-1]), np.asarray(l2[:, :-1]),
+                                   rtol=1e-5, atol=1e-5)
+        assert not np.allclose(np.asarray(l1[:, -1]), np.asarray(l2[:, -1]))
+
+    def test_gqa_head_grouping(self, tiny_cfg):
+        """GQA must tie each query-head group to its kv head."""
+        b, n, hq, hkv, hd = 1, 4, 4, 2, 8
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((b, n, hq, hd)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, n, hkv, hd)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, n, hkv, hd)).astype(np.float32))
+        out = L.attention(q, k, v)
+        # reference: expand kv heads then dense MHA
+        k_full = jnp.repeat(k, hq // hkv, axis=2)
+        v_full = jnp.repeat(v, hq // hkv, axis=2)
+        expected = L.attention(q, k_full, v_full)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestHFParity:
+    @pytest.fixture(scope="class")
+    def hf_pair(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg.to_dict(), "torch_dtype": "float32"})
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        return hf_model, cfg, params
+
+    def test_logits_match_transformers(self, hf_pair):
+        import torch
+
+        hf_model, cfg, params = hf_pair
+        rng = np.random.default_rng(2)
+        tokens = rng.integers(0, cfg.vocab_size, (2, 24))
+        with torch.no_grad():
+            ref = hf_model(torch.from_numpy(tokens)).logits.numpy()
+        ours = np.asarray(L.forward_logits(cfg, params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+class TestDependencySchedule:
+    def test_llama_schedule(self, tiny_cfg, tiny_params):
+        lp = tiny_params["layers"][0]
+        cos, sin = L.rope_cos_sin(tiny_cfg, jnp.arange(8))
+        x = jax.ShapeDtypeStruct((2, 8, tiny_cfg.hidden_size), tiny_cfg.jdtype)
+        sched = extract_dependencies(
+            lambda p, xb, c, s: L.block_apply(tiny_cfg, p, xb, c, s)[0],
+            lp, x, cos, sin,
+        )
+        linears = [st.linears for st in sched]
+        assert linears == [
+            ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"),
+            ("self_attn.o_proj",),
+            ("mlp.gate_proj", "mlp.up_proj"),
+            ("mlp.down_proj",),
+            (OUTPUT,),
+        ]
+        # q,k,v released once o's Hessian is done; input held to the end
+        assert set(sched[1].release) == {
+            "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"
+        }
+        assert "input" in sched[-1].release

@@ -1,0 +1,83 @@
+"""End-to-end quantization pipeline + perplexity evaluation on a tiny model."""
+import numpy as np
+import pytest
+
+import jax
+
+from gptq_v2_tpu.evaluate import evaluate_ppl
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = L.LlamaConfig.tiny()
+    params = L.init_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+    evalset = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+    return cfg, params, calib, evalset
+
+
+def clone_params(params):
+    return {
+        "embed_tokens": params["embed_tokens"],
+        "layers": [dict(lp) for lp in params["layers"]],
+        "norm": params["norm"],
+        "lm_head": params["lm_head"],
+    }
+
+
+class TestQuantizeModel:
+    def test_int8_near_lossless(self, tiny):
+        cfg, params, calib, evalset = tiny
+        ppl_fp = evaluate_ppl(cfg, clone_params(params), evalset, batch_size=2)
+        p = clone_params(params)
+        results = quantize_model(cfg, p, calib, QuantConfig(bits=8, group_size=16),
+                                 batch_size=4)
+        ppl_q8 = evaluate_ppl(cfg, p, evalset, batch_size=2)
+        assert abs(ppl_q8 - ppl_fp) / ppl_fp < 0.02
+        # canonical names + schema
+        assert "model.layers.0.self_attn.q_proj" in results["data"]
+        assert "model.layers.1.mlp.down_proj" in results["metrics"]
+        meta = results["data"]["model.layers.0.self_attn.q_proj"]
+        assert meta["qweight"].dtype == np.uint8
+        assert meta["qweight"].shape == (cfg.num_attention_heads * cfg.head_dim_,
+                                         cfg.hidden_size)
+        m = results["metrics"]["model.layers.0.self_attn.q_proj"]
+        assert set(m) == {"gptq_error", "gptq_norm", "l2_error", "l2_norm"}
+
+    def test_int4_pipeline_sane(self, tiny):
+        """INT4 end-to-end: weights actually quantized, ppl bounded, RTN path
+        works.  (GPTQ-vs-RTN quality is asserted at the solver level with
+        correlated activations — random-init models give near-i.i.d.
+        activations where the two coincide by construction.)"""
+        cfg, params, calib, _ = tiny
+        p_gptq = clone_params(params)
+        r = quantize_model(cfg, p_gptq, calib, QuantConfig(bits=4, group_size=16),
+                           batch_size=4)
+        p_rtn = clone_params(params)
+        quantize_model(cfg, p_rtn, calib, QuantConfig(bits=4, group_size=16, rtn=True),
+                       batch_size=4)
+        # weights replaced by dequantized ones
+        w0 = np.asarray(params["layers"][0]["self_attn.q_proj"])
+        wq = np.asarray(p_gptq["layers"][0]["self_attn.q_proj"])
+        assert not np.allclose(w0, wq)
+        ppl_gptq = evaluate_ppl(cfg, p_gptq, calib, batch_size=4)
+        ppl_rtn = evaluate_ppl(cfg, p_rtn, calib, batch_size=4)
+        ppl_fp = evaluate_ppl(cfg, clone_params(params), calib, batch_size=4)
+        assert np.isfinite(ppl_gptq) and np.isfinite(ppl_rtn)
+        assert abs(ppl_gptq - ppl_fp) / ppl_fp < 0.10
+        # error metrics populated and nonzero for the GPTQ run
+        m = r["metrics"]["model.layers.0.self_attn.q_proj"]
+        assert m["gptq_error"] > 0.0
+
+    def test_streaming_save(self, tiny, tmp_path):
+        cfg, params, calib, _ = tiny
+        p = clone_params(params)
+        quantize_model(cfg, p, calib, QuantConfig(bits=4, group_size=16),
+                       batch_size=4, save_dir=str(tmp_path))
+        files = sorted(f.name for f in tmp_path.glob("*.npz"))
+        assert len(files) == cfg.num_hidden_layers * 7
+        loaded = np.load(tmp_path / "model.layers.0.self_attn.q_proj.npz")
+        assert "qweight" in loaded and "metric_gptq_error" in loaded

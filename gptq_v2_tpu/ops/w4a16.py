@@ -1,0 +1,132 @@
+"""Fused dequant + matmul Pallas kernel for W4A16 inference.
+
+The TPU equivalent of the CUTLASS/exllama packed-INT4 GEMMs the reference
+*lacks* (its eval runs on dequantized fp16 linears, reference
+``quant.py:262-279``): HBM traffic is the packed int4 weight (C·R/2 bytes)
+plus per-group scales/zeros — ~4× less than a bf16 GEMM, which is the whole
+game at decode batch sizes where the op is memory-bound.
+
+Uses the plane-per-group layout from ``ops/packing.py``: each grid step
+loads ``(group_size, block_n)`` int32 words, extracts 8 nibble planes (each
+one full quantization group, contraction = ``group_size`` = MXU-friendly),
+dequantizes in registers with that group's scale/zero row, and accumulates
+8 MXU matmuls into an fp32 scratch tile.  No sublane shuffles anywhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gptq_v2_tpu.ops.packing import PackedLinear
+
+
+def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
+    """Per grid step: 8 nibble planes → 8 MXU dots.
+
+    Dequantization is algebraically refactored to keep the VPU off the
+    (g × bn) weight tile:  ``x @ ((q - z)·s) = (x @ q)·s - sum(x)·(z·s)``
+    — per weight element only shift+mask+convert remain; the scale and the
+    zero-point correction touch just (B × bn) dot outputs.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]  # (g, bn) int32
+    g = group_size
+    acc = acc_ref[:]
+    for i in range(8):
+        # int32 → f32 convert is vreg-layout-preserving (both 32-bit tiles);
+        # converting to bf16 here would relayout every weight element.
+        codes = ((words >> (4 * i)) & 0xF).astype(jnp.float32)  # (g, bn)
+        x_i = x_ref[:, i * g:(i + 1) * g].astype(jnp.float32)
+        dot = jax.lax.dot_general(
+            x_i, codes,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        x_sum = jnp.sum(x_i.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1)
+        acc += dot * s_ref[i, :][None, :].astype(jnp.float32) \
+            - x_sum * zs_ref[i, :][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_n", "interpret"))
+def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
+              interpret: bool):
+    """x: (B, C_pad) compute dtype (stored column order); returns (B, R)."""
+    b, c_pad = x.shape
+    _, r = qweight.shape
+    g = group_size
+    bk = 8 * g
+    n_k = c_pad // bk
+    n_j = pl.cdiv(r, block_n)
+
+    zs = (zeros.astype(jnp.float32) * scales.astype(jnp.float32)).astype(scales.dtype)
+    kernel = functools.partial(_kernel, group_size=g, n_k=n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_j, n_k),
+        in_specs=[
+            pl.BlockSpec((b, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c_pad * r,
+            bytes_accessed=c_pad * r // 2 + b * c_pad * x.dtype.itemsize
+            + 2 * (c_pad // g) * r * scales.dtype.itemsize + b * r * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qweight, scales, zs)
+
+
+def w4a16_matmul(
+    x: jax.Array,  # (..., C) in original column order
+    p: PackedLinear,
+    block_n: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``y = x @ dequantize(p)`` — fused, reading int4 weights from HBM.
+
+    Applies the act-order gather to ``x``, zero-pads the contraction to the
+    packing block, runs the Pallas kernel, returns ``(..., R)``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    assert c == p.in_features, (c, p.in_features)
+    xb = x.reshape(-1, c)
+    if p.perm is not None:
+        xb = jnp.take(xb, p.perm, axis=1)
+    c_pad = p.in_features_padded
+    if c_pad != c:
+        xb = jnp.pad(xb, ((0, 0), (0, c_pad - c)))
+    b = xb.shape[0]
+    b_pad = max(8, -(-b // 8) * 8)
+    if b_pad != b:
+        xb = jnp.pad(xb, ((0, b_pad - b), (0, 0)))
+    bn = block_n
+    r = p.out_features
+    while r % bn != 0:
+        bn //= 2
+    out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
+                    group_size=p.group_size, block_n=bn, interpret=interpret)
+    return out[:b].reshape(*lead, r)

@@ -1,0 +1,91 @@
+"""Packed-INT4 format + fused dequant-matmul kernel."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.ops import packing as pk
+from gptq_v2_tpu.ops.w4a16 import w4a16_matmul
+from gptq_v2_tpu.quant import gptq as gq
+from gptq_v2_tpu.quant import hessian as hs
+
+
+def rand(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+class TestPacking:
+    @pytest.mark.parametrize("c", [256, 384])  # 384 = 3 groups of 128: padded
+    def test_pack_unpack_roundtrip(self, c):
+        rng = np.random.default_rng(0)
+        codes = rng.integers(0, 16, (64, c)).astype(np.uint8)
+        packed = pk.pack_int4(codes, group_size=32)
+        out = pk.unpack_int4(packed, group_size=32, c_orig=c)
+        np.testing.assert_array_equal(out, codes)
+
+    def test_pack_quant_meta_and_dense_twin(self):
+        R, C, g = 64, 256, 32
+        w = rand((R, C), seed=1)
+        x = rand((4, 1024, C), seed=2) * 0.2
+        st = hs.accumulate(hs.init_state(C), jnp.asarray(x), use_kernel=False)
+        inv = hs.invert(st, act_order=True)
+        res = gq.gptq_quant(jnp.asarray(w), inv, [g] * (C // g), [4] * (C // g),
+                            save_dtype=jnp.float32)
+        p = pk.pack_quant_meta(res["quant_meta"])
+        dense = pk.dequantize_dense(p, dtype=jnp.float32)  # (C, R)
+        # must match the solver's dequantized output (fp16 feedback -> bf16 storage noise)
+        np.testing.assert_allclose(
+            np.asarray(dense.T), np.asarray(res["quant"]), rtol=2e-2, atol=2e-2
+        )
+
+
+class TestW4A16Matmul:
+    def _packed(self, R=128, C=256, g=32, act_order=True, seed=3):
+        w = rand((R, C), seed=seed)
+        x = rand((2, 512, C), seed=seed + 1) * 0.3
+        st = hs.accumulate(hs.init_state(C), jnp.asarray(x), use_kernel=False)
+        inv = hs.invert(st, act_order=act_order)
+        res = gq.gptq_quant(jnp.asarray(w), inv, [g] * (C // g), [4] * (C // g))
+        return pk.pack_quant_meta(res["quant_meta"])
+
+    @pytest.mark.parametrize("batch", [1, 5, 16])
+    def test_matches_dense_twin(self, batch):
+        p = self._packed()
+        x = jnp.asarray(rand((batch, p.in_features), seed=7).astype(np.float32))
+        x = x.astype(jnp.bfloat16)
+        dense = pk.dequantize_dense(p)  # (C, R) bf16
+        expected = (x.astype(jnp.float32) @ dense.astype(jnp.float32))
+        out = w4a16_matmul(x, p, interpret=True)
+        assert out.shape == (batch, p.out_features)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32), np.asarray(expected),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_padded_contraction(self):
+        # C=384 with g=32: 8g=256 block => padded to 512
+        p = self._packed(R=128, C=384, g=32, seed=11)
+        assert p.in_features_padded == 512
+        x = jnp.asarray(rand((3, 384), seed=12)).astype(jnp.bfloat16)
+        dense = pk.dequantize_dense(p)
+        expected = x.astype(jnp.float32) @ dense.astype(jnp.float32)
+        out = w4a16_matmul(x, p, interpret=True)
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+    def test_no_act_order(self):
+        p = self._packed(act_order=False, seed=13)
+        assert p.perm is None
+        x = jnp.asarray(rand((2, p.in_features), seed=14)).astype(jnp.bfloat16)
+        dense = pk.dequantize_dense(p)
+        expected = x.astype(jnp.float32) @ dense.astype(jnp.float32)
+        out = w4a16_matmul(x, p, interpret=True)
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   np.asarray(expected), rtol=2e-2, atol=2e-2)
+
+    def test_leading_dims(self):
+        p = self._packed(seed=15)
+        x = jnp.asarray(rand((2, 3, p.in_features), seed=16)).astype(jnp.bfloat16)
+        out = w4a16_matmul(x, p, interpret=True)
+        assert out.shape == (2, 3, p.out_features)

@@ -184,10 +184,14 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, N, H, hd); cos/sin: (N, hd)."""
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
-    return x * c + _rotate_half(x) * s
+    """x: (B, N, H, hd); cos/sin: (N, hd) shared or (B, N, hd) per-sequence."""
+    if cos.ndim == 2:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+    else:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    return x * c.astype(x.dtype) + _rotate_half(x) * s.astype(x.dtype)
 
 
 def attention(
@@ -195,11 +199,13 @@ def attention(
     k: jax.Array,  # (B, S, Hkv, hd)
     v: jax.Array,  # (B, S, Hkv, hd)
     causal_offset: Optional[int] = 0,
+    key_mask: Optional[jax.Array] = None,  # (B, S) valid-key mask
 ) -> jax.Array:
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
 
     ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
-    S - N for decode with a prefix); ``None`` disables masking.
+    S - N for decode with a prefix); ``None`` disables causal masking.
+    ``key_mask`` additionally masks invalid keys (paged-cache decode).
     """
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
@@ -207,11 +213,14 @@ def attention(
     qg = q.reshape(b, n, hkv, groups, hd)
     scores = jnp.einsum("bnkgh,bskh->bkgns", qg, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd)
+    neg = jnp.finfo(jnp.float32).min
     if causal_offset is not None:
         qi = jnp.arange(n)[:, None]
         kj = jnp.arange(s)[None, :]
         mask = kj <= qi + causal_offset
-        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+        scores = jnp.where(mask[None, None, None], scores, neg)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, None, :], scores, neg)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgns,bskh->bnkgh", probs, v)
     return out.reshape(b, n, hq, hd)

@@ -36,13 +36,17 @@ def _kernel(i_arr, j_arr, h_ref, xa_ref, xb_ref, out_ref):
     def _():
         out_ref[:] = h_ref[:]
 
+    # fp32 inputs must not be demoted to bf16 on the MXU — mirrors the
+    # reference's TF32-off contract (reference main.py:12-13).  bf16 inputs
+    # use the native bf16×bf16→fp32 MXU path (an fp32 precision flag on bf16
+    # operands is rejected by Mosaic).
+    precision = (jax.lax.Precision.HIGHEST if xa_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
     out_ref[:] += jax.lax.dot_general(
         xa_ref[:], xb_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),  # contract token rows
         preferred_element_type=jnp.float32,
-        # fp32 inputs must not be demoted to bf16 on the MXU — mirrors the
-        # reference's TF32-off contract (reference main.py:12-13).
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
@@ -128,6 +132,10 @@ def accumulate_hessian(
         block_d //= 2
     if block_d < 8:
         raise ValueError(f"feature dim {d} not tileable")
+    if x.dtype == jnp.float16:
+        # fp16 matmuls are not native on the MXU; bf16 keeps fp32 accumulation
+        # and adds only ~2^-8 relative input noise, negligible after damping.
+        x = x.astype(jnp.bfloat16)
     x = _pad_to(x, 0, block_t)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -22,15 +22,22 @@ interleaves (the expensive part of naive nibble packing on TPU):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class PackedLinear(NamedTuple):
-    """Device-resident packed W4 linear: y = x[..., perm] @ deq(W)."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedLinear:
+    """Device-resident packed W4 linear: y = x[..., perm] @ deq(W).
+
+    A pytree whose array fields trace under jit while the layout metadata
+    (group_size/in_features/bits) stays static.
+    """
 
     qweight: jax.Array  # (C_pad/8, R) int32, plane-per-group layout
     scales: jax.Array  # (G_pad, R) compute dtype
@@ -47,6 +54,14 @@ class PackedLinear(NamedTuple):
     @property
     def in_features_padded(self) -> int:
         return self.qweight.shape[0] * 8
+
+    def tree_flatten(self):
+        return ((self.qweight, self.scales, self.zeros, self.perm),
+                (self.group_size, self.in_features, self.bits))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def _pad_cols(codes: np.ndarray, block: int) -> np.ndarray:

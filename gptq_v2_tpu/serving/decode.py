@@ -1,0 +1,121 @@
+"""Prefill + single-token decode steps over the paged KV cache.
+
+Both are pure jittable functions with static shapes: one compilation per
+(batch, bucket-length) for prefill and one per (batch, max_pages) for
+decode, reused for the whole serving session.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.serving import kv_cache as kvc
+from gptq_v2_tpu.serving.model import PackedLlama, packed_block_apply
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def prefill(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B, Lpad) — padded prompts
+    cache: kvc.PagedKVCache,
+    block_tables: jax.Array,  # (B, max_pages)
+    lengths: jax.Array,  # (B,) true prompt lengths
+) -> Tuple[jax.Array, kvc.PagedKVCache]:
+    """Run the prompt, write K/V pages, return logits at each prompt's last
+    real token: (B, V).
+
+    Padding tokens sit at positions >= length; causal masking keeps them out
+    of real tokens' attention, and their K/V writes land in the engine's
+    trash page (block-table default).
+    """
+    cfg = model.cfg
+    b, lpad = tokens.shape
+    positions = jnp.arange(lpad)
+    cos, sin = L.rope_cos_sin(cfg, positions)
+    x = jnp.take(model.embed_tokens, tokens, axis=0)
+    pos_b = jnp.broadcast_to(positions[None], (b, lpad))
+    pad_mask = pos_b >= lengths[:, None]
+    for li, lp in enumerate(model.layers):
+        x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin)
+        # steer pad-token writes into the trash slot (page 0 is reserved)
+        slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
+                               cache.page_size)
+        slots = jnp.where(pad_mask, 0, slots)
+        n_kv, hd = k.shape[2], k.shape[3]
+        cache = cache._replace(
+            k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
+            v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
+        )
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    return last @ model.lm_head, cache
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def decode_step(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B,) last sampled token per slot
+    cache: kvc.PagedKVCache,
+    block_tables: jax.Array,  # (B, max_pages)
+    positions: jax.Array,  # (B,) position of the NEW token (== current length)
+) -> Tuple[jax.Array, kvc.PagedKVCache]:
+    """One decode step for every slot; returns (B, V) logits + updated cache."""
+    cfg = model.cfg
+    b = tokens.shape[0]
+    cos, sin = L.rope_cos_sin(cfg, positions)  # traced → on-device path, (B, hd)
+    cos, sin = cos[:, None, :], sin[:, None, :]  # (B, 1, hd)
+    x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]  # (B, 1, D)
+
+    s = block_tables.shape[1] * cache.page_size
+    key_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
+
+    for li, lp in enumerate(model.layers):
+        # write this token's K/V first, then attend over the full cache
+        # (the new token's slot is included and valid by the mask).
+        x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
+                                 positions, key_mask)
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+    return x[:, 0] @ model.lm_head, cache
+
+
+def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_mask):
+    from gptq_v2_tpu.serving.model import _linear
+
+    b = x.shape[0]
+    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _linear(lp["self_attn.q_proj"], h).reshape(b, 1, hq, hd)
+    k = _linear(lp["self_attn.k_proj"], h).reshape(b, 1, hkv, hd)
+    v = _linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+    cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
+    k_all, v_all = kvc.gather_kv(cache, li, block_tables)
+    attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+    x = x + _linear(lp["self_attn.o_proj"], attn.reshape(b, 1, hq * hd))
+    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _linear(lp["mlp.gate_proj"], h)
+    up = _linear(lp["mlp.up_proj"], h)
+    x = x + _linear(lp["mlp.down_proj"], jax.nn.silu(gate) * up)
+    return x, cache
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
+def sample(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    temperature: float = 0.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """Greedy (temperature 0) or temperature/top-k sampling. Returns (B,)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits >= kth, logits, jnp.finfo(jnp.float32).min)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,188 @@
+"""Continuous-batching serving engine (new capability vs the reference).
+
+Host-side scheduler around the jitted prefill/decode steps:
+
+* fixed ``max_batch`` decode slots; finished sequences free their slot and
+  pages immediately, new requests are admitted the same step — classic
+  continuous batching,
+* page-granular KV allocation from a free list (page 0 is reserved as the
+  trash page for padding writes and empty slots),
+* prompts prefill one-at-a-time into bucketed (power-of-two padded) shapes
+  so compilation count stays O(log max_len),
+* every device step has static shapes: one decode compilation for the whole
+  session.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_v2_tpu.serving import decode as D
+from gptq_v2_tpu.serving import kv_cache as kvc
+from gptq_v2_tpu.serving.model import PackedLlama
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int = 64
+    temperature: float = 0.0
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Request
+    length: int  # tokens currently in cache
+    pages: List[int]
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    def __init__(
+        self,
+        model: PackedLlama,
+        max_batch: int = 8,
+        page_size: int = 16,
+        max_seq_len: int = 512,
+        n_pages: Optional[int] = None,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        cfg = model.cfg
+        self.max_batch = max_batch
+        self.page_size = page_size
+        self.max_pages_per_seq = -(-max_seq_len // page_size)
+        self.max_seq_len = self.max_pages_per_seq * page_size
+        if n_pages is None:
+            n_pages = 1 + max_batch * self.max_pages_per_seq
+        self.cache = kvc.init_cache(
+            cfg.num_hidden_layers, n_pages, page_size,
+            cfg.num_key_value_heads, cfg.head_dim_,
+            dtype=model.embed_tokens.dtype,
+        )
+        self.free_pages: List[int] = list(range(1, n_pages))  # page 0 = trash
+        self.slots: List[Optional[_Slot]] = [None] * max_batch
+        self.block_tables = np.zeros((max_batch, self.max_pages_per_seq), np.int32)
+        self.last_tokens = np.zeros((max_batch,), np.int32)
+        self.queue: List[Request] = []
+        self.eos_token_id = eos_token_id
+        self.key = jax.random.key(seed)
+        self.steps = 0
+        self.decode_tokens = 0
+
+    # ------------------------------------------------------------------ admin
+    def add_request(self, req: Request) -> None:
+        assert len(req.prompt) + req.max_new_tokens <= self.max_seq_len, (
+            f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
+        self.queue.append(req)
+
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        if len(self.free_pages) < n:
+            return None
+        pages, self.free_pages = self.free_pages[:n], self.free_pages[n:]
+        return pages
+
+    def _free_slot(self, si: int) -> None:
+        slot = self.slots[si]
+        if slot:
+            self.free_pages.extend(slot.pages)
+        self.slots[si] = None
+        self.block_tables[si] = 0
+
+    # ---------------------------------------------------------------- prefill
+    def _admit(self) -> None:
+        for si in range(self.max_batch):
+            if self.slots[si] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            plen = len(req.prompt)
+            need = -(-(plen + req.max_new_tokens) // self.page_size)
+            pages = self._alloc_pages(need)
+            if pages is None:
+                return  # wait for memory
+            self.queue.pop(0)
+            slot = _Slot(request=req, length=plen, pages=pages)
+            self.slots[si] = slot
+            self.block_tables[si] = 0
+            self.block_tables[si, :need] = pages
+
+            lpad = _bucket(plen)
+            tokens = np.zeros((1, lpad), np.int32)
+            tokens[0, :plen] = req.prompt
+            bt = jnp.asarray(self.block_tables[si:si + 1])
+            logits, self.cache = D.prefill(
+                self.model, jnp.asarray(tokens), self.cache, bt,
+                jnp.asarray([plen], np.int32),
+            )
+            tok = self._sample(logits, req.temperature)
+            self._emit(si, int(tok[0]))
+
+    # ----------------------------------------------------------------- decode
+    def _sample(self, logits, temperature: float):
+        self.key, sub = jax.random.split(self.key)
+        return np.asarray(D.sample(logits, sub, temperature=temperature))
+
+    def _emit(self, si: int, token: int) -> None:
+        slot = self.slots[si]
+        req = slot.request
+        req.output.append(token)
+        self.last_tokens[si] = token
+        if (self.eos_token_id is not None and token == self.eos_token_id) or (
+                len(req.output) >= req.max_new_tokens):
+            req.done = True
+            self._free_slot(si)
+
+    def step(self) -> None:
+        """One scheduler tick: admit new work, then one decode step."""
+        self._admit()
+        active = [si for si in range(self.max_batch) if self.slots[si] is not None]
+        if not active:
+            return
+        positions = np.zeros((self.max_batch,), np.int32)
+        for si in active:
+            positions[si] = self.slots[si].length
+        logits, self.cache = D.decode_step(
+            self.model,
+            jnp.asarray(self.last_tokens),
+            self.cache,
+            jnp.asarray(self.block_tables),
+            jnp.asarray(positions),
+        )
+        temps = {self.slots[si].request.temperature for si in active}
+        toks = self._sample(logits, temperature=temps.pop() if len(temps) == 1 else 0.0)
+        self.steps += 1
+        for si in active:
+            self.slots[si].length += 1
+            self.decode_tokens += 1
+            self._emit(si, int(toks[si]))
+
+    def run(self, requests: List[Request]) -> Dict[int, List[int]]:
+        """Serve a batch of requests to completion; returns uid → tokens."""
+        for r in requests:
+            self.add_request(r)
+        t0 = time.time()
+        while self.queue or any(s is not None for s in self.slots):
+            self.step()
+        dt = time.time() - t0
+        if self.decode_tokens:
+            logger.info("decoded %d tokens in %.2fs (%.1f tok/s aggregate)",
+                        self.decode_tokens, dt, self.decode_tokens / dt)
+        return {r.uid: r.output for r in requests}

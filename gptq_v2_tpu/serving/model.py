@@ -1,0 +1,143 @@
+"""W4A16 packed Llama for serving.
+
+The inference-engine half the reference lacks entirely (it evaluates by
+dequantizing back to fp16 ``nn.Linear``, reference ``quant.py:262-279``;
+SURVEY.md §0 "What the reference is NOT").  Linear weights live as
+:class:`PackedLinear` int4 and every projection runs through the fused
+dequant-matmul Pallas kernel; everything else (norms, rope, attention,
+embeddings, lm_head) is bf16.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.ops.packing import PackedLinear, pack_quant_meta, dequantize_dense
+from gptq_v2_tpu.ops.w4a16 import w4a16_matmul
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedLlama:
+    cfg: L.LlamaConfig  # static
+    embed_tokens: jax.Array  # (V, D)
+    layers: Tuple[Dict[str, Any], ...]  # per layer: name -> PackedLinear | array
+    norm: jax.Array
+    lm_head: jax.Array  # (D, V) dense (reference never quantizes lm_head)
+
+    def tree_flatten(self):
+        return ((self.embed_tokens, self.layers, self.norm, self.lm_head),
+                (self.cfg,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], *children)
+
+
+def quantize_params_to_packed(
+    cfg: L.LlamaConfig,
+    params: L.Params,
+    quant_data: Dict[str, dict],
+    compute_dtype=jnp.bfloat16,
+) -> PackedLlama:
+    """Build a packed model from pipeline output ``results['data']``.
+
+    ``params`` supplies the non-quantized leaves (norms, embeddings,
+    lm_head); each linear with an entry in ``quant_data`` becomes a
+    :class:`PackedLinear`.
+    """
+    layers: List[Dict[str, Any]] = []
+    for li, lp in enumerate(params["layers"]):
+        out: Dict[str, Any] = {}
+        for name, w in lp.items():
+            key = f"model.layers.{li}.{name}"
+            if key in quant_data:
+                out[name] = pack_quant_meta(quant_data[key], compute_dtype)
+            else:
+                out[name] = jnp.asarray(w).astype(compute_dtype)
+        layers.append(out)
+    return PackedLlama(
+        cfg=cfg,
+        embed_tokens=jnp.asarray(params["embed_tokens"]).astype(compute_dtype),
+        layers=tuple(layers),
+        norm=jnp.asarray(params["norm"]).astype(compute_dtype),
+        lm_head=jnp.asarray(params["lm_head"]).astype(compute_dtype),
+    )
+
+
+def _linear(w, x: jax.Array) -> jax.Array:
+    if isinstance(w, PackedLinear):
+        return w4a16_matmul(x, w)
+    return x @ w
+
+
+def packed_block_apply(
+    cfg: L.LlamaConfig,
+    lp: Dict[str, Any],
+    x: jax.Array,  # (B, N, D)
+    cos: jax.Array,
+    sin: jax.Array,
+    kv_override: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder block on packed weights.
+
+    Returns ``(hidden, (k, v))`` — the *new* rope'd K/V for cache writing.
+    ``kv_override = (k_all, v_all, key_mask)`` runs attention against an
+    externally assembled K/V sequence (decode against the paged cache),
+    masking invalid cache slots instead of causal masking.
+    """
+    b, n, d = x.shape
+    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _linear(lp["self_attn.q_proj"], h).reshape(b, n, hq, hd)
+    k = _linear(lp["self_attn.k_proj"], h).reshape(b, n, hkv, hd)
+    v = _linear(lp["self_attn.v_proj"], h).reshape(b, n, hkv, hd)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+
+    if kv_override is not None:
+        k_all, v_all, key_mask = kv_override
+        attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+    else:
+        attn = L.attention(q, k, v)
+    attn = attn.reshape(b, n, hq * hd)
+    x = x + _linear(lp["self_attn.o_proj"], attn)
+
+    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _linear(lp["mlp.gate_proj"], h)
+    up = _linear(lp["mlp.up_proj"], h)
+    x = x + _linear(lp["mlp.down_proj"], jax.nn.silu(gate) * up)
+    return x, (k, v)
+
+
+def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
+    """Full-sequence forward (eval / tests). tokens: (B, N)."""
+    cfg = model.cfg
+    cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+    x = jnp.take(model.embed_tokens, tokens, axis=0)
+    for lp in model.layers:
+        x, _ = packed_block_apply(cfg, lp, x, cos, sin)
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+    return x @ model.lm_head
+
+
+def dequantized_params(model: PackedLlama, dtype=jnp.bfloat16) -> L.Params:
+    """Dense param pytree from a packed model (debug / parity checks)."""
+    layers = []
+    for lp in model.layers:
+        out = {}
+        for name, w in lp.items():
+            out[name] = dequantize_dense(w, dtype) if isinstance(w, PackedLinear) else w
+        layers.append(out)
+    return {
+        "embed_tokens": model.embed_tokens,
+        "layers": layers,
+        "norm": model.norm,
+        "lm_head": model.lm_head,
+    }

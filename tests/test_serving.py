@@ -1,0 +1,102 @@
+"""Serving stack: packed model, paged KV cache, decode, continuous batching."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+from gptq_v2_tpu.serving import Engine, Request
+from gptq_v2_tpu.serving.model import (
+    PackedLlama,
+    dequantized_params,
+    packed_forward_logits,
+    quantize_params_to_packed,
+)
+
+
+@pytest.fixture(scope="module")
+def packed_model():
+    cfg = L.LlamaConfig.tiny(dtype="float32")
+    params = L.init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+    params_q = {
+        "embed_tokens": params["embed_tokens"],
+        "layers": [dict(lp) for lp in params["layers"]],
+        "norm": params["norm"],
+        "lm_head": params["lm_head"],
+    }
+    results = quantize_model(cfg, params_q, calib, QuantConfig(bits=4, group_size=16),
+                             batch_size=4)
+    return quantize_params_to_packed(cfg, params_q, results["data"],
+                                     compute_dtype=jnp.float32), params_q
+
+
+class TestPackedModel:
+    def test_packed_forward_matches_dense_dequant(self, packed_model):
+        model, params_q = packed_model
+        rng = np.random.default_rng(3)
+        tokens = jnp.asarray(rng.integers(0, model.cfg.vocab_size, (2, 12)))
+        packed = packed_forward_logits(model, tokens)
+        dense = L.forward_logits(model.cfg, dequantized_params(model, jnp.float32),
+                                 tokens)
+        scale = float(jnp.abs(dense).max())
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
+                                   rtol=0, atol=5e-3 * scale)
+
+
+def greedy_full_recompute(model: PackedLlama, prompt, n_new):
+    """Oracle: greedy decode by full forward each step (no cache)."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = packed_forward_logits(model, jnp.asarray([toks]))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+class TestEngine:
+    def test_incremental_decode_matches_full_recompute(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(4)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 6)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=6)])
+        assert out[0] == expected
+
+    def test_continuous_batching_matches_sequential(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (5, 9, 3)]
+        expected = [greedy_full_recompute(model, p, 5) for p in prompts]
+        # batched together: slots shared, different lengths
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        reqs = [Request(uid=i, prompt=p, max_new_tokens=5)
+                for i, p in enumerate(prompts)]
+        out = eng.run(reqs)
+        for i in range(3):
+            assert out[i] == expected[i], f"request {i}"
+
+    def test_page_reuse(self, packed_model):
+        model, _ = packed_model
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=32)
+        total_pages = len(eng.free_pages)
+        rng = np.random.default_rng(6)
+        for uid in range(3):
+            prompt = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
+            eng.run([Request(uid=uid, prompt=prompt, max_new_tokens=4)])
+        assert len(eng.free_pages) == total_pages  # all pages returned
+
+    def test_sampling_temperature(self, packed_model):
+        model, _ = packed_model
+        from gptq_v2_tpu.serving.decode import sample
+
+        logits = jnp.asarray(np.random.default_rng(7).standard_normal((4, 32)),
+                             dtype=jnp.float32)
+        g = sample(logits, jax.random.key(0), temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(g), np.argmax(np.asarray(logits), -1))
+        s1 = sample(logits, jax.random.key(1), temperature=1.0, top_k=5)
+        assert s1.shape == (4,)

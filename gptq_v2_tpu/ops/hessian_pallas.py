@@ -123,15 +123,17 @@ def accumulate_hessian(
 
     The returned array's strict-upper tile region is stale; call
     :func:`symmetrize` before consuming ``h`` as a full matrix.  Zero-pads
-    ``T`` (zero rows contribute nothing) and requires ``D`` aligned to
-    ``block_d`` after padding is not possible (D is a real feature dim), so
-    ``block_d`` shrinks to the largest aligned divisor if needed.
+    ``T`` (zero rows contribute nothing).  ``block_d`` shrinks to the
+    largest divisor of ``D`` that keeps Mosaic's tiling contract (last two
+    block dims multiples of (8, 128)); if none exists (small/odd ``D``) a
+    single full-``D`` tile is used, which Mosaic always accepts.
     """
     t, d = x.shape
-    while d % block_d != 0:
+    block_d = min(block_d, d)
+    while block_d >= 128 and d % block_d != 0:
         block_d //= 2
-    if block_d < 8:
-        raise ValueError(f"feature dim {d} not tileable")
+    if block_d < 128 or d % block_d != 0:
+        block_d = d  # full-dim tile (block == array dim is always legal)
     if x.dtype == jnp.float16:
         # fp16 matmuls are not native on the MXU; bf16 keeps fp32 accumulation
         # and adds only ~2^-8 relative input noise, negligible after damping.

@@ -37,14 +37,20 @@ class PackedLinear:
 
     A pytree whose array fields trace under jit while the layout metadata
     (group_size/in_features/bits) stays static.
+
+    ``in_features`` is the expected *activation* width.  ``perm`` maps
+    stored (packed) columns to activation columns; its length is the stored
+    width, which equals ``in_features`` for a whole layer but may differ for
+    a tensor-parallel row shard (the shard stores a slice of the columns
+    while gathering from the full activation — ``parallel/tp.py``).
     """
 
     qweight: jax.Array  # (C_pad/8, R) int32, plane-per-group layout
     scales: jax.Array  # (G_pad, R) compute dtype
     zeros: jax.Array  # (G_pad, R) compute dtype (float zero-points)
-    perm: Optional[jax.Array]  # (C,) int32 or None (no act-order)
+    perm: Optional[jax.Array]  # (C_stored,) int32 or None (no act-order)
     group_size: int
-    in_features: int  # original C
+    in_features: int  # activation width C
     bits: int = 4
 
     @property
@@ -152,17 +158,97 @@ def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinea
     )
 
 
+def split_packed_column(p: PackedLinear, n_shards: int) -> list:
+    """Column-parallel split: shard the output dim R into ``n_shards``
+    contiguous chunks (Megatron-style).  Each shard keeps the full
+    contraction (and the full act-order perm); outputs concatenate.
+    """
+    r = p.out_features
+    assert r % n_shards == 0, f"out_features {r} not divisible by tp={n_shards}"
+    rl = r // n_shards
+    return [
+        PackedLinear(
+            qweight=p.qweight[:, i * rl:(i + 1) * rl],
+            scales=p.scales[:, i * rl:(i + 1) * rl],
+            zeros=p.zeros[:, i * rl:(i + 1) * rl],
+            perm=p.perm,
+            group_size=p.group_size,
+            in_features=p.in_features,
+            bits=p.bits,
+        )
+        for i in range(n_shards)
+    ]
+
+
+def split_packed_row(p: PackedLinear, n_shards: int) -> list:
+    """Row-parallel split: shard the stored contraction columns into
+    ``n_shards`` chunks of whole quantization groups; partial outputs sum
+    (psum over the model axis).
+
+    Every shard's ``perm`` indexes the **full** activation (act-order mixes
+    original columns across shards, so row-parallel layers gather the full
+    activation and each shard selects its slice).  Shards are padded to a
+    common group count with zero-scale groups (perm pad entries point at
+    column 0; scale 0 keeps them inert).
+    """
+    g = p.group_size
+    codes = unpack_int4(np.asarray(p.qweight), g)  # (R, C_pad) stored order
+    c_stored = len(p.perm) if p.perm is not None else p.in_features
+    codes = codes[:, :c_stored]
+    n_groups = -(-c_stored // g)
+    g_loc = -(-n_groups // n_shards)
+    perm_full = (np.asarray(p.perm, np.int64) if p.perm is not None
+                 else np.arange(c_stored, dtype=np.int64))
+    scales = np.asarray(p.scales, np.float32)[:n_groups]  # (G, R)
+    zeros = np.asarray(p.zeros, np.float32)[:n_groups]
+    shards = []
+    for i in range(n_shards):
+        c0, c1 = i * g_loc * g, min((i + 1) * g_loc * g, c_stored)
+        g0, g1 = i * g_loc, min((i + 1) * g_loc, n_groups)
+        codes_i = np.zeros((codes.shape[0], g_loc * g), np.uint8)
+        scales_i = np.zeros((g_loc, scales.shape[1]), np.float32)
+        zeros_i = np.zeros((g_loc, zeros.shape[1]), np.float32)
+        perm_i = np.zeros((g_loc * g,), np.int64)
+        if c1 > c0:
+            codes_i[:, :c1 - c0] = codes[:, c0:c1]
+            scales_i[:g1 - g0] = scales[g0:g1]
+            zeros_i[:g1 - g0] = zeros[g0:g1]
+            perm_i[:c1 - c0] = perm_full[c0:c1]
+        packed = pack_int4(codes_i, g)
+        g_pad = packed.shape[0] // g * 8
+        pad_g = g_pad - g_loc
+        if pad_g:
+            scales_i = np.concatenate([scales_i, np.zeros((pad_g, scales_i.shape[1]), np.float32)])
+            zeros_i = np.concatenate([zeros_i, np.zeros((pad_g, zeros_i.shape[1]), np.float32)])
+            perm_i = np.concatenate([perm_i, np.zeros((pad_g * g,), np.int64)])
+        shards.append(PackedLinear(
+            qweight=jnp.asarray(packed),
+            scales=jnp.asarray(scales_i.astype(np.asarray(p.scales).dtype)),
+            zeros=jnp.asarray(zeros_i.astype(np.asarray(p.zeros).dtype)),
+            perm=jnp.asarray(perm_i.astype(np.int32)),
+            group_size=g,
+            in_features=p.in_features,
+            bits=p.bits,
+        ))
+    return shards
+
+
 def dequantize_dense(p: PackedLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Dense (C, R) dequantized weight in *original* column order — the jnp
-    twin of the fused kernel, and the fallback path for non-4-bit configs."""
-    codes = jnp.asarray(
-        unpack_int4(np.asarray(p.qweight), p.group_size).astype(np.float32)
-    )  # (R, C_pad)
+    twin of the fused kernel, and the fallback path for non-4-bit configs.
+
+    Handles TP row shards (stored width < ``in_features``): stored columns
+    scatter-add into their original positions; padding columns carry scale 0
+    so they contribute nothing even where pad perm entries collide.
+    """
+    codes = unpack_int4(np.asarray(p.qweight), p.group_size).astype(np.float32)
     g = p.group_size
-    scales = jnp.repeat(p.scales.astype(jnp.float32).T, g, axis=1)  # (R, C_pad)
-    zeros = jnp.repeat(p.zeros.astype(jnp.float32).T, g, axis=1)
-    w = ((codes - zeros) * scales).astype(dtype)[:, :p.in_features]  # stored order
-    if p.perm is not None:
-        inv = jnp.argsort(p.perm)
-        w = jnp.take(w, inv, axis=1)
-    return w.T  # (C, R), original order
+    scales = np.repeat(np.asarray(p.scales, np.float32).T, g, axis=1)  # (R, C_pad)
+    zeros = np.repeat(np.asarray(p.zeros, np.float32).T, g, axis=1)
+    w = (codes - zeros) * scales  # (R, C_pad) stored order
+    if p.perm is None:
+        return jnp.asarray(w[:, :p.in_features].T.astype(dtype))  # (C, R)
+    perm = np.asarray(p.perm, np.int64)
+    out = np.zeros((w.shape[0], p.in_features), np.float32)
+    np.add.at(out, (slice(None), perm), w[:, :len(perm)])
+    return jnp.asarray(out.T.astype(dtype))  # (C, R), original order

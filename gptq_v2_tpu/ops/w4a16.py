@@ -115,18 +115,23 @@ def w4a16_matmul(
     assert c == p.in_features, (c, p.in_features)
     xb = x.reshape(-1, c)
     if p.perm is not None:
-        xb = jnp.take(xb, p.perm, axis=1)
+        xb = jnp.take(xb, p.perm, axis=1)  # (B, stored) — may differ from c (TP row shard)
+    stored = xb.shape[1]
     c_pad = p.in_features_padded
-    if c_pad != c:
-        xb = jnp.pad(xb, ((0, 0), (0, c_pad - c)))
+    if c_pad != stored:
+        xb = jnp.pad(xb, ((0, 0), (0, c_pad - stored)))
     b = xb.shape[0]
     b_pad = max(8, -(-b // 8) * 8)
     if b_pad != b:
         xb = jnp.pad(xb, ((0, b_pad - b), (0, 0)))
-    bn = block_n
+    # Mosaic tiling contract: the output-feature block must be a multiple of
+    # 128 or equal to R exactly (full-dim tiles are always legal).
     r = p.out_features
-    while r % bn != 0:
+    bn = min(block_n, r)
+    while bn >= 128 and r % bn != 0:
         bn //= 2
+    if bn < 128 or r % bn != 0:
+        bn = r
     out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
                     group_size=p.group_size, block_n=bn, interpret=interpret)
     return out[:b].reshape(*lead, r)

@@ -1,0 +1,91 @@
+"""Data-parallel Hessian accumulation for GPTQ calibration.
+
+The quantization pipeline's hot loop is the per-stage calibration forward +
+``H += XᵀX`` (SURVEY.md §3.4: ~8.8 TFLOP per stage at 7B).  It is
+embarrassingly parallel over calibration sequences, so the mesh ``data``
+axis shards the batch: each device runs the block forward on its
+sequences and accumulates a **partial** Hessian; one reduction per stage
+(not per batch) merges them.
+
+Partials are materialized as an explicit ``(dp, D, D)`` array sharded over
+``data`` — device-local state stays visible in the type, and the final
+``sum(0)`` lowers to a single XLA all-reduce/reduce per stage.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.quant import hessian as hs
+from gptq_v2_tpu.parallel.mesh import DATA_AXIS, dp_size
+
+
+def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
+                    use_kernel: bool = True):
+    """Build ``(init, step, reduce)`` for data-parallel Hessian accumulation.
+
+    * ``init(d_in) -> h_parts``: zero partials, ``(dp, D, D)`` sharded over
+      ``data``.
+    * ``step(lp, xb, cos_sin, h_parts) -> h_parts``: one calibration batch;
+      ``xb``'s leading dim shards over ``data`` (must divide by dp).
+      Per-device compute is the same block forward + Pallas Hessian kernel
+      as the single-chip path (``pipeline._hess_step_for``); no collective.
+    * ``reduce(h_parts) -> (D, D)``: the per-stage merge (one all-reduce).
+    """
+    dp = dp_size(mesh)
+
+    def init(d_in: int):
+        return jax.device_put(
+            jnp.zeros((dp, d_in, d_in), jnp.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    def local(lp, xb, cs, hp):
+        _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=capture)
+        act = caps[capture[0]]
+        st = hs.accumulate(
+            hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
+            use_kernel=use_kernel,
+        )
+        return st.hessian[None]
+
+    def step_impl(lp, xb, cos_sin, h_parts):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(lp, xb, cos_sin, h_parts)
+
+    step = jax.jit(step_impl, donate_argnums=(3,))
+
+    @jax.jit
+    def reduce(h_parts):
+        return h_parts.sum(axis=0)
+
+    return init, step, reduce
+
+
+def dp_block_forward(mesh, cfg: L.LlamaConfig):
+    """Jitted data-parallel block forward: recompute next-block inputs with
+    the batch sharded over ``data`` (pipeline HOT LOOP 4,
+    reference ``llama.py:184-191``)."""
+
+    def local(lp, xb, cs):
+        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1])
+        return out
+
+    def fwd(lp, xb, cos_sin):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(lp, xb, cos_sin)
+
+    return jax.jit(fwd)

@@ -1,0 +1,372 @@
+"""Tensor-parallel W4A16 Llama over the mesh ``model`` axis.
+
+Megatron-style sharding, built with ``shard_map`` so the fused W4A16
+Pallas kernel runs per-device on its local INT4 shard (GSPMD cannot
+partition a ``pallas_call``; manual SPMD is the idiomatic TPU path):
+
+* ``q/k/v/gate/up``: **column-parallel** — output features sharded, full
+  contraction, activations replicated on entry.  Attention heads stay
+  aligned: each device owns ``hq/tp`` query and ``hkv/tp`` KV heads.
+* ``o/down``: **row-parallel** — stored (act-order) contraction columns
+  sharded in whole quantization groups; partial outputs ``psum`` over
+  ``model``.  Because act-order permutations mix original columns across
+  shards, the input activation is all-gathered first and each shard's
+  ``perm`` selects its slice — at decode the gathered activation is a few
+  KB while the weights it saves re-reading are hundreds of MB.
+* KV cache: sharded over the KV-head axis; paged writes/gathers are local.
+* embeddings / norms / lm_head: replicated (the reference never quantizes
+  them, reference ``llama.py:146-161`` quantizes only block linears).
+
+The reference has no distributed code at all (SURVEY.md §2 #22-27); this
+is the scale-out layer the north star mandates.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.ops.packing import (
+    PackedLinear,
+    split_packed_column,
+    split_packed_row,
+)
+from gptq_v2_tpu.ops.w4a16 import w4a16_matmul
+from gptq_v2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, tp_size
+from gptq_v2_tpu.serving import kv_cache as kvc
+
+COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                   "mlp.gate_proj", "mlp.up_proj")
+ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TPPacked:
+    """Per-shard packed weights stacked on a leading ``tp`` axis.
+
+    Sharded ``P('model')`` on axis 0, so inside ``shard_map`` each device
+    sees its ``(1, ...)`` block and squeezes it into a local
+    :class:`PackedLinear`.
+    """
+
+    qweight: Any  # (tp, C8_loc, R_loc) int32
+    scales: Any  # (tp, G_loc, R_loc)
+    zeros: Any  # (tp, G_loc, R_loc)
+    perm: Optional[Any]  # (tp, C_stored_loc) int32 or None
+    group_size: int
+    in_features: int
+    bits: int = 4
+
+    def tree_flatten(self):
+        return ((self.qweight, self.scales, self.zeros, self.perm),
+                (self.group_size, self.in_features, self.bits))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def local(self) -> PackedLinear:
+        """The device-local shard (call inside shard_map)."""
+        return PackedLinear(
+            qweight=self.qweight[0],
+            scales=self.scales[0],
+            zeros=self.zeros[0],
+            perm=None if self.perm is None else self.perm[0],
+            group_size=self.group_size,
+            in_features=self.in_features,
+            bits=self.bits,
+        )
+
+    def spec_like(self) -> "TPPacked":
+        return TPPacked(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
+                        None if self.perm is None else P(MODEL_AXIS),
+                        self.group_size, self.in_features, self.bits)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TPPackedLlama:
+    cfg: L.LlamaConfig  # static
+    tp: int  # static
+    embed_tokens: Any  # replicated
+    layers: Tuple[Dict[str, Any], ...]  # TPPacked | stacked dense | replicated norm
+    norm: Any
+    lm_head: Any
+
+    def tree_flatten(self):
+        return ((self.embed_tokens, self.layers, self.norm, self.lm_head),
+                (self.cfg, self.tp))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+    def specs(self) -> "TPPackedLlama":
+        """PartitionSpec pytree matching this model (for shard_map in_specs)."""
+        def leaf_spec(w):
+            if isinstance(w, TPPacked):
+                return w.spec_like()
+            if hasattr(w, "ndim") and w.ndim == 3:  # stacked dense shard
+                return P(MODEL_AXIS)
+            return P()  # replicated (norms)
+        layer_specs = tuple(
+            {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers
+        )
+        return TPPackedLlama(self.cfg, self.tp, P(), layer_specs, P(), P())
+
+
+def _stack_packed(shards) -> TPPacked:
+    return TPPacked(
+        qweight=jnp.stack([s.qweight for s in shards]),
+        scales=jnp.stack([s.scales for s in shards]),
+        zeros=jnp.stack([s.zeros for s in shards]),
+        perm=(None if shards[0].perm is None
+              else jnp.stack([s.perm for s in shards])),
+        group_size=shards[0].group_size,
+        in_features=shards[0].in_features,
+        bits=shards[0].bits,
+    )
+
+
+def shard_packed_llama(model, mesh) -> TPPackedLlama:
+    """Shard a :class:`~gptq_v2_tpu.serving.model.PackedLlama` over the mesh
+    ``model`` axis and place every array on its devices."""
+    cfg = model.cfg
+    tp = tp_size(mesh)
+    assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
+    assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
+
+    def shard_dense(w, axis):
+        parts = np.split(np.asarray(w), tp, axis=axis)
+        return jnp.stack([jnp.asarray(p) for p in parts])
+
+    layers = []
+    for lp in model.layers:
+        out: Dict[str, Any] = {}
+        for name, w in lp.items():
+            if name in COLUMN_PARALLEL:
+                out[name] = (_stack_packed(split_packed_column(w, tp))
+                             if isinstance(w, PackedLinear) else shard_dense(w, 1))
+            elif name in ROW_PARALLEL:
+                out[name] = (_stack_packed(split_packed_row(w, tp))
+                             if isinstance(w, PackedLinear) else shard_dense(w, 0))
+            else:
+                out[name] = w  # norms: replicated
+        layers.append(out)
+    tpm = TPPackedLlama(cfg, tp, model.embed_tokens, tuple(layers),
+                        model.norm, model.lm_head)
+    specs = tpm.specs()
+    return jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), tpm, specs)
+
+
+def cache_spec(page_size: int, data_parallel: bool = False) -> kvc.PagedKVCache:
+    """PartitionSpec pytree for a KV cache sharded over KV heads.
+
+    With ``data_parallel`` the slot pool additionally shards over ``data``:
+    each data-shard owns an independent slot range addressed by *local*
+    block-table ids (independent serving replicas sharing one jitted step).
+    """
+    s = P(None, DATA_AXIS if data_parallel else None, MODEL_AXIS, None)
+    return kvc.PagedKVCache(s, s, page_size)
+
+
+def shard_cache(cache: kvc.PagedKVCache, mesh,
+                data_parallel: bool = False) -> kvc.PagedKVCache:
+    spec = cache_spec(cache.page_size, data_parallel)
+    return jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), cache, spec)
+
+
+# ---------------------------------------------------------------------------
+# Local (per-device) building blocks, used inside shard_map
+# ---------------------------------------------------------------------------
+
+
+def _col_linear(w, x: jax.Array) -> jax.Array:
+    """Column-parallel: replicated x → locally sharded output features."""
+    if isinstance(w, TPPacked):
+        return w4a16_matmul(x, w.local())
+    return x @ w[0]
+
+
+def _row_linear(w, x_full: jax.Array) -> jax.Array:
+    """Row-parallel: gathered full x → psum'd full output."""
+    if isinstance(w, TPPacked):
+        part = w4a16_matmul(x_full, w.local())
+    else:
+        wl = w[0]  # (C_loc, R); no act-order on dense weights
+        c_loc = wl.shape[0]
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        x_loc = jax.lax.dynamic_slice_in_dim(x_full, idx * c_loc, c_loc, axis=-1)
+        part = x_loc @ wl
+    return jax.lax.psum(part, MODEL_AXIS)
+
+
+def _gather_cols(x: jax.Array) -> jax.Array:
+    """All-gather the feature axis across the model axis (shard order)."""
+    return jax.lax.all_gather(x, MODEL_AXIS, axis=x.ndim - 1, tiled=True)
+
+
+def _tp_block(cfg, tp, lp, x, cos, sin,
+              kv_override=None) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder block, device-local view.  Mirrors
+    ``serving.model.packed_block_apply`` with TP collectives.
+
+    Returns ``(hidden, (k_local, v_local))`` — the new rope'd K/V for the
+    *local* KV heads.
+    """
+    b, n, d = x.shape
+    hd = cfg.head_dim_
+    hq = cfg.num_attention_heads // tp
+    hkv = cfg.num_key_value_heads // tp
+
+    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _col_linear(lp["self_attn.q_proj"], h).reshape(b, n, hq, hd)
+    k = _col_linear(lp["self_attn.k_proj"], h).reshape(b, n, hkv, hd)
+    v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, n, hkv, hd)
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+
+    if kv_override is not None:
+        k_all, v_all, key_mask = kv_override
+        attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+    else:
+        attn = L.attention(q, k, v)
+    attn = _gather_cols(attn.reshape(b, n, hq * hd))  # (b, n, hq_full*hd)
+    x = x + _row_linear(lp["self_attn.o_proj"], attn)
+
+    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _col_linear(lp["mlp.gate_proj"], h)
+    up = _col_linear(lp["mlp.up_proj"], h)
+    act = _gather_cols(jax.nn.silu(gate) * up)  # (b, n, I_full)
+    x = x + _row_linear(lp["mlp.down_proj"], act)
+    return x, (k, v)
+
+
+# ---------------------------------------------------------------------------
+# Sharded prefill / decode steps
+# ---------------------------------------------------------------------------
+
+
+def build_tp_prefill(mesh, page_size: int, data_parallel: bool = False):
+    """Jitted TP prefill over ``mesh``; same contract as ``serving.decode.prefill``.
+
+    ``data_parallel`` shards the batch (and the cache slot pool) over the
+    ``data`` axis: block-table ids are local to each data shard."""
+
+    def local_step(model: TPPackedLlama, tokens, cache, block_tables, lengths):
+        cfg = model.cfg
+        b, lpad = tokens.shape
+        positions = jnp.arange(lpad)
+        cos, sin = L.rope_cos_sin(cfg, positions)
+        x = jnp.take(model.embed_tokens, tokens, axis=0)
+        pos_b = jnp.broadcast_to(positions[None], (b, lpad))
+        pad_mask = pos_b >= lengths[:, None]
+        for li, lp in enumerate(model.layers):
+            x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin)
+            slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
+                                   cache.page_size)
+            slots = jnp.where(pad_mask, 0, slots)
+            n_kv, hd = k.shape[2], k.shape[3]
+            cache = cache._replace(
+                k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
+                v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
+            )
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+        last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
+        return last @ model.lm_head, cache
+
+    bsp = P(DATA_AXIS) if data_parallel else P()
+    csp = cache_spec(page_size, data_parallel)
+
+    def sharded(model, tokens, cache, block_tables, lengths):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), bsp, csp, bsp, bsp),
+            out_specs=(bsp, csp),
+            check_vma=False,
+        )(model, tokens, cache, block_tables, lengths)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
+def build_tp_decode_step(mesh, page_size: int, data_parallel: bool = False):
+    """Jitted TP single-token decode; same contract as
+    ``serving.decode.decode_step``.  ``data_parallel`` as in
+    :func:`build_tp_prefill`."""
+
+    def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions):
+        cfg = model.cfg
+        b = tokens.shape[0]
+        cos, sin = L.rope_cos_sin(cfg, positions)
+        cos, sin = cos[:, None, :], sin[:, None, :]
+        x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]
+        s = block_tables.shape[1] * cache.page_size
+        key_mask = jnp.arange(s)[None, :] <= positions[:, None]
+        for li, lp in enumerate(model.layers):
+            # write the new token's local-head K/V, then attend over the cache
+            hd = cfg.head_dim_
+            hq = cfg.num_attention_heads // model.tp
+            hkv = cfg.num_key_value_heads // model.tp
+            h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            q = _col_linear(lp["self_attn.q_proj"], h).reshape(b, 1, hq, hd)
+            k = _col_linear(lp["self_attn.k_proj"], h).reshape(b, 1, hkv, hd)
+            v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
+            q = L.apply_rope(q, cos, sin)
+            k = L.apply_rope(k, cos, sin)
+            cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
+            k_all, v_all = kvc.gather_kv(cache, li, block_tables)
+            attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+            attn = _gather_cols(attn.reshape(b, 1, hq * hd))
+            x = x + _row_linear(lp["self_attn.o_proj"], attn)
+            h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+            gate = _col_linear(lp["mlp.gate_proj"], h)
+            up = _col_linear(lp["mlp.up_proj"], h)
+            act = _gather_cols(jax.nn.silu(gate) * up)
+            x = x + _row_linear(lp["mlp.down_proj"], act)
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+        return x[:, 0] @ model.lm_head, cache
+
+    bsp = P(DATA_AXIS) if data_parallel else P()
+    csp = cache_spec(page_size, data_parallel)
+
+    def sharded(model, tokens, cache, block_tables, positions):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), bsp, csp, bsp, bsp),
+            out_specs=(bsp, csp),
+            check_vma=False,
+        )(model, tokens, cache, block_tables, positions)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
+def build_tp_forward_logits(mesh):
+    """Jitted TP full-sequence forward (eval / parity tests)."""
+
+    def local_fwd(model: TPPackedLlama, tokens):
+        cfg = model.cfg
+        cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+        x = jnp.take(model.embed_tokens, tokens, axis=0)
+        for lp in model.layers:
+            x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin)
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+        return x @ model.lm_head
+
+    def sharded(model, tokens):
+        return jax.shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(model.specs(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(model, tokens)
+
+    return jax.jit(sharded)

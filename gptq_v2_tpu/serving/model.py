@@ -127,6 +127,65 @@ def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
     return x @ model.lm_head
 
 
+def random_packed_llama(
+    cfg: L.LlamaConfig,
+    group_size: int = 128,
+    seed: int = 0,
+    compute_dtype=jnp.bfloat16,
+    act_order: bool = True,
+) -> PackedLlama:
+    """Synthetic packed model with real shapes/layouts (bench + dry runs).
+
+    Packed fields are generated directly (random nibbles, small positive
+    scales, random zero-points, random act-order permutation) — the compiled
+    decode graph and its HBM traffic are identical to a truly quantized
+    model's, without paying quantization time.
+    """
+    rng = np.random.default_rng(seed)
+    g = group_size
+    shapes = L.layer_param_shapes(cfg)
+
+    def packed(c, r):
+        c_pad = -(-c // (8 * g)) * (8 * g)
+        n_g = c_pad // g
+        qweight = rng.integers(np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                               (c_pad // 8, r), dtype=np.int64).astype(np.int32)
+        scales = (rng.random((n_g, r), np.float32) + 0.5) * (0.2 / np.sqrt(c))
+        if n_g * g > c:  # zero out padding groups
+            scales[c // g:] = 0.0
+        zeros = rng.integers(0, 16, (n_g, r)).astype(np.float32)
+        perm = rng.permutation(c).astype(np.int32) if act_order else None
+        return PackedLinear(
+            qweight=jnp.asarray(qweight),
+            scales=jnp.asarray(scales.astype(compute_dtype)),
+            zeros=jnp.asarray(zeros.astype(compute_dtype)),
+            perm=None if perm is None else jnp.asarray(perm),
+            group_size=g, in_features=c,
+        )
+
+    def dense(*shape):
+        scale = 1.0 / np.sqrt(shape[0])
+        return jnp.asarray(
+            (rng.standard_normal(shape).astype(np.float32) * scale).astype(compute_dtype))
+
+    layers = []
+    for _ in range(cfg.num_hidden_layers):
+        lp = {}
+        for name, shape in shapes.items():
+            if len(shape) == 1:
+                lp[name] = jnp.ones(shape, compute_dtype)
+            else:
+                lp[name] = packed(*shape)
+        layers.append(lp)
+    return PackedLlama(
+        cfg=cfg,
+        embed_tokens=dense(cfg.vocab_size, cfg.hidden_size),
+        layers=tuple(layers),
+        norm=jnp.ones((cfg.hidden_size,), compute_dtype),
+        lm_head=dense(cfg.hidden_size, cfg.vocab_size),
+    )
+
+
 def dequantized_params(model: PackedLlama, dtype=jnp.bfloat16) -> L.Params:
     """Dense param pytree from a packed model (debug / parity checks)."""
     layers = []

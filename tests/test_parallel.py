@@ -1,0 +1,175 @@
+"""Tensor/data-parallel paths on the virtual 8-device CPU mesh.
+
+Equivalence oracle: every sharded computation must match its single-device
+twin (the reference-parity-tested serving/pipeline code) to float tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+from gptq_v2_tpu.parallel import (
+    build_tp_decode_step,
+    build_tp_prefill,
+    dp_hessian_step,
+    make_mesh,
+    shard_packed_llama,
+)
+from gptq_v2_tpu.parallel.tp import build_tp_forward_logits, shard_cache
+from gptq_v2_tpu.quant import hessian as hs
+from gptq_v2_tpu.serving import decode as D
+from gptq_v2_tpu.serving import kv_cache as kvc
+from gptq_v2_tpu.serving.model import quantize_params_to_packed
+
+
+def _tiny_packed(kv_heads=2, seed=2):
+    cfg = L.LlamaConfig.tiny(dtype="float32", num_key_value_heads=kv_heads)
+    params = L.init_params(cfg, jax.random.key(seed))
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+    params_q = {
+        "embed_tokens": params["embed_tokens"],
+        "layers": [dict(lp) for lp in params["layers"]],
+        "norm": params["norm"],
+        "lm_head": params["lm_head"],
+    }
+    results = quantize_model(cfg, params_q, calib,
+                             QuantConfig(bits=4, group_size=16), batch_size=4)
+    model = quantize_params_to_packed(cfg, params_q, results["data"],
+                                      compute_dtype=jnp.float32)
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_packed():
+    return _tiny_packed()
+
+
+class TestTPForward:
+    @pytest.mark.parametrize("tp", [2])
+    def test_matches_single_device(self, tiny_packed, tp):
+        from gptq_v2_tpu.serving.model import packed_forward_logits
+
+        model = tiny_packed
+        mesh = make_mesh(tp=tp, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(3)
+        tokens = jnp.asarray(rng.integers(0, model.cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
+    def test_tp4_gqa(self):
+        """tp=4 with 4 KV heads exercises 1-head shards + act-order rows."""
+        from gptq_v2_tpu.serving.model import packed_forward_logits
+
+        model = _tiny_packed(kv_heads=4, seed=5)
+        mesh = make_mesh(tp=4, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(6)
+        tokens = jnp.asarray(rng.integers(0, model.cfg.vocab_size, (1, 9)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
+
+class TestTPServing:
+    def test_prefill_decode_matches_single_device(self, tiny_packed):
+        model = tiny_packed
+        cfg = model.cfg
+        tp, page_size, max_pages = 2, 8, 4
+        mesh = make_mesh(tp=tp, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+
+        def mk_cache():
+            return kvc.init_cache(cfg.num_hidden_layers, 1 + 2 * max_pages,
+                                  page_size, cfg.num_key_value_heads,
+                                  cfg.head_dim_, dtype=jnp.float32)
+
+        rng = np.random.default_rng(7)
+        b = 2
+        plen = np.asarray([5, 7], np.int32)
+        lpad = 8
+        tokens = np.zeros((b, lpad), np.int32)
+        for i in range(b):
+            tokens[i, :plen[i]] = rng.integers(0, cfg.vocab_size, (plen[i],))
+        bt = np.zeros((b, max_pages), np.int32)
+        bt[0, :2] = [1, 2]
+        bt[1, :2] = [3, 4]
+
+        # single-device
+        c1 = mk_cache()
+        log1, c1 = D.prefill(model, jnp.asarray(tokens), c1, jnp.asarray(bt),
+                             jnp.asarray(plen))
+        next_tok = jnp.argmax(log1, -1).astype(jnp.int32)
+        dlog1, c1 = D.decode_step(model, next_tok, c1, jnp.asarray(bt),
+                                  jnp.asarray(plen))
+
+        # TP
+        c2 = shard_cache(mk_cache(), mesh)
+        tp_prefill = build_tp_prefill(mesh, page_size)
+        tp_decode = build_tp_decode_step(mesh, page_size)
+        log2, c2 = tp_prefill(tpm, jnp.asarray(tokens), c2, jnp.asarray(bt),
+                              jnp.asarray(plen))
+        dlog2, c2 = tp_decode(tpm, next_tok, c2, jnp.asarray(bt),
+                              jnp.asarray(plen))
+
+        scale = float(jnp.abs(log1).max())
+        np.testing.assert_allclose(np.asarray(log2), np.asarray(log1),
+                                   rtol=0, atol=2e-4 * scale)
+        scale = float(jnp.abs(dlog1).max())
+        np.testing.assert_allclose(np.asarray(dlog2), np.asarray(dlog1),
+                                   rtol=0, atol=2e-4 * scale)
+
+
+class TestDPHessian:
+    def test_partials_sum_to_single_device(self):
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        params = L.init_params(cfg, jax.random.key(11))
+        lp = {k: jnp.asarray(v) for k, v in params["layers"][0].items()}
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((4, 16, cfg.hidden_size)),
+                        dtype=jnp.float32)
+        cos_sin = L.rope_cos_sin(cfg, jnp.arange(16))
+        capture = ("self_attn.q_proj",)
+
+        # single-device oracle
+        _, caps = L.block_apply(cfg, lp, x, cos_sin[0], cos_sin[1],
+                                capture=capture)
+        st = hs.accumulate(hs.init_state(cfg.hidden_size), caps[capture[0]],
+                           use_kernel=False)
+
+        mesh = make_mesh(tp=1, dp=4)
+        init, step, reduce = dp_hessian_step(mesh, cfg, capture,
+                                             use_kernel=False)
+        h_parts = init(cfg.hidden_size)
+        h_parts = step(lp, x, cos_sin, h_parts)
+        got = reduce(h_parts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(st.hessian),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_dp_block_forward(self):
+        from gptq_v2_tpu.parallel.dp import dp_block_forward
+
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        params = L.init_params(cfg, jax.random.key(13))
+        lp = {k: jnp.asarray(v) for k, v in params["layers"][0].items()}
+        rng = np.random.default_rng(14)
+        x = jnp.asarray(rng.standard_normal((8, 16, cfg.hidden_size)),
+                        dtype=jnp.float32)
+        cos_sin = L.rope_cos_sin(cfg, jnp.arange(16))
+        want, _ = L.block_apply(cfg, lp, x, cos_sin[0], cos_sin[1])
+        mesh = make_mesh(tp=1, dp=8)
+        fwd = dp_block_forward(mesh, cfg)
+        got = fwd(lp, x, cos_sin)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -117,6 +117,21 @@ def _block_fwd_for(cfg):
     return _block_fwd_cache[cfg]
 
 
+def _load_layer_npz(path: Path):
+    """Inverse of the per-layer streaming save below."""
+    z = np.load(path)
+    meta: Dict = {}
+    metrics: Dict = {}
+    for k in z.files:
+        if k.startswith("metric_"):
+            metrics[k[len("metric_"):]] = float(z[k])
+        else:
+            meta[k] = z[k]
+    for opt in ("qscale", "sscale", "scale_bit_width"):
+        meta.setdefault(opt, None)
+    return meta, metrics
+
+
 def quantize_model(
     cfg: L.LlamaConfig,
     params: L.Params,
@@ -124,12 +139,20 @@ def quantize_model(
     qcfg: QuantConfig = QuantConfig(),
     batch_size: int = 16,
     save_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> Dict[str, Dict]:
     """Quantize all decoder blocks in place (params is updated per layer).
 
     Returns ``{'data': {name: quant_meta}, 'metrics': {name: metrics}}``
     with the reference's canonical names ``model.layers.{i}.{linear}``
     (reference ``llama.py:167-173``).
+
+    With ``save_dir`` set, each layer's result streams to
+    ``{save_dir}/{canonical}.npz`` and — new over the reference, which only
+    saves once at the end (``main.py:37-38``) — ``resume=True`` skips any
+    stage whose layers are all already on disk, reloading their quantized
+    weights instead of recomputing (mid-run restart costs only the block
+    forwards).
     """
     n_seq, seqlen = encodings.shape
     dt = cfg.jdtype
@@ -172,6 +195,22 @@ def quantize_model(
         for stage in stage_list:
             first = stage.linears[0]
             d_in = lp[first].shape[0]
+
+            if save_path and resume:
+                files = {name: save_path / f"model.layers.{li}.{name}.npz"
+                         for name in stage.linears}
+                if all(f.exists() for f in files.values()):
+                    from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+                    for name, f in files.items():
+                        meta, metrics = _load_layer_npz(f)
+                        canonical = f"model.layers.{li}.{name}"
+                        results["data"][canonical] = meta
+                        results["metrics"][canonical] = metrics
+                        w = reconstruct_weight(meta, out_dtype=jnp.float32)
+                        lp[name] = w.T.astype(dt)
+                        logger.debug("%s resumed from %s", canonical, f)
+                    continue
 
             if not qcfg.rtn:
                 step = _hess_step_for(cfg, (first,), qcfg.use_hessian_kernel)

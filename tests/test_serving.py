@@ -57,23 +57,27 @@ def greedy_full_recompute(model: PackedLlama, prompt, n_new):
 
 
 class TestEngine:
-    def test_incremental_decode_matches_full_recompute(self, packed_model):
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_incremental_decode_matches_full_recompute(self, packed_model, kind):
         model, _ = packed_model
         rng = np.random.default_rng(4)
         prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
         expected = greedy_full_recompute(model, prompt, 6)
-        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=6)])
         assert out[0] == expected
 
-    def test_continuous_batching_matches_sequential(self, packed_model):
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_continuous_batching_matches_sequential(self, packed_model, kind):
         model, _ = packed_model
         rng = np.random.default_rng(5)
         prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
                    for n in (5, 9, 3)]
         expected = [greedy_full_recompute(model, p, 5) for p in prompts]
         # batched together: slots shared, different lengths
-        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
         reqs = [Request(uid=i, prompt=p, max_new_tokens=5)
                 for i, p in enumerate(prompts)]
         out = eng.run(reqs)
@@ -82,13 +86,25 @@ class TestEngine:
 
     def test_page_reuse(self, packed_model):
         model, _ = packed_model
-        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=32)
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=32,
+                     cache_kind="paged")
         total_pages = len(eng.free_pages)
         rng = np.random.default_rng(6)
         for uid in range(3):
             prompt = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
             eng.run([Request(uid=uid, prompt=prompt, max_new_tokens=4)])
         assert len(eng.free_pages) == total_pages  # all pages returned
+
+    def test_slot_reuse_contiguous(self, packed_model):
+        """A freed slot serves a new request without stale-KV leakage."""
+        model, _ = packed_model
+        rng = np.random.default_rng(8)
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=32)
+        p1 = rng.integers(0, model.cfg.vocab_size, (9,)).tolist()
+        p2 = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
+        eng.run([Request(uid=0, prompt=p1, max_new_tokens=4)])
+        out = eng.run([Request(uid=1, prompt=p2, max_new_tokens=5)])
+        assert out[1] == greedy_full_recompute(model, p2, 5)
 
     def test_sampling_temperature(self, packed_model):
         model, _ = packed_model

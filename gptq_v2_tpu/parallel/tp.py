@@ -167,20 +167,24 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), tpm, specs)
 
 
-def cache_spec(page_size: int, data_parallel: bool = False) -> kvc.PagedKVCache:
-    """PartitionSpec pytree for a KV cache sharded over KV heads.
+def cache_pspec(cache, data_parallel: bool = False):
+    """PartitionSpec pytree for a KV cache: KV heads shard over ``model``.
 
     With ``data_parallel`` the slot pool additionally shards over ``data``:
     each data-shard owns an independent slot range addressed by *local*
-    block-table ids (independent serving replicas sharing one jitted step).
+    slot ids / block-table ids (independent serving replicas sharing one
+    jitted step).
     """
-    s = P(None, DATA_AXIS if data_parallel else None, MODEL_AXIS, None)
-    return kvc.PagedKVCache(s, s, page_size)
+    d = DATA_AXIS if data_parallel else None
+    if isinstance(cache, kvc.ContiguousKVCache):
+        s = P(None, d, None, MODEL_AXIS, None)
+        return kvc.ContiguousKVCache(s, s)
+    s = P(None, d, MODEL_AXIS, None)
+    return kvc.PagedKVCache(s, s, cache.page_size)
 
 
-def shard_cache(cache: kvc.PagedKVCache, mesh,
-                data_parallel: bool = False) -> kvc.PagedKVCache:
-    spec = cache_spec(cache.page_size, data_parallel)
+def shard_cache(cache, mesh, data_parallel: bool = False):
+    spec = cache_pspec(cache, data_parallel)
     return jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), cache, spec)
 
@@ -256,13 +260,43 @@ def _tp_block(cfg, tp, lp, x, cos, sin,
 # ---------------------------------------------------------------------------
 
 
-def build_tp_prefill(mesh, page_size: int, data_parallel: bool = False):
-    """Jitted TP prefill over ``mesh``; same contract as ``serving.decode.prefill``.
+def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None):
+    """Device-local KV write (+ full-sequence read view for contiguous).
 
-    ``data_parallel`` shards the batch (and the cache slot pool) over the
-    ``data`` axis: block-table ids are local to each data shard."""
+    Mirrors the single-device cache handling in ``serving.decode``; inside
+    shard_map the KV-head axis is already local.
+    """
+    b = k.shape[0]
+    if isinstance(cache, kvc.ContiguousKVCache):
+        if pad_mask is not None:  # prefill: clamp pad writes
+            positions = jnp.where(pad_mask, cache.max_len - 1, positions)
+        cache = kvc.write_kv_contiguous(cache, li, k, v, positions)
+        return cache, (cache.k[li], cache.v[li])
+    n = k.shape[1]
+    if pad_mask is not None:
+        slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, positions),
+                               cache.page_size)
+        slots = jnp.where(pad_mask, 0, slots)
+    else:
+        slots = kvc.flat_slots(block_tables, positions, cache.page_size)
+    n_kv, hd = k.shape[2], k.shape[3]
+    cache = cache._replace(
+        k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * n, n_kv, hd)),
+        v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * n, n_kv, hd)),
+    )
+    return cache, kvc.gather_kv(cache, li, block_tables)
 
-    def local_step(model: TPPackedLlama, tokens, cache, block_tables, lengths):
+
+def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
+    """Jitted TP prefill over ``mesh``; same contract as
+    ``serving.decode.prefill`` (incl. the ``slot`` arg for contiguous
+    caches).  ``cache_template`` fixes the cache layout (instance or
+    abstract pytree).  ``data_parallel`` shards the batch + cache slot pool
+    over the ``data`` axis with shard-local slot/block-table ids."""
+    contiguous = isinstance(cache_template, kvc.ContiguousKVCache)
+
+    def local_step(model: TPPackedLlama, tokens, cache, block_tables, lengths,
+                   slot):
         cfg = model.cfg
         b, lpad = tokens.shape
         positions = jnp.arange(lpad)
@@ -272,36 +306,40 @@ def build_tp_prefill(mesh, page_size: int, data_parallel: bool = False):
         pad_mask = pos_b >= lengths[:, None]
         for li, lp in enumerate(model.layers):
             x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin)
-            slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
-                                   cache.page_size)
-            slots = jnp.where(pad_mask, 0, slots)
-            n_kv, hd = k.shape[2], k.shape[3]
-            cache = cache._replace(
-                k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
-                v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
-            )
+            if contiguous:
+                wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
+                rows = jnp.broadcast_to(slot[:, None], wpos.shape)
+                cache = cache._replace(
+                    k=cache.k.at[li, rows, wpos].set(k),
+                    v=cache.v.at[li, rows, wpos].set(v),
+                )
+            else:
+                cache, _ = _write_then_read_kv(cache, li, k, v, block_tables,
+                                               pos_b, pad_mask)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
         last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
         return last @ model.lm_head, cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
-    csp = cache_spec(page_size, data_parallel)
+    csp = cache_pspec(cache_template, data_parallel)
 
-    def sharded(model, tokens, cache, block_tables, lengths):
+    def sharded(model, tokens, cache, block_tables, lengths, slot):
         return jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(model.specs(), bsp, csp, bsp, bsp),
+            in_specs=(model.specs(), bsp, csp,
+                      None if block_tables is None else bsp, bsp,
+                      None if slot is None else bsp),
             out_specs=(bsp, csp),
             check_vma=False,
-        )(model, tokens, cache, block_tables, lengths)
+        )(model, tokens, cache, block_tables, lengths, slot)
 
     return jax.jit(sharded, donate_argnums=(2,))
 
 
-def build_tp_decode_step(mesh, page_size: int, data_parallel: bool = False):
+def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     """Jitted TP single-token decode; same contract as
-    ``serving.decode.decode_step``.  ``data_parallel`` as in
-    :func:`build_tp_prefill`."""
+    ``serving.decode.decode_step``.  Args as in :func:`build_tp_prefill`."""
+    contiguous = isinstance(cache_template, kvc.ContiguousKVCache)
 
     def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions):
         cfg = model.cfg
@@ -309,7 +347,10 @@ def build_tp_decode_step(mesh, page_size: int, data_parallel: bool = False):
         cos, sin = L.rope_cos_sin(cfg, positions)
         cos, sin = cos[:, None, :], sin[:, None, :]
         x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]
-        s = block_tables.shape[1] * cache.page_size
+        if contiguous:
+            s = cache.max_len
+        else:
+            s = block_tables.shape[1] * cache.page_size
         key_mask = jnp.arange(s)[None, :] <= positions[:, None]
         for li, lp in enumerate(model.layers):
             # write the new token's local-head K/V, then attend over the cache
@@ -322,8 +363,8 @@ def build_tp_decode_step(mesh, page_size: int, data_parallel: bool = False):
             v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
             q = L.apply_rope(q, cos, sin)
             k = L.apply_rope(k, cos, sin)
-            cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
-            k_all, v_all = kvc.gather_kv(cache, li, block_tables)
+            cache, (k_all, v_all) = _write_then_read_kv(
+                cache, li, k, v, block_tables, positions[:, None])
             attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
             attn = _gather_cols(attn.reshape(b, 1, hq * hd))
             x = x + _row_linear(lp["self_attn.o_proj"], attn)
@@ -336,12 +377,13 @@ def build_tp_decode_step(mesh, page_size: int, data_parallel: bool = False):
         return x[:, 0] @ model.lm_head, cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
-    csp = cache_spec(page_size, data_parallel)
+    csp = cache_pspec(cache_template, data_parallel)
 
     def sharded(model, tokens, cache, block_tables, positions):
         return jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(model.specs(), bsp, csp, bsp, bsp),
+            in_specs=(model.specs(), bsp, csp,
+                      None if block_tables is None else bsp, bsp),
             out_specs=(bsp, csp),
             check_vma=False,
         )(model, tokens, cache, block_tables, positions)

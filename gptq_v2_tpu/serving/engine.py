@@ -66,7 +66,12 @@ class Engine:
         eos_token_id: Optional[int] = None,
         seed: int = 0,
         cache_kind: str = "contiguous",
+        mesh=None,
     ):
+        """``mesh``: shard the model/cache tensor-parallel over the mesh's
+        ``model`` axis and serve through the shard_map'd steps (multi-chip
+        serving; ``parallel/tp.py``).  Data parallelism = one engine per
+        replica."""
         self.model = model
         cfg = model.cfg
         self.max_batch = max_batch
@@ -95,6 +100,17 @@ class Engine:
                                          np.int32)
         else:
             raise ValueError(cache_kind)
+        self.mesh = mesh
+        if mesh is not None:
+            from gptq_v2_tpu.parallel import tp as TP
+
+            self.model = TP.shard_packed_llama(model, mesh)
+            self.cache = TP.shard_cache(self.cache, mesh)
+            self._prefill = TP.build_tp_prefill(mesh, self.cache)
+            self._decode = TP.build_tp_decode_step(mesh, self.cache)
+        else:
+            self._prefill = D.prefill
+            self._decode = D.decode_step
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         self.last_tokens = np.zeros((max_batch,), np.int32)
         self.queue: List[Request] = []
@@ -151,10 +167,10 @@ class Engine:
             lpad = _bucket(plen)
             tokens = np.zeros((1, lpad), np.int32)
             tokens[0, :plen] = req.prompt
-            logits, self.cache = D.prefill(
+            logits, self.cache = self._prefill(
                 self.model, jnp.asarray(tokens), self.cache, self._bt(si),
                 jnp.asarray([plen], np.int32),
-                slot=jnp.asarray([si], np.int32),
+                jnp.asarray([si], np.int32),
             )
             tok = self._sample(logits, req.temperature)
             self._emit(si, int(tok[0]))
@@ -183,7 +199,7 @@ class Engine:
         positions = np.zeros((self.max_batch,), np.int32)
         for si in active:
             positions[si] = self.slots[si].length
-        logits, self.cache = D.decode_step(
+        logits, self.cache = self._decode(
             self.model,
             jnp.asarray(self.last_tokens),
             self.cache,

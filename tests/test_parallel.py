@@ -116,10 +116,10 @@ class TestTPServing:
 
         # TP
         c2 = shard_cache(mk_cache(), mesh)
-        tp_prefill = build_tp_prefill(mesh, page_size)
-        tp_decode = build_tp_decode_step(mesh, page_size)
+        tp_prefill = build_tp_prefill(mesh, c2)
+        tp_decode = build_tp_decode_step(mesh, c2)
         log2, c2 = tp_prefill(tpm, jnp.asarray(tokens), c2, jnp.asarray(bt),
-                              jnp.asarray(plen))
+                              jnp.asarray(plen), None)
         dlog2, c2 = tp_decode(tpm, next_tok, c2, jnp.asarray(bt),
                               jnp.asarray(plen))
 
@@ -129,6 +129,27 @@ class TestTPServing:
         scale = float(jnp.abs(dlog1).max())
         np.testing.assert_allclose(np.asarray(dlog2), np.asarray(dlog1),
                                    rtol=0, atol=2e-4 * scale)
+
+
+class TestTPEngine:
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_engine_over_mesh_matches_single_device(self, tiny_packed, kind):
+        """Continuous batching through the TP steps == single-device engine."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import packed_forward_logits
+
+        model = tiny_packed
+        rng = np.random.default_rng(21)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 3)]
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                          cache_kind=kind, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
 
 
 class TestDPHessian:

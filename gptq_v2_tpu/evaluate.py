@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptq_v2_tpu.models import llama as L
-from gptq_v2_tpu.pipeline import _block_fwd_for, _device_layer
+from gptq_v2_tpu.pipeline import _to_device, _block_fwd_for, _device_layer
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -49,7 +49,7 @@ def evaluate_ppl(
     positions = jnp.arange(seqlen)
     cos_sin = L.rope_cos_sin(cfg, positions)
 
-    embed_w = jnp.asarray(params["embed_tokens"])
+    embed_w = _to_device(params["embed_tokens"])
     embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
     xs = [embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))
           for b in range(0, n_seq, batch_size)]
@@ -64,12 +64,12 @@ def evaluate_ppl(
         x = jnp.concatenate(outs, axis=0)
         del lp, outs
 
-    norm_w = jnp.asarray(params["norm"])
+    norm_w = _to_device(params["norm"])
     x = jnp.concatenate(
         [_final_norm(norm_w, x[b:b + batch_size], cfg.rms_norm_eps)
          for b in range(0, n_seq, batch_size)], axis=0)
 
-    lm_head = jnp.asarray(params["lm_head"])
+    lm_head = _to_device(params["lm_head"])
     total, weight = 0.0, 0
     for b in range(0, n_seq, batch_size):
         labels = jnp.asarray(encodings[b:b + batch_size])

@@ -194,6 +194,34 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c.astype(x.dtype) + _rotate_half(x) * s.astype(x.dtype)
 
 
+def _use_flash(q: jax.Array, k: jax.Array) -> bool:
+    """Full-sequence causal self-attention on TPU → Pallas flash kernel.
+
+    Dense attention materializes (B, H, N, N) fp32 scores — at the
+    calibration length 2048 that is HBM-catastrophic (measured 14x off MXU
+    peak); the flash kernel keeps the softmax online in VMEM.
+    """
+    b, n, hq, hd = q.shape
+    return (jax.default_backend() == "tpu" and n == k.shape[1]
+            and n >= 1024 and n % 512 == 0 and hd % 128 == 0)
+
+
+def _flash_attention(q, k, v):
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, n, hq, hd = q.shape
+    hkv = k.shape[2]
+    if hkv != hq:  # GQA: expand KV heads for the kernel
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+    out = fa.flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True, sm_scale=1.0 / math.sqrt(hd),
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def attention(
     q: jax.Array,  # (B, N, Hq, hd)
     k: jax.Array,  # (B, S, Hkv, hd)
@@ -206,7 +234,10 @@ def attention(
     ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
     S - N for decode with a prefix); ``None`` disables causal masking.
     ``key_mask`` additionally masks invalid keys (paged-cache decode).
+    Long causal self-attention dispatches to the Pallas flash kernel.
     """
+    if causal_offset == 0 and key_mask is None and _use_flash(q, k):
+        return _flash_attention(q, k, v)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv

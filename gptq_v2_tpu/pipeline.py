@@ -68,14 +68,67 @@ class QuantConfig:
     rtn: bool = False  # skip GPTQ error feedback entirely (round-to-nearest)
     feedback_dtype: Optional[str] = "float16"
     use_hessian_kernel: bool = True
+    use_solver_kernel: Optional[bool] = None  # None = auto (Pallas on TPU)
+
+
+import ml_dtypes
+
+
+class QuantMetaRef:
+    """Lazy dequantized view of a quantized linear, stored as host-side
+    ``quant_meta`` (uint8 codes + per-group scales — ~4x smaller than the
+    dense weight, and the only thing the pipeline ships off-device).
+
+    Mirrors the reference's design where the model retains *reconstructed*
+    layers after quantization (reference ``llama.py:172-174,199``,
+    ``quant.py:262-279``): evaluation materializes the dequantized weight
+    from the saved metadata, on device, on demand.
+    """
+
+    def __init__(self, meta: Dict, dtype):
+        self.meta = meta
+        r, c = meta["qweight"].shape
+        self.shape = (c, r)  # (in, out) — model param layout
+        self.dtype = jnp.dtype(dtype)
+        self.ndim = 2
+
+    def materialize(self) -> jax.Array:
+        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+        meta_dev = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in self.meta.items()}
+        w = reconstruct_weight(meta_dev, out_dtype=jnp.float32)  # (R, C)
+        return w.T.astype(self.dtype)
+
+    def __array__(self, dtype=None, copy=None):
+        arr = np.asarray(jax.device_get(self.materialize()))
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+def _to_device(v) -> jax.Array:
+    if isinstance(v, QuantMetaRef):
+        return v.materialize()
+    if getattr(v, "dtype", None) == ml_dtypes.bfloat16 and not isinstance(v, jax.Array):
+        # ship as uint16 bits: bf16 host<->device copies take a slow
+        # conversion path (~3x) on the tunneled runtime
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(np.asarray(v).view(np.uint16)), jnp.bfloat16)
+    return jnp.asarray(v)
 
 
 def _device_layer(lp: Dict) -> Dict:
-    return {k: jnp.asarray(v) for k, v in lp.items()}
+    return {k: _to_device(v) for k, v in lp.items()}
 
 
 def _host_layer(lp: Dict) -> Dict:
-    return {k: np.asarray(jax.device_get(v)) for k, v in lp.items()}
+    out = {}
+    for k, v in lp.items():
+        if v.dtype == jnp.bfloat16:
+            bits = jax.lax.bitcast_convert_type(v, jnp.uint16)
+            out[k] = np.asarray(jax.device_get(bits)).view(ml_dtypes.bfloat16)
+        else:
+            out[k] = np.asarray(jax.device_get(v))
+    return out
 
 
 # One jitted hessian step per (config, stage) — reused across layers/batches.
@@ -140,6 +193,7 @@ def quantize_model(
     batch_size: int = 16,
     save_dir: Optional[str] = None,
     resume: bool = True,
+    offload: str = "reconstruct",
 ) -> Dict[str, Dict]:
     """Quantize all decoder blocks in place (params is updated per layer).
 
@@ -153,6 +207,15 @@ def quantize_model(
     stage whose layers are all already on disk, reloading their quantized
     weights instead of recomputing (mid-run restart costs only the block
     forwards).
+
+    ``offload`` controls what replaces each finished block in ``params``:
+
+    * ``"reconstruct"`` (default): a :class:`QuantMetaRef` per linear — no
+      dense-weight device→host transfer at all (the quant_meta is already
+      on the host); evaluation rematerializes on device, exactly as the
+      reference keeps reconstructed layers (``llama.py:172-174``).
+    * ``"host"``: the dense dequantized weights, copied to host RAM
+      (needed if callers want plain arrays without lazy views).
     """
     n_seq, seqlen = encodings.shape
     dt = cfg.jdtype
@@ -166,7 +229,7 @@ def quantize_model(
 
     # Initial inputs: embedding of all calibration sequences (the functional
     # replacement for the reference's Catcher exception hack, llama.py:20-61).
-    embed_w = jnp.asarray(params["embed_tokens"])
+    embed_w = _to_device(params["embed_tokens"])
     embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
     xs = []
     for b in range(0, n_seq, batch_size):
@@ -238,6 +301,7 @@ def quantize_model(
                     quant_norm=qcfg.mse_norm,
                     feedback_dtype=qcfg.feedback_dtype,
                     save_dtype=dt,
+                    use_solver_kernel=qcfg.use_solver_kernel,
                 )
                 # Swap in the dequantized weight: downstream stages and the
                 # next block's inputs see real quantized outputs (the v2
@@ -263,7 +327,17 @@ def quantize_model(
         x = jnp.concatenate(outs, axis=0)
         del outs
 
-        params["layers"][li] = _host_layer(lp)
+        if offload == "host":
+            params["layers"][li] = _host_layer(lp)
+        else:
+            new_lp: Dict = {}
+            for name in lp:
+                canonical = f"model.layers.{li}.{name}"
+                if canonical in results["data"]:
+                    new_lp[name] = QuantMetaRef(results["data"][canonical], dt)
+                else:  # norms — tiny
+                    new_lp[name] = np.asarray(jax.device_get(lp[name]))
+            params["layers"][li] = new_lp
         del lp
         logger.info("finished block %d in %.2f s", li, time.time() - t0)
 

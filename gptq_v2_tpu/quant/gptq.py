@@ -209,6 +209,7 @@ def gptq_quant(
     quant_norm: float = 2.4,
     feedback_dtype: Optional[str] = "float16",
     save_dtype=jnp.float16,
+    use_solver_kernel: Optional[bool] = None,
 ) -> dict:
     """Quantize one weight matrix. Returns ``{'quant_meta', 'metrics', 'quant'}``.
 
@@ -218,6 +219,12 @@ def gptq_quant(
     reference schema and dtypes (gptq_py.py:240-250): uint8 ``qweight``/
     ``qzero``/``qscale``/``group_bit_widths``, int16 ``perm_inv``/
     ``group_sizes``, ``scale``/``sscale`` in ``save_dtype``.
+
+    ``use_solver_kernel``: run the blocked Pallas solver
+    (``ops/gptq_pallas.py``, the reference's CUDA ``gptq_use_kernel`` path,
+    ~400x the scan solver on TPU).  Default: on TPU, whenever the config is
+    kernel-eligible (uniform bits, no MSE search, no EXL2 scale
+    quantization); the jnp scan solver remains the executable spec.
     """
     group_sizes = [int(s) for s in group_sizes]
     group_bit_widths = [int(b) for b in group_bit_widths]
@@ -249,15 +256,32 @@ def gptq_quant(
         mse_n_grid=quant_n_grid,
         mse_norm=quant_norm,
     )
+    kernel_eligible = (
+        inverted is not None
+        and not quant_mse
+        and scale_bit_width is None
+        and len(set(group_bit_widths)) == 1
+    )
+    if use_solver_kernel is None:
+        use_solver_kernel = kernel_eligible and jax.default_backend() == "tpu"
+
     if inverted is None:
         out = _rtn_uniform(w32, maxq_arr, group_size=g, **common)
         error = jnp.zeros((), dtype=jnp.float32)
         gptq_norm_src = out["quant"] * 0.0  # reference uses `error` here (0-init path)
     else:
-        out = _solve_uniform(
-            w32, inverted.hessian_inv, maxq_arr, group_size=g,
-            fb_dtype_name=feedback_dtype, **common,
-        )
+        if use_solver_kernel and kernel_eligible:
+            from gptq_v2_tpu.ops.gptq_pallas import gptq_solve
+
+            out = gptq_solve(
+                w32.T, inverted.hessian_inv, g, 2.0 ** group_bit_widths[0] - 1.0,
+                sym=quant_symmetric, feedback_dtype=feedback_dtype,
+            )
+        else:
+            out = _solve_uniform(
+                w32, inverted.hessian_inv, maxq_arr, group_size=g,
+                fb_dtype_name=feedback_dtype, **common,
+            )
         error = out["error"]
         gptq_norm_src = weight_ref.astype(jnp.float32) / jnp.diagonal(inverted.hessian_inv)
 
@@ -285,13 +309,23 @@ def gptq_quant(
     )
 
     def host(a):
+        # cast/reorder on device first: the solver outputs are f32, and
+        # host transfers cost bytes (bf16 additionally takes a slow
+        # conversion path) — ship uint8/f16 bits, not f32
+        if a.dtype == jnp.bfloat16:
+            bits = jax.lax.bitcast_convert_type(a, jnp.uint16)
+            import ml_dtypes
+
+            return np.asarray(jax.device_get(bits)).view(ml_dtypes.bfloat16)
         return np.asarray(jax.device_get(a))
 
-    qweight = host(out["qweight"]).astype(np.uint8)[:, col_order]
-    scale = host(out["scale"].astype(save_dtype))[:, order]
-    qzero = host(out["qzero"]).astype(np.uint8)[:, order]
+    col_order_d = jnp.asarray(col_order)
+    order_d = jnp.asarray(np.asarray(order, dtype=np.int64))
+    qweight = host(jnp.take(out["qweight"].astype(jnp.uint8), col_order_d, axis=1))
+    scale = host(jnp.take(out["scale"].astype(save_dtype), order_d, axis=1))
+    qzero = host(jnp.take(out["qzero"].astype(jnp.uint8), order_d, axis=1))
     if perm is not None:
-        perm_np = host(perm).astype(np.int16)[col_order]
+        perm_np = np.asarray(jax.device_get(perm)).astype(np.int16)[col_order]
     else:
         perm_np = np.arange(n_cols, dtype=np.int16)[col_order]
     perm_inv_np = np.argsort(perm_np).astype(np.int16)

@@ -76,22 +76,10 @@ def accumulate(state: HessianState, inp: jax.Array, use_kernel: bool = True) -> 
     return HessianState(hessian=h, n_samples=state.n_samples + n_new)
 
 
-def _cholesky_inv_upper(h: jax.Array) -> jax.Array:
-    """Upper Cholesky factor ``U`` of ``H⁻¹`` (``H⁻¹ = UᵀU``).
-
-    Same chain as reference gptq_py.py:59-61:
-    ``L = chol(H)``; ``H⁻¹ = cho_solve(L, I)``; ``U = chol(H⁻¹)ᵀ``.
-    A failed (non-PD) factorization yields NaNs, which drives the retry loop.
-    """
-    eye = jnp.eye(h.shape[0], dtype=h.dtype)
-    chol_l = jax.lax.linalg.cholesky(h, symmetrize_input=False)
-    h_inv = jax.scipy.linalg.cho_solve((chol_l, True), eye)
-    # chol of H⁻¹ gives lower M with H⁻¹ = M Mᵀ; U = Mᵀ is upper with UᵀU = H⁻¹.
-    return jax.lax.linalg.cholesky(h_inv, symmetrize_input=True).T
-
-
-@functools.partial(jax.jit, static_argnames=("act_order", "max_try"))
-def _invert_impl(hessian, n_samples, damp_ratio, act_order: bool, max_try: int):
+@functools.partial(jax.jit, static_argnames=("act_order",))
+def _prepare(hessian, n_samples, damp_ratio, act_order: bool):
+    """Scale, dead-diagonal repair, act-order permute; returns
+    ``(h, damp, perm, perm_inv)``.  Mirrors reference gptq_py.py:41-50."""
     # Repair the stale upper-tile triangle left by the symmetric Pallas
     # accumulation kernel (identity for an already-symmetric H).
     from gptq_v2_tpu.ops.hessian_pallas import symmetrize
@@ -110,21 +98,45 @@ def _invert_impl(hessian, n_samples, damp_ratio, act_order: bool, max_try: int):
         perm_inv = jnp.argsort(perm)
     else:
         perm = perm_inv = None
-
     damp = damp_ratio * jnp.mean(jnp.diagonal(h))
+    return h, damp, perm, perm_inv
 
-    def cond(carry):
-        tries, _, hinv = carry
-        return jnp.logical_and(tries < max_try, jnp.any(jnp.isnan(hinv)))
 
-    def body(carry):
-        tries, h_cur, _ = carry
-        h_next = h_cur.at[didx, didx].add(damp)  # damp accumulates across tries
-        return tries + 1, h_next, _cholesky_inv_upper(h_next)
+@jax.jit
+def _add_damp(h, damp):
+    d = jnp.arange(h.shape[0])
+    return h.at[d, d].add(damp)
 
-    nan_init = jnp.full_like(h, jnp.nan)
-    tries, h_final, hinv = jax.lax.while_loop(cond, body, (0, h, nan_init))
-    return h_final, hinv, perm, perm_inv, tries
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _chol_inv_upper(h: jax.Array, chunk: int = 2048) -> jax.Array:
+    """Upper Cholesky factor ``U`` of ``H⁻¹`` (``H⁻¹ = UᵀU``).
+
+    One "anti-Cholesky" + one triangular inverse instead of the reference's
+    chol → full cho_solve → chol chain (gptq_py.py:59-61) — identical result
+    by uniqueness of the Cholesky factor: with ``U' = flip(chol(flip(H)))``
+    (upper, ``H = U'U'ᵀ``), ``U = U'⁻¹`` satisfies ``UᵀU = H⁻¹``.  The
+    triangular solve runs in RHS column chunks to bound XLA temp memory
+    (a full-identity RHS at D=11008 allocates tens of GB of solve temps).
+    A failed (non-PD) factorization yields NaNs, driving the retry loop.
+    """
+    d = h.shape[0]
+    hf = h[::-1, ::-1]
+    u_prime = jax.lax.linalg.cholesky(hf, symmetrize_input=False)[::-1, ::-1]
+
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk - d
+    rows = jnp.arange(d)
+
+    def solve_chunk(ci):
+        cols = ci * chunk + jnp.arange(chunk)
+        eye_blk = (rows[:, None] == cols[None, :]).astype(h.dtype)
+        return jax.lax.linalg.triangular_solve(
+            u_prime, eye_blk, left_side=True, lower=False)
+
+    blocks = jax.lax.map(solve_chunk, jnp.arange(n_chunks))  # (n, d, chunk)
+    u = jnp.transpose(blocks, (1, 0, 2)).reshape(d, n_chunks * chunk)
+    return u[:, :d] if pad else u
 
 
 def invert(
@@ -135,14 +147,20 @@ def invert(
 ) -> InvertedHessian:
     """Scale, repair, permute, damp, and factorize the Hessian.
 
-    Mirrors reference ``HessianHook.invert`` (gptq_py.py:39-66).  Raises if
-    the Cholesky never succeeds within ``max_try`` dampening rounds.
+    Mirrors reference ``HessianHook.invert`` (gptq_py.py:39-66): the damp is
+    added *cumulatively* until the factorization is NaN-free (host-side
+    retry loop, like the reference's; a traced while_loop kept every
+    attempt's buffers live and OOM'd at D=11008).  Raises if the Cholesky
+    never succeeds within ``max_try`` dampening rounds.
     """
-    h, hinv, perm, perm_inv, tries = _invert_impl(
-        state.hessian, state.n_samples, jnp.float32(damp_ratio), act_order, max_try
-    )
-    if bool(jnp.any(jnp.isnan(hinv))):
-        raise FloatingPointError(
-            f"Hessian inversion failed after {int(tries)} dampening rounds"
-        )
-    return InvertedHessian(hessian=h, hessian_inv=hinv, perm=perm, perm_inv=perm_inv)
+    h, damp, perm, perm_inv = _prepare(
+        state.hessian, state.n_samples, jnp.float32(damp_ratio), act_order)
+    hinv = None
+    for tries in range(max_try):
+        h = _add_damp(h, damp)
+        hinv = _chol_inv_upper(h)
+        if not bool(jnp.isnan(hinv[-1, -1])) and not bool(jnp.any(jnp.isnan(hinv))):
+            return InvertedHessian(hessian=h, hessian_inv=hinv,
+                                   perm=perm, perm_inv=perm_inv)
+    raise FloatingPointError(
+        f"Hessian inversion failed after {max_try} dampening rounds")

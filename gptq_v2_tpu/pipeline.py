@@ -194,6 +194,7 @@ def quantize_model(
     save_dir: Optional[str] = None,
     resume: bool = True,
     offload: str = "reconstruct",
+    mesh=None,
 ) -> Dict[str, Dict]:
     """Quantize all decoder blocks in place (params is updated per layer).
 
@@ -216,6 +217,11 @@ def quantize_model(
       reference keeps reconstructed layers (``llama.py:172-174``).
     * ``"host"``: the dense dequantized weights, copied to host RAM
       (needed if callers want plain arrays without lazy views).
+
+    ``mesh``: shard calibration over the mesh ``data`` axis — each batch's
+    block forward + Hessian accumulation runs as shard_map'd per-device
+    work with one cross-device reduction per stage (``parallel/dp.py``);
+    ``batch_size`` must divide by the data-axis size.
     """
     n_seq, seqlen = encodings.shape
     dt = cfg.jdtype
@@ -223,6 +229,27 @@ def quantize_model(
     save_path = Path(save_dir) if save_dir else None
     if save_path:
         save_path.mkdir(parents=True, exist_ok=True)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gptq_v2_tpu.parallel import dp as DP
+        from gptq_v2_tpu.parallel.mesh import DATA_AXIS, dp_size
+
+        assert batch_size % dp_size(mesh) == 0, (batch_size, dp_size(mesh))
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        replicated = NamedSharding(mesh, P())
+        dp_fwd = DP.dp_block_forward(mesh, cfg)
+        dp_hess_cache: Dict = {}
+
+        def shard_batch(a):
+            return jax.device_put(a, batch_sharding)
+
+        def place_layer(lp):
+            return {k: jax.device_put(v, replicated) for k, v in lp.items()}
+    else:
+        shard_batch = lambda a: a
+        place_layer = lambda lp: lp
 
     positions = jnp.arange(seqlen)
     cos_sin = L.rope_cos_sin(cfg, positions)
@@ -233,9 +260,9 @@ def quantize_model(
     embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
     xs = []
     for b in range(0, n_seq, batch_size):
-        xs.append(embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size])))
-    x = jnp.concatenate(xs, axis=0)  # (n_seq, L, D) on device
-    del embed_w, xs
+        xs.append(shard_batch(
+            embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))))
+    del embed_w
 
     # Stage schedule: discovered once, identical for every block.
     lp0 = jax.tree_util.tree_map(
@@ -253,7 +280,7 @@ def quantize_model(
 
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
-        lp = _device_layer(params["layers"][li])
+        lp = place_layer(_device_layer(params["layers"][li]))
 
         for stage in stage_list:
             first = stage.linears[0]
@@ -276,10 +303,23 @@ def quantize_model(
                     continue
 
             if not qcfg.rtn:
-                step = _hess_step_for(cfg, (first,), qcfg.use_hessian_kernel)
-                h = jnp.zeros((d_in, d_in), jnp.float32)
-                for b in range(0, n_seq, batch_size):
-                    h = step(lp, x[b:b + batch_size], cos_sin, h)
+                if mesh is not None:
+                    key = (cfg, (first,), qcfg.use_hessian_kernel)
+                    if key not in dp_hess_cache:
+                        dp_hess_cache[key] = DP.dp_hessian_step(
+                            mesh, cfg, (first,),
+                            use_kernel=qcfg.use_hessian_kernel)
+                    init, step, reduce = dp_hess_cache[key]
+                    h_parts = init(d_in)
+                    for xb in xs:
+                        h_parts = step(lp, xb, cos_sin, h_parts)
+                    h = reduce(h_parts)
+                    del h_parts
+                else:
+                    step = _hess_step_for(cfg, (first,), qcfg.use_hessian_kernel)
+                    h = jnp.zeros((d_in, d_in), jnp.float32)
+                    for xb in xs:
+                        h = step(lp, xb, cos_sin, h)
                 state = hs.HessianState(h, jnp.asarray(n_seq, jnp.int32))
                 inv = hs.invert(state, damp_ratio=qcfg.damp_ratio,
                                 act_order=qcfg.act_order)
@@ -321,11 +361,8 @@ def quantize_model(
 
         # Inputs of the next block, computed with fully quantized weights
         # (reference llama.py:184-191).
-        outs = []
-        for b in range(0, n_seq, batch_size):
-            outs.append(block_fwd(lp, x[b:b + batch_size], cos_sin))
-        x = jnp.concatenate(outs, axis=0)
-        del outs
+        fwd = dp_fwd if mesh is not None else block_fwd
+        xs = [fwd(lp, xb, cos_sin) for xb in xs]
 
         if offload == "host":
             params["layers"][li] = _host_layer(lp)

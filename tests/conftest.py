@@ -32,6 +32,60 @@ REFERENCE_DIR = Path("/root/reference")
 
 
 @pytest.fixture(scope="session")
+def tiny_checkpoint(tmp_path_factory):
+    """Tiny HF-format Llama checkpoint + pre-seeded dataset caches."""
+    import json
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from gptq_v2_tpu.data import cache_key
+    from gptq_v2_tpu.models import llama as L
+
+    root = tmp_path_factory.mktemp("ckpt")
+    model_dir = root / "model"
+    model_dir.mkdir()
+    cfg = L.LlamaConfig.tiny(dtype="float32")
+    with open(model_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "num_key_value_heads": cfg.num_key_value_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "rms_norm_eps": cfg.rms_norm_eps, "rope_theta": cfg.rope_theta,
+            "torch_dtype": "float32", "tie_word_embeddings": False,
+        }, f)
+    params = L.init_params(cfg, jax.random.key(0))
+    flat = {
+        "model.embed_tokens.weight": np.asarray(params["embed_tokens"]),
+        "model.norm.weight": np.asarray(params["norm"]),
+        "lm_head.weight": np.asarray(params["lm_head"]).T.copy(),
+    }
+    for i, lp in enumerate(params["layers"]):
+        for name, w in lp.items():
+            w = np.asarray(w)
+            if w.ndim == 2:
+                w = w.T.copy()  # HF stores (out, in)
+            flat[f"model.layers.{i}.{name}.weight"] = w
+    save_file(flat, str(model_dir / "model.safetensors"))
+
+    cache_dir = root / "cache"
+    cache_dir.mkdir()
+    rng = np.random.default_rng(0)
+    seqlen, n_train, n_eval = 32, 4, 4
+    for name, split, n in [("c4", "train", n_train),
+                           ("wikitext2", "test", n_eval)]:
+        toks = rng.integers(0, cfg.vocab_size, (n, seqlen)).astype(np.int64)
+        np.savez(cache_dir / f"{cache_key(name, split, seqlen, n, 0)}.npz",
+                 tokens=toks)
+    return {"model_dir": str(model_dir), "cache_dir": str(cache_dir),
+            "root": root, "seqlen": seqlen, "n_train": n_train,
+            "n_eval": n_eval, "cfg": cfg}
+
+
+@pytest.fixture(scope="session")
 def reference_modules():
     """Import the upstream reference's pure-Python modules as a parity oracle.
 

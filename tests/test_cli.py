@@ -1,61 +1,6 @@
 """CLI driver end-to-end: flags → load → quantize → save → resume → eval."""
-import json
-
 import numpy as np
 import pytest
-
-import jax
-
-from gptq_v2_tpu.data import cache_key
-from gptq_v2_tpu.models import llama as L
-
-
-@pytest.fixture(scope="module")
-def tiny_checkpoint(tmp_path_factory):
-    """Write a tiny HF-format Llama checkpoint + dataset caches."""
-    from safetensors.numpy import save_file
-
-    root = tmp_path_factory.mktemp("cli")
-    model_dir = root / "model"
-    model_dir.mkdir()
-    cfg = L.LlamaConfig.tiny(dtype="float32")
-    with open(model_dir / "config.json", "w") as f:
-        json.dump({
-            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
-            "intermediate_size": cfg.intermediate_size,
-            "num_hidden_layers": cfg.num_hidden_layers,
-            "num_attention_heads": cfg.num_attention_heads,
-            "num_key_value_heads": cfg.num_key_value_heads,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "rms_norm_eps": cfg.rms_norm_eps, "rope_theta": cfg.rope_theta,
-            "torch_dtype": "float32", "tie_word_embeddings": False,
-        }, f)
-    params = L.init_params(cfg, jax.random.key(0))
-    flat = {
-        "model.embed_tokens.weight": np.asarray(params["embed_tokens"]),
-        "model.norm.weight": np.asarray(params["norm"]),
-        "lm_head.weight": np.asarray(params["lm_head"]).T.copy(),
-    }
-    for i, lp in enumerate(params["layers"]):
-        for name, w in lp.items():
-            w = np.asarray(w)
-            if w.ndim == 2:
-                w = w.T.copy()  # HF stores (out, in)
-            flat[f"model.layers.{i}.{name}.weight"] = w
-    save_file(flat, str(model_dir / "model.safetensors"))
-
-    cache_dir = root / "cache"
-    cache_dir.mkdir()
-    rng = np.random.default_rng(0)
-    seqlen, n_train, n_eval = 32, 4, 4
-    for name, split, n in [("c4", "train", n_train),
-                           ("wikitext2", "test", n_eval)]:
-        toks = rng.integers(0, cfg.vocab_size, (n, seqlen)).astype(np.int64)
-        np.savez(cache_dir / f"{cache_key(name, split, seqlen, n, 0)}.npz",
-                 tokens=toks)
-    return {"model_dir": str(model_dir), "cache_dir": str(cache_dir),
-            "root": root, "seqlen": seqlen, "n_train": n_train,
-            "n_eval": n_eval, "cfg": cfg}
 
 
 def _argv(tc, **over):
@@ -113,3 +58,44 @@ class TestCLI:
             "--save-model-path": "",
         }))
         assert np.isfinite(out["ppls"]["train"])
+
+
+class TestSweep:
+    def test_two_point_sweep(self, tiny_checkpoint):
+        from gptq_v2_tpu.sweep import main
+
+        tc = tiny_checkpoint
+        rows = main([
+            "--model-dir", tc["model_dir"],
+            "--bits", "4,8", "--group-sizes", "16",
+            "--act-order", "true", "--eval-sets", "train",
+            "--seqlen", str(tc["seqlen"]),
+            "--data-train-n-samples", str(tc["n_train"]),
+            "--eval-n-samples", str(tc["n_eval"]),
+            "--data-cache-dir", tc["cache_dir"],
+            "--batch-size", "2",
+            "--out", str(tc["root"] / "sweep.json"),
+        ])
+        assert len(rows) == 2
+        by_bits = {r["bits"]: r["ppl"]["train"] for r in rows}
+        assert by_bits[8] <= by_bits[4] * 1.05  # 8-bit no worse than 4-bit
+        assert (tc["root"] / "sweep.json").exists()
+
+
+class TestServeCLI:
+    def test_serve_benchmark(self, tiny_checkpoint):
+        from gptq_v2_tpu.main import main as quant_main
+        from gptq_v2_tpu.serve import main as serve_main
+
+        tc = tiny_checkpoint
+        results_path = str(tc["root"] / "serve_results.npz")
+        quant_main(_argv(tc, **{"--eval-sets": "train",
+                                "--save-model-path": results_path,
+                                "--save-dir": ""}))
+        stats = serve_main([
+            "--model-dir", tc["model_dir"],
+            "--results", results_path,
+            "--max-batch", "2", "--max-seq-len", "64",
+            "--bench-tokens", "4", "--prompt-tokens", "5",
+        ])
+        assert stats["new_tokens"] == 8 and stats["tok_s"] > 0

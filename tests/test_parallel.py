@@ -152,6 +152,39 @@ class TestTPEngine:
         assert got == want
 
 
+class TestDPPipeline:
+    def test_quantize_model_over_mesh_matches_single_device(self):
+        """Full pipeline with calibration sharded over the data axis."""
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        params = L.init_params(cfg, jax.random.key(31))
+        rng = np.random.default_rng(32)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+
+        def clone():
+            return {"embed_tokens": params["embed_tokens"],
+                    "layers": [dict(lp) for lp in params["layers"]],
+                    "norm": params["norm"], "lm_head": params["lm_head"]}
+
+        qc = QuantConfig(bits=4, group_size=16)
+        r1 = quantize_model(cfg, clone(), calib, qc, batch_size=4)
+        mesh = make_mesh(tp=1, dp=4)
+        r2 = quantize_model(cfg, clone(), calib, qc, batch_size=4, mesh=mesh)
+        assert set(r1["data"]) == set(r2["data"])
+        total = same = 0
+        for name in r1["data"]:
+            a = np.asarray(r1["data"][name]["qweight"])
+            b = np.asarray(r2["data"][name]["qweight"])
+            total += a.size
+            same += int((a == b).sum())
+            m1, m2 = r1["metrics"][name], r2["metrics"][name]
+            assert m2["l2_error"] == pytest.approx(m1["l2_error"], rel=0.05)
+        # reduction-order ulps in the Hessian may flip the rare rounding-
+        # boundary code; anything beyond that is a sharding bug
+        assert same / total > 0.999
+
+
 class TestDPHessian:
     def test_partials_sum_to_single_device(self):
         cfg = L.LlamaConfig.tiny(dtype="float32")

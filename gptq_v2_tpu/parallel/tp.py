@@ -260,8 +260,10 @@ def _tp_block(cfg, tp, lp, x, cos, sin,
 # ---------------------------------------------------------------------------
 
 
-def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None):
-    """Device-local KV write (+ full-sequence read view for contiguous).
+def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None,
+                        s=None):
+    """Device-local KV write (+ sequence read view for contiguous, bounded
+    to ``s`` positions when given).
 
     Mirrors the single-device cache handling in ``serving.decode``; inside
     shard_map the KV-head axis is already local.
@@ -271,7 +273,9 @@ def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None)
         if pad_mask is not None:  # prefill: clamp pad writes
             positions = jnp.where(pad_mask, cache.max_len - 1, positions)
         cache = kvc.write_kv_contiguous(cache, li, k, v, positions)
-        return cache, (cache.k[li], cache.v[li])
+        if s is None or s >= cache.max_len:
+            return cache, (cache.k[li], cache.v[li])
+        return cache, (cache.k[li, :, :s], cache.v[li, :, :s])
     n = k.shape[1]
     if pad_mask is not None:
         slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, positions),
@@ -284,7 +288,11 @@ def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None)
         k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * n, n_kv, hd)),
         v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * n, n_kv, hd)),
     )
-    return cache, kvc.gather_kv(cache, li, block_tables)
+    if s is None or s >= block_tables.shape[1] * cache.page_size:
+        return cache, kvc.gather_kv(cache, li, block_tables)
+    n_pages = -(-s // cache.page_size)
+    k_all, v_all = kvc.gather_kv(cache, li, block_tables[:, :n_pages])
+    return cache, (k_all[:, :s], v_all[:, :s])
 
 
 def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
@@ -341,7 +349,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     ``serving.decode.decode_step``.  Args as in :func:`build_tp_prefill`."""
     contiguous = isinstance(cache_template, kvc.ContiguousKVCache)
 
-    def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions):
+    def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions,
+                   s_bucket=None):
         cfg = model.cfg
         b = tokens.shape[0]
         cos, sin = L.rope_cos_sin(cfg, positions)
@@ -351,6 +360,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             s = cache.max_len
         else:
             s = block_tables.shape[1] * cache.page_size
+        if s_bucket is not None:
+            s = min(s, s_bucket)
         key_mask = jnp.arange(s)[None, :] <= positions[:, None]
         for li, lp in enumerate(model.layers):
             # write the new token's local-head K/V, then attend over the cache
@@ -364,7 +375,7 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             q = L.apply_rope(q, cos, sin)
             k = L.apply_rope(k, cos, sin)
             cache, (k_all, v_all) = _write_then_read_kv(
-                cache, li, k, v, block_tables, positions[:, None])
+                cache, li, k, v, block_tables, positions[:, None], s=s)
             attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
             attn = _gather_cols(attn.reshape(b, 1, hq * hd))
             x = x + _row_linear(lp["self_attn.o_proj"], attn)
@@ -379,16 +390,17 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
 
-    def sharded(model, tokens, cache, block_tables, positions):
+    def sharded(model, tokens, cache, block_tables, positions, s_bucket=None):
         return jax.shard_map(
-            local_step, mesh=mesh,
+            functools.partial(local_step, s_bucket=s_bucket), mesh=mesh,
             in_specs=(model.specs(), bsp, csp,
                       None if block_tables is None else bsp, bsp),
             out_specs=(bsp, csp),
             check_vma=False,
         )(model, tokens, cache, block_tables, positions)
 
-    return jax.jit(sharded, donate_argnums=(2,))
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("s_bucket",))
 
 
 def build_tp_forward_logits(mesh):

@@ -68,19 +68,28 @@ def prefill(
     return last @ model.lm_head, cache
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("s_bucket",))
 def decode_step(
     model: PackedLlama,
     tokens: jax.Array,  # (B,) last sampled token per slot
     cache: kvc.PagedKVCache,
     block_tables: jax.Array,  # (B, max_pages)
     positions: jax.Array,  # (B,) position of the NEW token (== current length)
+    s_bucket: Optional[int] = None,
 ) -> Tuple[jax.Array, kvc.PagedKVCache]:
-    """One decode step for every slot; returns (B, V) logits + updated cache."""
-    return _decode_step_impl(model, tokens, cache, block_tables, positions)
+    """One decode step for every slot; returns (B, V) logits + updated cache.
+
+    ``s_bucket`` (static) bounds the attended context: attention reads only
+    the first ``s_bucket`` cache positions (all ``positions`` must be below
+    it).  The engine passes power-of-two buckets so short sequences don't
+    pay ``max_seq_len`` KV traffic; compilation count stays O(log max_len).
+    """
+    return _decode_step_impl(model, tokens, cache, block_tables, positions,
+                             s_bucket)
 
 
-def _decode_step_impl(model, tokens, cache, block_tables, positions):
+def _decode_step_impl(model, tokens, cache, block_tables, positions,
+                      s_bucket=None):
     cfg = model.cfg
     b = tokens.shape[0]
     cos, sin = L.rope_cos_sin(cfg, positions)  # traced → on-device path, (B, hd)
@@ -91,18 +100,21 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions):
         s = cache.max_len
     else:
         s = block_tables.shape[1] * cache.page_size
+    if s_bucket is not None:
+        s = min(s, s_bucket)
     key_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
 
     for li, lp in enumerate(model.layers):
         # write this token's K/V first, then attend over the full cache
         # (the new token's slot is included and valid by the mask).
         x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
-                                 positions, key_mask)
+                                 positions, key_mask, s)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
     return x[:, 0] @ model.lm_head, cache
 
 
-def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_mask):
+def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
+                  key_mask, s):
     from gptq_v2_tpu.serving.model import _linear
 
     b = x.shape[0]
@@ -117,10 +129,12 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_
         # decode batch == slot order: write row b at its position, then
         # attend over the slot's region in place — no gather
         cache = kvc.write_kv_contiguous(cache, li, k, v, positions[:, None])
-        k_all, v_all = cache.k[li], cache.v[li]
+        k_all, v_all = cache.k[li, :, :s], cache.v[li, :, :s]
     else:
         cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
-        k_all, v_all = kvc.gather_kv(cache, li, block_tables)
+        n_pages = -(-s // cache.page_size)
+        k_all, v_all = kvc.gather_kv(cache, li, block_tables[:, :n_pages])
+        k_all, v_all = k_all[:, :s], v_all[:, :s]
     attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
     x = x + _linear(lp["self_attn.o_proj"], attn.reshape(b, 1, hq * hd))
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -130,7 +144,8 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions, key_
     return x, cache
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("n_steps", "s_bucket"),
+                   donate_argnums=(2,))
 def decode_multi(
     model: PackedLlama,
     tokens: jax.Array,  # (B,) last sampled token per slot
@@ -138,6 +153,7 @@ def decode_multi(
     block_tables: jax.Array,  # (B, max_pages)
     positions: jax.Array,  # (B,) position of the first new token
     n_steps: int,
+    s_bucket: Optional[int] = None,  # must cover positions + n_steps
 ) -> Tuple[jax.Array, jax.Array, kvc.PagedKVCache]:
     """``n_steps`` greedy decode steps under one ``lax.scan``.
 
@@ -150,7 +166,8 @@ def decode_multi(
 
     def body(carry, _):
         toks, cache, pos = carry
-        logits, cache = _decode_step_impl(model, toks, cache, block_tables, pos)
+        logits, cache = _decode_step_impl(model, toks, cache, block_tables, pos,
+                                          s_bucket)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, cache, pos + 1), (nxt, logits)
 

@@ -199,12 +199,17 @@ class Engine:
         positions = np.zeros((self.max_batch,), np.int32)
         for si in active:
             positions[si] = self.slots[si].length
+        # power-of-two context bucket: short sequences skip max_seq_len KV
+        # traffic; O(log max_len) decode compilations per session
+        s_bucket = min(_bucket(int(positions.max()) + 1, lo=self.page_size),
+                       self.max_seq_len)
         logits, self.cache = self._decode(
             self.model,
             jnp.asarray(self.last_tokens),
             self.cache,
             self._bt(),
             jnp.asarray(positions),
+            s_bucket=s_bucket,
         )
         temps = {self.slots[si].request.temperature for si in active}
         toks = self._sample(logits, temperature=temps.pop() if len(temps) == 1 else 0.0)

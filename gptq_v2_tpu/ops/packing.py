@@ -84,11 +84,19 @@ def pack_int4(codes: np.ndarray, group_size: int) -> np.ndarray:
     """(R, C) uint8 codes (stored column order) → (C_pad/8, R) int32.
 
     Plane-per-group shuffle: word ``w`` of block ``b`` packs, in nibble
-    ``i``, the code of stored column ``b·8g + i·g + w``.
+    ``i``, the code of stored column ``b·8g + i·g + w``.  Dispatches to the
+    C++ implementation (``gptq_v2_tpu.native``) when available; this numpy
+    body is the behavioral reference.
     """
     assert codes.max(initial=0) <= 15
     g = group_size
     codes = _pad_cols(codes, 8 * g)
+
+    from gptq_v2_tpu import native
+
+    out = native.pack_int4(codes, g)
+    if out is not None:
+        return out
     r, c = codes.shape
     blocks = c // (8 * g)
     # (R, blocks, 8 planes, g words) — plane i = group i of the block
@@ -101,12 +109,16 @@ def pack_int4(codes: np.ndarray, group_size: int) -> np.ndarray:
 
 def unpack_int4(packed: np.ndarray, group_size: int, c_orig: Optional[int] = None) -> np.ndarray:
     """Inverse of :func:`pack_int4`: (C_pad/8, R) int32 → (R, C) uint8."""
-    g = group_size
-    c8, r = packed.shape
-    blocks = c8 // g
-    w = packed.astype(np.uint32).reshape(blocks, g, r)
-    planes = [(w >> (4 * i)) & 0xF for i in range(8)]  # each (blocks, g, r)
-    out = np.stack(planes, axis=1).reshape(blocks * 8 * g, r).T.astype(np.uint8)
+    from gptq_v2_tpu import native
+
+    out = native.unpack_int4(np.asarray(packed), group_size)
+    if out is None:
+        g = group_size
+        c8, r = packed.shape
+        blocks = c8 // g
+        w = packed.astype(np.uint32).reshape(blocks, g, r)
+        planes = [(w >> (4 * i)) & 0xF for i in range(8)]  # each (blocks, g, r)
+        out = np.stack(planes, axis=1).reshape(blocks * 8 * g, r).T.astype(np.uint8)
     if c_orig is not None:
         out = out[:, :c_orig]
     return out

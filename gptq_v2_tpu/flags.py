@@ -71,5 +71,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    default="train,wikitext2,c4,mmlu",
                    help="comma list; 'c4' becomes 'c4-new' under --data-new-eval")
     p.add_argument("--eval-n-samples", type=int, default=256)
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax.profiler trace of the quantization "
+                        "pass into this directory (view with TensorBoard)")
 
     return p.parse_args(argv)

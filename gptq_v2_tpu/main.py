@@ -80,12 +80,19 @@ def main(argv=None) -> dict:
             act_order=args.act_order, damp_ratio=args.damp_ratio,
             mse=args.mse, scale_bit_width=args.scale_bit_width, rtn=args.rtn,
         )
+        import contextlib
+
+        import jax
+
+        profile_cm = (jax.profiler.trace(args.profile_dir)
+                      if args.profile_dir else contextlib.nullcontext())
         tick = time.time()
-        results = quantize_model(
-            cfg, params, encodings_train, qcfg,
-            batch_size=args.batch_size,
-            save_dir=args.save_dir or None, resume=args.resume,
-        )
+        with profile_cm:
+            results = quantize_model(
+                cfg, params, encodings_train, qcfg,
+                batch_size=args.batch_size,
+                save_dir=args.save_dir or None, resume=args.resume,
+            )
         logging.info("finished quantizing in %.2f s", time.time() - tick)
         if args.save_model_path:
             save_results(args.save_model_path, results, qcfg)

@@ -104,7 +104,7 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
 def w4a16_matmul(
     x: jax.Array,  # (..., C) in original column order
     p: PackedLinear,
-    block_n: int = 512,
+    block_n: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
     """``y = x @ dequantize(p)`` — fused, reading int4 weights from HBM.

@@ -327,6 +327,7 @@ def quantize_model(
             else:
                 inv = None
 
+            t_stage = time.time()
             for name in stage.linears:
                 w = lp[name].T  # (out, in) solver layout
                 n_groups = d_in // qcfg.group_size
@@ -357,6 +358,8 @@ def quantize_model(
                              **{f"metric_{k}": v for k, v in res["metrics"].items()})
                 del res
 
+            logger.debug("block %d stage %s: solve %.2fs", li, first,
+                         time.time() - t_stage)
             del inv
 
         # Inputs of the next block, computed with fully quantized weights

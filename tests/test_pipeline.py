@@ -72,6 +72,27 @@ class TestQuantizeModel:
         m = r["metrics"]["model.layers.0.self_attn.q_proj"]
         assert m["gptq_error"] > 0.0
 
+    def test_exl2_scale_quant_and_mse(self, tiny):
+        """EXL2 quantized scales + MSE search end-to-end (scan-solver path;
+        these configs are not kernel-eligible)."""
+        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+        cfg, params, calib, _ = tiny
+        p = clone_params(params)
+        r = quantize_model(
+            cfg, p, calib,
+            QuantConfig(bits=4, group_size=16, scale_bit_width=4, mse=True,
+                        mse_n_grid=8),
+            batch_size=4)
+        meta = r["data"]["model.layers.0.self_attn.q_proj"]
+        assert meta["qscale"] is not None and meta["sscale"] is not None
+        assert meta["qscale"].dtype == np.uint8
+        w = np.asarray(reconstruct_weight(meta))
+        assert np.isfinite(w).all() and np.abs(w).max() > 0
+        ppl = evaluate_ppl(cfg, p, calib, batch_size=4)
+        ppl_fp = evaluate_ppl(cfg, clone_params(params), calib, batch_size=4)
+        assert abs(ppl - ppl_fp) / ppl_fp < 0.15
+
     def test_streaming_save(self, tiny, tmp_path):
         cfg, params, calib, _ = tiny
         p = clone_params(params)

@@ -47,20 +47,24 @@ def save_results(path: str, results: dict, qcfg: QuantConfig) -> None:
 
 def load_results(path: str) -> dict:
     """Inverse of :func:`save_results`: ``{'data': {name: quant_meta}}``."""
+    from gptq_v2_tpu.pipeline import ensure_optional_meta
+
     z = np.load(path)
     data: dict = {}
     for key in z.files:
         name, field = key.split("::", 1)
         data.setdefault(name, {})[field] = z[key]
     for meta in data.values():
-        for opt in ("qscale", "sscale", "scale_bit_width"):
-            meta.setdefault(opt, None)
+        ensure_optional_meta(meta)
     return {"data": data}
 
 
 def main(argv=None) -> dict:
+    # root at INFO (root DEBUG floods jax/urllib3 internals); our package
+    # keeps per-layer DEBUG detail, mirroring the reference's debug logs
     logging.basicConfig(format="%(levelname)s %(asctime)s %(message)s",
-                        level=logging.DEBUG)
+                        level=logging.INFO)
+    logging.getLogger("gptq_v2_tpu").setLevel(logging.DEBUG)
     logging.info(" ".join(argv if argv is not None else sys.argv))
     args = parse_args(argv)
     logging.info(args)
@@ -93,7 +97,8 @@ def main(argv=None) -> dict:
                 batch_size=args.batch_size,
                 save_dir=args.save_dir or None, resume=args.resume,
             )
-        logging.info("finished quantizing in %.2f s", time.time() - tick)
+        quant_s = time.time() - tick
+        logging.info("finished quantizing in %.2f s", quant_s)
         if args.save_model_path:
             save_results(args.save_model_path, results, qcfg)
 
@@ -113,7 +118,8 @@ def main(argv=None) -> dict:
         ppl = evaluate_ppl(cfg, params, encodings, batch_size=args.batch_size)
         ppls[dataset_name] = ppl
         logging.info("ppl: %.4f", ppl)
-    return {"results": results, "ppls": ppls}
+    return {"results": results, "ppls": ppls,
+            "quant_s": quant_s if args.do_quant else None}
 
 
 if __name__ == "__main__":

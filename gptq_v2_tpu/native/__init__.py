@@ -35,11 +35,14 @@ def _build() -> Optional[ctypes.CDLL]:
     cache_dir.mkdir(parents=True, exist_ok=True)
     so = cache_dir / f"pack_{tag}.so"
     if not so.exists():
-        tmp = so.with_suffix(".so.tmp")
+        # unique tmp per process: concurrent first-time builds must not
+        # interleave g++ output into the published .so
+        fd, tmp = tempfile.mkstemp(suffix=".so.tmp", dir=cache_dir)
+        os.close(fd)
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               str(_SRC), "-o", str(tmp)]
+               str(_SRC), "-o", tmp]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, so)
+        os.replace(tmp, so)  # atomic publish
     lib = ctypes.CDLL(str(so))
     i64, pu8, pi32 = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
                       ctypes.POINTER(ctypes.c_int32))

@@ -46,13 +46,19 @@ def _f16_roundtrip(v: jax.Array) -> jax.Array:
 
     Integer RNE on the 13 mantissa bits f16 drops.  Mantissa overflow
     carries into the exponent, which is exactly IEEE round-up behaviour.
+    Values beyond f16 range saturate to ±inf and non-finite inputs pass
+    through, matching ``astype(float16)``; f16-*denormal* magnitudes
+    (<6.1e-5) keep extra mantissa bits (documented divergence).
     """
     u = jax.lax.bitcast_convert_type(v, jnp.int32)
     half = jnp.int32(0x0FFF)
     lsb = (u >> 13) & 1
-    u = u + half + lsb
-    u = u & jnp.int32(~0x1FFF)
-    return jax.lax.bitcast_convert_type(u, jnp.float32)
+    r = (u + half + lsb) & jnp.int32(~0x1FFF)
+    rounded = jax.lax.bitcast_convert_type(r, jnp.float32)
+    sign = jnp.where(v < 0, -1.0, 1.0).astype(jnp.float32)
+    rounded = jnp.where(jnp.abs(rounded) > 65504.0,
+                        sign * jnp.float32(jnp.inf), rounded)
+    return jnp.where(jnp.isfinite(v), rounded, v)
 
 
 def _feedback_dq(q_minus_z: jax.Array, scale: jax.Array,

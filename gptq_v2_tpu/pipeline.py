@@ -170,19 +170,34 @@ def _block_fwd_for(cfg):
     return _block_fwd_cache[cfg]
 
 
+def ensure_optional_meta(meta: Dict) -> Dict:
+    """Default the optional quant_meta fields (shared by every loader)."""
+    for opt in ("qscale", "sscale", "scale_bit_width"):
+        meta.setdefault(opt, None)
+    return meta
+
+
+def _config_tag(qcfg: QuantConfig) -> str:
+    return repr(sorted(qcfg.__dict__.items()))
+
+
 def _load_layer_npz(path: Path):
-    """Inverse of the per-layer streaming save below."""
+    """Inverse of the per-layer streaming save below.
+
+    Returns ``(meta, metrics, config_tag)``; ``config_tag`` identifies the
+    QuantConfig that produced the file (absent in pre-tag files -> '')."""
     z = np.load(path)
     meta: Dict = {}
     metrics: Dict = {}
+    tag = ""
     for k in z.files:
-        if k.startswith("metric_"):
+        if k == "config_tag":
+            tag = str(z[k])
+        elif k.startswith("metric_"):
             metrics[k[len("metric_"):]] = float(z[k])
         else:
             meta[k] = z[k]
-    for opt in ("qscale", "sscale", "scale_bit_width"):
-        meta.setdefault(opt, None)
-    return meta, metrics
+    return ensure_optional_meta(meta), metrics, tag
 
 
 def quantize_model(
@@ -290,17 +305,26 @@ def quantize_model(
                 files = {name: save_path / f"model.layers.{li}.{name}.npz"
                          for name in stage.linears}
                 if all(f.exists() for f in files.values()):
-                    from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+                    loaded = {name: _load_layer_npz(f)
+                              for name, f in files.items()}
+                    # only resume results produced by the SAME QuantConfig —
+                    # stale files from a different sweep point must recompute
+                    if all(tag == _config_tag(qcfg)
+                           for _, _, tag in loaded.values()):
+                        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
 
-                    for name, f in files.items():
-                        meta, metrics = _load_layer_npz(f)
-                        canonical = f"model.layers.{li}.{name}"
-                        results["data"][canonical] = meta
-                        results["metrics"][canonical] = metrics
-                        w = reconstruct_weight(meta, out_dtype=jnp.float32)
-                        lp[name] = w.T.astype(dt)
-                        logger.debug("%s resumed from %s", canonical, f)
-                    continue
+                        for name, (meta, metrics, _) in loaded.items():
+                            canonical = f"model.layers.{li}.{name}"
+                            results["data"][canonical] = meta
+                            results["metrics"][canonical] = metrics
+                            w = reconstruct_weight(meta, out_dtype=jnp.float32)
+                            lp[name] = w.T.astype(dt)
+                            logger.debug("%s resumed from %s", canonical,
+                                         files[name])
+                        continue
+                    logger.warning(
+                        "block %d stage %s: saved results are from a "
+                        "different QuantConfig; recomputing", li, first)
 
             if not qcfg.rtn:
                 if mesh is not None:
@@ -355,6 +379,7 @@ def quantize_model(
                 if save_path:
                     meta = {k: v for k, v in res["quant_meta"].items() if v is not None}
                     np.savez(save_path / f"{canonical}.npz", **meta,
+                             config_tag=_config_tag(qcfg),
                              **{f"metric_{k}": v for k, v in res["metrics"].items()})
                 del res
 

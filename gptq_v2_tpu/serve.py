@@ -81,8 +81,10 @@ def main(argv=None) -> dict:
                         prompt=rng.integers(0, vocab, (args.prompt_tokens,)).tolist(),
                         max_new_tokens=args.bench_tokens)
                 for i in range(args.max_batch)]
-        # warmup (compiles prefill buckets + decode step)
-        eng.run([Request(uid=-1, prompt=reqs[0].prompt[:], max_new_tokens=2)])
+        # warmup: one full-length request so every prefill bucket and every
+        # decode context bucket the timed run will cross is compiled here
+        eng.run([Request(uid=-1, prompt=reqs[0].prompt[:],
+                         max_new_tokens=args.bench_tokens)])
         t0 = time.time()
         eng.run(reqs)
         dt = time.time() - t0

@@ -157,11 +157,13 @@ def decode_multi(
 ) -> Tuple[jax.Array, jax.Array, kvc.PagedKVCache]:
     """``n_steps`` greedy decode steps under one ``lax.scan``.
 
-    One device dispatch for a whole token burst — the engine uses this when
-    every active slot has >= n_steps tokens left and no admission is
-    pending; it is also the honest way to measure device-side decode
-    throughput (per-step host dispatch hides real kernel time otherwise).
-    Returns ``(tokens (n_steps, B), final_logits, cache)``.
+    One device dispatch for a whole token burst — for offline greedy
+    generation or measuring decode cost without per-step host dispatch.
+    The engine deliberately does NOT use it: XLA double-buffers the big
+    KV-cache carry through the scan (copies per step measured ~6x slower
+    than the donated per-call step), and per-token scheduling is what
+    enables continuous batching.  Returns
+    ``(tokens (n_steps, B), final_logits, cache)``.
     """
 
     def body(carry, _):

@@ -14,7 +14,6 @@ import argparse
 import itertools
 import json
 import logging
-import time
 
 from gptq_v2_tpu.flags import str2bool
 
@@ -58,7 +57,6 @@ def run_sweep(args) -> list:
     for bits, group, act, sym, mse in grid:
         tag = f"b{bits}_g{group}_ao{int(act)}_sym{int(sym)}_mse{int(mse)}"
         logging.info("=== sweep point %s ===", tag)
-        t0 = time.time()
         out = run_main([
             "--model-dir", args.model_dir,
             "--seqlen", str(args.seqlen),
@@ -78,7 +76,7 @@ def run_sweep(args) -> list:
         rows.append({
             "bits": bits, "group_size": group, "act_order": act,
             "sym": sym, "mse": mse,
-            "quant_wall_s": round(time.time() - t0, 1),
+            "quant_wall_s": round(out["quant_s"], 1),
             "ppl": out["ppls"],
         })
         logging.info("%s -> %s", tag, rows[-1]["ppl"])

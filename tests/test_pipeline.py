@@ -93,6 +93,20 @@ class TestQuantizeModel:
         ppl_fp = evaluate_ppl(cfg, clone_params(params), calib, batch_size=4)
         assert abs(ppl - ppl_fp) / ppl_fp < 0.15
 
+    def test_resume_rejects_different_config(self, tiny, tmp_path):
+        """Saved layers from another QuantConfig must not be resumed."""
+        cfg, params, calib, _ = tiny
+        quantize_model(cfg, clone_params(params), calib,
+                       QuantConfig(bits=8, group_size=16),
+                       batch_size=4, save_dir=str(tmp_path))
+        r4 = quantize_model(cfg, clone_params(params), calib,
+                            QuantConfig(bits=4, group_size=16),
+                            batch_size=4, save_dir=str(tmp_path))
+        meta = r4["data"]["model.layers.0.self_attn.q_proj"]
+        assert meta["group_bit_widths"].tolist() == [4] * (
+            cfg.hidden_size // 16)
+        assert meta["qweight"].max() <= 15
+
     def test_streaming_save(self, tiny, tmp_path):
         cfg, params, calib, _ = tiny
         p = clone_params(params)

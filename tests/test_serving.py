@@ -106,6 +106,40 @@ class TestEngine:
         out = eng.run([Request(uid=1, prompt=p2, max_new_tokens=5)])
         assert out[1] == greedy_full_recompute(model, p2, 5)
 
+    def test_decode_multi_matches_stepwise(self, packed_model):
+        """One scanned burst == n repeated decode_step calls (greedy)."""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+
+        model, _ = packed_model
+        cfg = model.cfg
+        rng = np.random.default_rng(9)
+        prompt = rng.integers(0, cfg.vocab_size, (6,)).tolist()
+
+        def mk():
+            c = kvc.init_contiguous_cache(cfg.num_hidden_layers, 1, 32,
+                                          cfg.num_key_value_heads,
+                                          cfg.head_dim_, dtype=jnp.float32)
+            tokens = jnp.asarray([prompt], jnp.int32)
+            logits, c = D.prefill(model, tokens, c, None,
+                                  jnp.asarray([len(prompt)], np.int32),
+                                  slot=jnp.asarray([0], np.int32))
+            return c, jnp.argmax(logits, -1).astype(jnp.int32)
+
+        n = 5
+        cache, tok = mk()
+        toks_multi, _, _ = D.decode_multi(
+            model, tok, cache, None, jnp.asarray([len(prompt)], np.int32), n)
+        cache, tok = mk()
+        got = []
+        for i in range(n):
+            logits, cache = D.decode_step(
+                model, tok, cache, None,
+                jnp.asarray([len(prompt) + i], np.int32))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            got.append(int(tok[0]))
+        assert np.asarray(toks_multi)[:, 0].tolist() == got
+
     def test_sampling_temperature(self, packed_model):
         model, _ = packed_model
         from gptq_v2_tpu.serving.decode import sample

@@ -296,6 +296,7 @@ def quantize_model(
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
         lp = place_layer(_device_layer(params["layers"][li]))
+        pending: list = []  # canonical names with device-resident quant_meta
 
         for stage in stage_list:
             first = stage.linears[0]
@@ -367,20 +368,22 @@ def quantize_model(
                     feedback_dtype=qcfg.feedback_dtype,
                     save_dtype=dt,
                     use_solver_kernel=qcfg.use_solver_kernel,
+                    keep_on_device=True,
                 )
                 # Swap in the dequantized weight: downstream stages and the
                 # next block's inputs see real quantized outputs (the v2
                 # error-propagation, reference llama.py:171-179).
                 lp[name] = res["quant"].T.astype(dt)
                 canonical = f"model.layers.{li}.{name}"
+                # start the device→host copies now; they overlap the next
+                # stages' compute and are collected at block end
+                for v in res["quant_meta"].values():
+                    if isinstance(v, jax.Array):
+                        v.copy_to_host_async()
                 results["data"][canonical] = res["quant_meta"]
                 results["metrics"][canonical] = res["metrics"]
                 logger.debug("%s %s", canonical, res["metrics"])
-                if save_path:
-                    meta = {k: v for k, v in res["quant_meta"].items() if v is not None}
-                    np.savez(save_path / f"{canonical}.npz", **meta,
-                             config_tag=_config_tag(qcfg),
-                             **{f"metric_{k}": v for k, v in res["metrics"].items()})
+                pending.append(canonical)
                 del res
 
             logger.debug("block %d stage %s: solve %.2fs", li, first,
@@ -391,6 +394,19 @@ def quantize_model(
         # (reference llama.py:184-191).
         fwd = dp_fwd if mesh is not None else block_fwd
         xs = [fwd(lp, xb, cos_sin) for xb in xs]
+
+        # collect the async quant_meta copies (overlapped with the stages
+        # above) and release their device buffers
+        for canonical in pending:
+            meta = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
+                    for k, v in results["data"][canonical].items()}
+            results["data"][canonical] = meta
+            if save_path:
+                np.savez(save_path / f"{canonical}.npz",
+                         **{k: v for k, v in meta.items() if v is not None},
+                         config_tag=_config_tag(qcfg),
+                         **{f"metric_{k}": v
+                            for k, v in results["metrics"][canonical].items()})
 
         if offload == "host":
             params["layers"][li] = _host_layer(lp)

@@ -210,6 +210,7 @@ def gptq_quant(
     feedback_dtype: Optional[str] = "float16",
     save_dtype=jnp.float16,
     use_solver_kernel: Optional[bool] = None,
+    keep_on_device: bool = False,
 ) -> dict:
     """Quantize one weight matrix. Returns ``{'quant_meta', 'metrics', 'quant'}``.
 
@@ -225,6 +226,11 @@ def gptq_quant(
     ~400x the scan solver on TPU).  Default: on TPU, whenever the config is
     kernel-eligible (uniform bits, no MSE search, no EXL2 scale
     quantization); the jnp scan solver remains the executable spec.
+
+    ``keep_on_device``: leave the array-valued ``quant_meta`` fields as
+    device arrays (already cast/reordered to their storage dtypes) instead
+    of transferring them — callers overlap the device→host copies with
+    later compute via ``copy_to_host_async`` (the pipeline does).
     """
     group_sizes = [int(s) for s in group_sizes]
     group_bit_widths = [int(b) for b in group_bit_widths]
@@ -312,6 +318,8 @@ def gptq_quant(
         # cast/reorder on device first: the solver outputs are f32, and
         # host transfers cost bytes (bf16 additionally takes a slow
         # conversion path) — ship uint8/f16 bits, not f32
+        if keep_on_device:
+            return a
         if a.dtype == jnp.bfloat16:
             bits = jax.lax.bitcast_convert_type(a, jnp.uint16)
             import ml_dtypes
@@ -334,8 +342,10 @@ def gptq_quant(
         "qweight": qweight,  # (R, C) codes, in stored (permuted) column order
         "scale": scale,  # (R, G)
         "qzero": qzero,  # (R, G)
-        "qscale": host(out["qscale"]).astype(np.uint8)[:, order] if scale_bit_width is not None else None,
-        "sscale": host(out["sscale"].astype(save_dtype))[order] if scale_bit_width is not None else None,
+        "qscale": (host(jnp.take(out["qscale"].astype(jnp.uint8), order_d, axis=1))
+                   if scale_bit_width is not None else None),
+        "sscale": (host(jnp.take(out["sscale"].astype(save_dtype), order_d, axis=0))
+                   if scale_bit_width is not None else None),
         "perm": perm_np,  # (C,) stored-column -> original-column map
         "perm_inv": perm_inv_np,  # (C,) original-column -> stored-column map
         "group_sizes": np.asarray(group_sizes, dtype=np.int16)[order],

@@ -46,9 +46,9 @@ def _f16_roundtrip(v: jax.Array) -> jax.Array:
 
     Integer RNE on the 13 mantissa bits f16 drops.  Mantissa overflow
     carries into the exponent, which is exactly IEEE round-up behaviour.
-    Values beyond f16 range saturate to ±inf and non-finite inputs pass
-    through, matching ``astype(float16)``; f16-*denormal* magnitudes
-    (<6.1e-5) keep extra mantissa bits (documented divergence).
+    Values beyond f16 range saturate to ±inf, f16-denormal magnitudes
+    (<2^-14) round to the denormal grid (multiples of 2^-24), and
+    non-finite inputs pass through — matching ``astype(float16)``.
     """
     u = jax.lax.bitcast_convert_type(v, jnp.int32)
     half = jnp.int32(0x0FFF)
@@ -58,6 +58,9 @@ def _f16_roundtrip(v: jax.Array) -> jax.Array:
     sign = jnp.where(v < 0, -1.0, 1.0).astype(jnp.float32)
     rounded = jnp.where(jnp.abs(rounded) > 65504.0,
                         sign * jnp.float32(jnp.inf), rounded)
+    # denormal grid: jnp.round is round-half-even, like the hardware cast
+    denorm = jnp.round(v * jnp.float32(2.0 ** 24)) * jnp.float32(2.0 ** -24)
+    rounded = jnp.where(jnp.abs(v) < jnp.float32(2.0 ** -14), denorm, rounded)
     return jnp.where(jnp.isfinite(v), rounded, v)
 
 

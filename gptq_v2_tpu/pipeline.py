@@ -382,7 +382,6 @@ def quantize_model(
                         v.copy_to_host_async()
                 results["data"][canonical] = res["quant_meta"]
                 results["metrics"][canonical] = res["metrics"]
-                logger.debug("%s %s", canonical, res["metrics"])
                 pending.append(canonical)
                 del res
 
@@ -401,6 +400,9 @@ def quantize_model(
             meta = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
                     for k, v in results["data"][canonical].items()}
             results["data"][canonical] = meta
+            results["metrics"][canonical] = {
+                k: float(v) for k, v in results["metrics"][canonical].items()}
+            logger.debug("%s %s", canonical, results["metrics"][canonical])
             if save_path:
                 np.savez(save_path / f"{canonical}.npz",
                          **{k: v for k, v in meta.items() if v is not None},

@@ -297,11 +297,14 @@ def gptq_quant(
         else quant_perm_order
     )
     w_ref32 = weight_ref.astype(jnp.float32)
+    # as device scalars when keep_on_device (a float() here would block the
+    # dispatch queue on the whole solve; the pipeline collects at block end)
+    wrap = (lambda a: a) if keep_on_device else float
     metrics = {
-        "gptq_error": float(jnp.mean(error.astype(jnp.float32) ** 2.0)),
-        "gptq_norm": float(jnp.mean(gptq_norm_src ** 2.0)),
-        "l2_error": float(jnp.mean(jnp.abs(quant_orig - w_ref32) ** 2.0)),
-        "l2_norm": float(jnp.mean(jnp.abs(w_ref32) ** 2.0)),
+        "gptq_error": wrap(jnp.mean(error.astype(jnp.float32) ** 2.0)),
+        "gptq_norm": wrap(jnp.mean(gptq_norm_src ** 2.0)),
+        "l2_error": wrap(jnp.mean(jnp.abs(quant_orig - w_ref32) ** 2.0)),
+        "l2_norm": wrap(jnp.mean(jnp.abs(w_ref32) ** 2.0)),
     }
 
     n_groups = len(group_sizes)

@@ -41,6 +41,19 @@ class TestF16Emulation:
         want = v.astype(jnp.float16).astype(jnp.float32)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_denormals_overflow_and_nonfinite(self):
+        rng = np.random.default_rng(2)
+        v = np.concatenate([
+            rng.standard_normal(20000).astype(np.float32) * 3e-5,  # denormals
+            np.asarray([7e4, -7e4, 65504.0, -65504.0, 65520.0,
+                        np.inf, -np.inf, 0.0, -0.0], np.float32),
+        ])
+        got = np.asarray(_f16_roundtrip(jnp.asarray(v)))
+        want = v.astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+        assert np.isnan(np.asarray(_f16_roundtrip(jnp.asarray([np.nan],
+                                                              jnp.float32))))[0]
+
 
 class TestSolverKernel:
     @pytest.mark.parametrize("sym", [False, True])

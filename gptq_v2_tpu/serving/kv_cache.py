@@ -132,7 +132,10 @@ def gather_kv(
     """Assemble each sequence's K/V: (B, max_pages·page_size, n_kv, hd).
 
     Entries past a sequence's length are garbage; the attention mask
-    (``seq_lens``) must exclude them.
+    (``seq_lens``) must exclude them.  (A Pallas page-block copy kernel,
+    ``ops/paged_gather.py``, measures identical to this XLA gather —
+    ~280 GB/s r+w on v5e; the gather itself is copy-bound either way,
+    which is why the gather-free contiguous cache is the default layout.)
     """
     ps = cache.page_size
     b, mp = block_tables.shape

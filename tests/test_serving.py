@@ -106,6 +106,26 @@ class TestEngine:
         out = eng.run([Request(uid=1, prompt=p2, max_new_tokens=5)])
         assert out[1] == greedy_full_recompute(model, p2, 5)
 
+    def test_paged_gather_kernel_matches_jnp(self):
+        """Pallas page-copy gather == the jnp gather twin (interpret mode)."""
+        from gptq_v2_tpu.ops.paged_gather import paged_gather_kv
+
+        rng = np.random.default_rng(11)
+        b, ps, mp, n_kv, hd = 3, 8, 4, 2, 16
+        npool = 1 + b * mp
+        kp = jnp.asarray(rng.standard_normal((npool * ps, n_kv, hd)),
+                         dtype=jnp.float32)
+        vp = jnp.asarray(rng.standard_normal((npool * ps, n_kv, hd)),
+                         dtype=jnp.float32)
+        bt = jnp.asarray(
+            rng.permutation(npool - 1)[:b * mp].reshape(b, mp).astype(np.int32) + 1)
+        ko, vo = paged_gather_kv(kp, vp, bt, ps, interpret=True)
+        slots = (bt[:, :, None] * ps + jnp.arange(ps)[None, None, :]).reshape(b, -1)
+        np.testing.assert_array_equal(np.asarray(ko),
+                                      np.asarray(jnp.take(kp, slots, axis=0)))
+        np.testing.assert_array_equal(np.asarray(vo),
+                                      np.asarray(jnp.take(vp, slots, axis=0)))
+
     def test_decode_multi_matches_stepwise(self, packed_model):
         """One scanned burst == n repeated decode_step calls (greedy)."""
         from gptq_v2_tpu.serving import decode as D

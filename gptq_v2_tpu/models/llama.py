@@ -52,6 +52,10 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     dtype: str = "float16"
+    # HF ``rope_scaling`` as a hashable tuple of (key, value) pairs
+    # (the config doubles as a jit static arg / cache key); None = no
+    # scaling.  Supported rope types: "linear", "llama3".
+    rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
 
     @property
     def head_dim_(self) -> int:
@@ -64,6 +68,17 @@ class LlamaConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         dtype = d.get("torch_dtype", "float16")
+        rs = d.get("rope_scaling")
+        rope_scaling = None
+        if rs is not None:
+            rope_type = rs.get("rope_type", rs.get("type", "default"))
+            if rope_type != "default":
+                if rope_type not in ("linear", "llama3"):
+                    raise NotImplementedError(f"rope_scaling type {rope_type!r}")
+                norm = {k: (v if isinstance(v, str) else float(v))
+                        for k, v in rs.items() if k != "type"}
+                norm["rope_type"] = rope_type
+                rope_scaling = tuple(sorted(norm.items()))
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -77,6 +92,7 @@ class LlamaConfig:
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             dtype=dtype,
+            rope_scaling=rope_scaling,
         )
 
     @classmethod
@@ -154,8 +170,35 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return weight * normed.astype(x.dtype)
 
 
+def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray) -> np.ndarray:
+    """Apply HF ``rope_scaling`` to the base inverse frequencies.
+
+    ``linear`` divides all frequencies by the factor; ``llama3`` keeps
+    high frequencies, divides low frequencies, and smoothly interpolates
+    in between (HF ``_compute_llama3_parameters``).
+    """
+    if cfg.rope_scaling is None:
+        return inv_freq
+    rs = dict(cfg.rope_scaling)
+    factor = rs["factor"]
+    if rs["rope_type"] == "linear":
+        return inv_freq / factor
+    # llama3
+    orig_max = rs["original_max_position_embeddings"]
+    low_f, high_f = rs["low_freq_factor"], rs["high_freq_factor"]
+    low_wavelen = orig_max / low_f
+    high_wavelen = orig_max / high_f
+    wavelen = 2.0 * np.pi / inv_freq
+    scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+    smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+    mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    is_mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+    return np.where(is_mid, mid, scaled)
+
+
 def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Rotary tables ``(N, head_dim)`` in fp32 (HF half-duplicated layout).
+    """Rotary tables ``(N, head_dim)`` in fp32 (HF half-duplicated layout),
+    with HF ``rope_scaling`` (linear / llama3) applied when configured.
 
     Computed in float64 on host when positions are concrete (large angles ×
     fp32 pow drift otherwise cost ~1e-5 vs HF); falls back to on-device fp32
@@ -168,12 +211,14 @@ def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax
         pos = None
     if pos is not None:
         inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+        inv_freq = _scaled_inv_freq(cfg, inv_freq)
         freqs = pos[:, None] * inv_freq[None, :]
         emb = np.concatenate([freqs, freqs], axis=-1)
         return (jnp.asarray(np.cos(emb), dtype=jnp.float32),
                 jnp.asarray(np.sin(emb), dtype=jnp.float32))
-    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # (N, hd/2)
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    inv_freq_j = jnp.asarray(_scaled_inv_freq(cfg, inv_freq), dtype=jnp.float32)
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq_j[None, :]  # (N, hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # (N, hd)
     return jnp.cos(emb), jnp.sin(emb)
 

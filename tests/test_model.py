@@ -84,6 +84,37 @@ class TestHFParity:
         ours = np.asarray(L.forward_logits(cfg, params, jnp.asarray(tokens)))
         np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("rope_scaling", [
+        {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+         "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+        {"type": "linear", "factor": 2.0},
+    ])
+    def test_rope_scaling_matches_transformers(self, rope_scaling):
+        """Llama-3 / linear rope scaling vs the HF implementation."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, rms_norm_eps=1e-5,
+            rope_scaling=dict(rope_scaling), attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        hf_model = transformers.LlamaForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict(
+            {**hf_cfg.to_dict(), "torch_dtype": "float32"})
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(3)
+        tokens = rng.integers(0, cfg.vocab_size, (1, 96))  # long enough to scale
+        import torch as _t
+
+        with _t.no_grad():
+            ref = hf_model(_t.from_numpy(tokens)).logits.numpy()
+        ours = np.asarray(L.forward_logits(cfg, params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
 
 class TestDependencySchedule:
     def test_llama_schedule(self, tiny_cfg, tiny_params):

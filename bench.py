@@ -51,6 +51,17 @@ STEPS = 20
 
 
 def main():
+    for batch in (BATCH, BATCH // 2, BATCH // 4):
+        try:
+            return run(batch)
+        except Exception as e:  # HBM pressure from co-tenants: back off batch
+            if "RESOURCE_EXHAUSTED" not in str(e) or batch == BATCH // 4:
+                raise
+            print(f"batch {batch} OOM'd; retrying at {batch // 2}",
+                  file=sys.stderr)
+
+
+def run(batch):
     on_tpu = jax.default_backend() == "tpu"
     dev = jax.devices()[0]
     if on_tpu:
@@ -65,12 +76,12 @@ def main():
                                 compute_dtype=cfg.jdtype)
     model = jax.device_put(model)
 
-    cache = kvc.init_contiguous_cache(cfg.num_hidden_layers, BATCH, MAX_SEQ,
+    cache = kvc.init_contiguous_cache(cfg.num_hidden_layers, batch, MAX_SEQ,
                                       cfg.num_key_value_heads, cfg.head_dim_,
                                       dtype=cfg.jdtype)
     block_tables = None
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (BATCH,)), jnp.int32)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)), jnp.int32)
     print(f"setup {time.time() - t0:.1f}s", file=sys.stderr)
 
     # ---- measured decode ---------------------------------------------------
@@ -82,17 +93,17 @@ def main():
     t0 = time.time()
     for i in range(WARMUP):
         logits, cache = D.decode_step(model, tokens, cache, block_tables,
-                                      jnp.full((BATCH,), pos + i, jnp.int32))
+                                      jnp.full((batch,), pos + i, jnp.int32))
     np.asarray(logits[:, :8])
     print(f"compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
     pos += WARMUP
     t0 = time.time()
     for i in range(STEPS):
         logits, cache = D.decode_step(model, tokens, cache, block_tables,
-                                      jnp.full((BATCH,), pos + i, jnp.int32))
+                                      jnp.full((batch,), pos + i, jnp.int32))
     np.asarray(logits[:, :8])
     dt = time.time() - t0
-    tok_s = BATCH * STEPS / dt
+    tok_s = batch * STEPS / dt
 
     # ---- roofline ----------------------------------------------------------
     def leaf_bytes(tree):
@@ -101,11 +112,11 @@ def main():
     weight_bytes = (sum(leaf_bytes(lp) for lp in model.layers)
                     + model.lm_head.nbytes + model.norm.nbytes)
     itemsize = jnp.dtype(cfg.jdtype).itemsize
-    kv_read = (cfg.num_hidden_layers * 2 * BATCH * MAX_SEQ
+    kv_read = (cfg.num_hidden_layers * 2 * batch * MAX_SEQ
                * cfg.num_key_value_heads * cfg.head_dim_ * itemsize)
     bytes_per_step = weight_bytes + kv_read
     bw = HBM_BW.get(dev.device_kind, 819e9)
-    roofline_tok_s = BATCH / (bytes_per_step / bw)
+    roofline_tok_s = batch / (bytes_per_step / bw)
     target = 0.8 * roofline_tok_s
     util = tok_s / roofline_tok_s
 

@@ -147,6 +147,11 @@ class Engine:
 
     # ---------------------------------------------------------------- prefill
     def _admit(self) -> None:
+        """Admit queued requests into free slots; prompts sharing a length
+        bucket prefill as ONE batched call (padded to a power-of-two batch
+        by repeating the last row — duplicate cache writes of identical
+        values are benign, pad logits are dropped)."""
+        admitted = []  # (slot, request, prompt_len)
         for si in range(self.max_batch):
             if self.slots[si] is not None or not self.queue:
                 continue
@@ -156,24 +161,40 @@ class Engine:
                 need = -(-(plen + req.max_new_tokens) // self.page_size)
                 pages = self._alloc_pages(need)
                 if pages is None:
-                    return  # wait for memory
+                    break  # wait for memory
                 self.block_tables[si] = 0
                 self.block_tables[si, :need] = pages
             else:
                 pages = []
             self.queue.pop(0)
             self.slots[si] = _Slot(request=req, length=plen, pages=pages)
+            admitted.append((si, req, plen))
 
-            lpad = _bucket(plen)
-            tokens = np.zeros((1, lpad), np.int32)
-            tokens[0, :plen] = req.prompt
+        by_bucket: Dict[int, list] = {}
+        for item in admitted:
+            by_bucket.setdefault(_bucket(item[2]), []).append(item)
+        for lpad, group in by_bucket.items():
+            nb = _bucket(len(group), lo=1)
+            rows = group + [group[-1]] * (nb - len(group))
+            tokens = np.zeros((nb, lpad), np.int32)
+            lengths = np.zeros((nb,), np.int32)
+            slot_ids = np.zeros((nb,), np.int32)
+            for i, (si, req, plen) in enumerate(rows):
+                tokens[i, :plen] = req.prompt
+                lengths[i] = plen
+                slot_ids[i] = si
+            bt = None
+            if self.block_tables is not None:
+                bt = jnp.asarray(self.block_tables[slot_ids])
             logits, self.cache = self._prefill(
-                self.model, jnp.asarray(tokens), self.cache, self._bt(si),
-                jnp.asarray([plen], np.int32),
-                jnp.asarray([si], np.int32),
+                self.model, jnp.asarray(tokens), self.cache, bt,
+                jnp.asarray(lengths), jnp.asarray(slot_ids),
             )
-            tok = self._sample(logits, req.temperature)
-            self._emit(si, int(tok[0]))
+            temps = {req.temperature for _, req, _ in group}
+            toks = self._sample(
+                logits, temperature=temps.pop() if len(temps) == 1 else 0.0)
+            for i, (si, req, _) in enumerate(group):
+                self._emit(si, int(toks[i]))
 
     # ----------------------------------------------------------------- decode
     def _sample(self, logits, temperature: float):

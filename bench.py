@@ -55,7 +55,10 @@ def main():
         try:
             return run(batch)
         except Exception as e:  # HBM pressure from co-tenants: back off batch
-            if "RESOURCE_EXHAUSTED" not in str(e) or batch == BATCH // 4:
+            oomish = any(s in str(e) for s in
+                         ("RESOURCE_EXHAUSTED", "Out of memory",
+                          "out of memory", "OOM", "ResourceExhausted"))
+            if not oomish or batch == BATCH // 4:
                 raise
             print(f"batch {batch} OOM'd; retrying at {batch // 2}",
                   file=sys.stderr)

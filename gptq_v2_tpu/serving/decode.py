@@ -178,6 +178,26 @@ def decode_multi(
     return toks, logits[-1], cache
 
 
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def sample_per_row(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    temperatures: jax.Array,  # (B,) — <=0 means greedy for that row
+    top_k: int = 0,
+) -> jax.Array:
+    """Per-row temperature sampling: each batch row uses its own request's
+    temperature (rows at <=0 take the argmax).  One compilation regardless
+    of the temperature mix — the engine's sampling path."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32)
+    if top_k > 0:
+        kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
+        lg = jnp.where(lg >= kth, lg, jnp.finfo(jnp.float32).min)
+    t = jnp.maximum(temperatures, 1e-6)[:, None].astype(jnp.float32)
+    sampled = jax.random.categorical(key, lg / t, axis=-1).astype(jnp.int32)
+    return jnp.where(temperatures <= 0.0, greedy, sampled)
+
+
 @functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
 def sample(
     logits: jax.Array,  # (B, V)

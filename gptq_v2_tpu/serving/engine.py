@@ -8,10 +8,13 @@ Host-side scheduler around the jitted prefill/decode steps:
 * two cache layouts (see ``kv_cache.py``): ``contiguous`` (default,
   TPU-native — attention reads the cache in place, no gather) and
   ``paged`` (vLLM-style page pool; page 0 reserved as the trash page),
-* prompts prefill one-at-a-time into bucketed (power-of-two padded) shapes
-  so compilation count stays O(log max_len),
-* every device step has static shapes: one decode compilation for the whole
-  session.
+* prompts admitted in one tick prefill as batched calls grouped by
+  power-of-two length bucket (batch padded to a power of two as well), so
+  prefill compilations stay O(log max_len · log max_batch),
+* every device step has static shapes; decode compiles once per
+  power-of-two context bucket,
+* sampling is per-row temperature (each request keeps its own temperature
+  inside a mixed batch).
 """
 from __future__ import annotations
 
@@ -190,16 +193,18 @@ class Engine:
                 self.model, jnp.asarray(tokens), self.cache, bt,
                 jnp.asarray(lengths), jnp.asarray(slot_ids),
             )
-            temps = {req.temperature for _, req, _ in group}
-            toks = self._sample(
-                logits, temperature=temps.pop() if len(temps) == 1 else 0.0)
+            temps = np.zeros((nb,), np.float32)
+            for i, (_, req, _) in enumerate(group):
+                temps[i] = req.temperature
+            toks = self._sample(logits, temps)
             for i, (si, req, _) in enumerate(group):
                 self._emit(si, int(toks[i]))
 
     # ----------------------------------------------------------------- decode
-    def _sample(self, logits, temperature: float):
+    def _sample(self, logits, temperatures: np.ndarray):
         self.key, sub = jax.random.split(self.key)
-        return np.asarray(D.sample(logits, sub, temperature=temperature))
+        return np.asarray(D.sample_per_row(
+            logits, sub, jnp.asarray(temperatures, jnp.float32)))
 
     def _emit(self, si: int, token: int) -> None:
         slot = self.slots[si]
@@ -232,8 +237,10 @@ class Engine:
             jnp.asarray(positions),
             s_bucket=s_bucket,
         )
-        temps = {self.slots[si].request.temperature for si in active}
-        toks = self._sample(logits, temperature=temps.pop() if len(temps) == 1 else 0.0)
+        temps = np.zeros((self.max_batch,), np.float32)
+        for si in active:
+            temps[si] = self.slots[si].request.temperature
+        toks = self._sample(logits, temps)
         self.steps += 1
         for si in active:
             self.slots[si].length += 1

@@ -170,3 +170,18 @@ class TestEngine:
         np.testing.assert_array_equal(np.asarray(g), np.argmax(np.asarray(logits), -1))
         s1 = sample(logits, jax.random.key(1), temperature=1.0, top_k=5)
         assert s1.shape == (4,)
+
+    def test_mixed_temperature_batch_keeps_greedy_rows_greedy(self, packed_model):
+        """A greedy request batched with sampling requests must still
+        argmax — per-row temperatures, not a shared fallback."""
+        model, _ = packed_model
+        rng = np.random.default_rng(12)
+        prompt_g = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        prompt_s = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        expected = greedy_full_recompute(model, prompt_g, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        out = eng.run([
+            Request(uid=0, prompt=prompt_g, max_new_tokens=5, temperature=0.0),
+            Request(uid=1, prompt=prompt_s, max_new_tokens=5, temperature=1.0),
+        ])
+        assert out[0] == expected

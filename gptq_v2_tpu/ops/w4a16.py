@@ -32,7 +32,7 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
     — per weight element only shift+mask+convert remain; the scale and the
     zero-point correction touch just (B × bn) dot outputs.
     """
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -68,32 +68,40 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
 @functools.partial(jax.jit, static_argnames=("group_size", "block_n", "interpret"))
 def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
               interpret: bool):
-    """x: (B, C_pad) compute dtype (stored column order); returns (B, R)."""
+    """x: (B, C_pad) compute dtype (stored column order); returns (B, R).
+
+    Grid tiles (rows, out-features, contraction); row tiling keeps prefill
+    (B = batch·seq, thousands of rows) inside the VMEM budget while decode
+    (small B) runs a single row tile.
+    """
     b, c_pad = x.shape
     _, r = qweight.shape
     g = group_size
     bk = 8 * g
     n_k = c_pad // bk
     n_j = pl.cdiv(r, block_n)
+    bm = min(b, 512)
+    assert b % bm == 0, (b, bm)
+    n_i = b // bm
 
     zs = (zeros.astype(jnp.float32) * scales.astype(jnp.float32)).astype(scales.dtype)
     kernel = functools.partial(_kernel, group_size=g, n_k=n_k)
     return pl.pallas_call(
         kernel,
-        grid=(n_j, n_k),
+        grid=(n_i, n_j, n_k),
         in_specs=[
-            pl.BlockSpec((b, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_n), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_n), lambda j, k: (0, j),
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, r), x.dtype),
-        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * c_pad * r,
-            bytes_accessed=c_pad * r // 2 + b * c_pad * x.dtype.itemsize
+            bytes_accessed=n_i * c_pad * r // 2 + b * c_pad * x.dtype.itemsize
             + 2 * (c_pad // g) * r * scales.dtype.itemsize + b * r * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -125,7 +133,10 @@ def w4a16_matmul(
     if c_pad != stored:
         xb = jnp.pad(xb, ((0, 0), (0, c_pad - stored)))
     b = xb.shape[0]
-    b_pad = max(8, -(-b // 8) * 8)
+    if b <= 512:
+        b_pad = max(8, -(-b // 8) * 8)
+    else:  # row-tiled grid: rows must divide into 512-row tiles
+        b_pad = -(-b // 512) * 512
     if b_pad != b:
         xb = jnp.pad(xb, ((0, b_pad - b), (0, 0)))
     # Mosaic tiling contract: the output-feature block must be a multiple of

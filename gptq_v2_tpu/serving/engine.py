@@ -121,6 +121,8 @@ class Engine:
         self.key = jax.random.key(seed)
         self.steps = 0
         self.decode_tokens = 0
+        self._dev = None  # device-resident scheduler state (see step())
+        self._dirty = True
 
     # ------------------------------------------------------------------ admin
     def add_request(self, req: Request) -> None:
@@ -139,6 +141,7 @@ class Engine:
         if slot:
             self.free_pages.extend(slot.pages)
         self.slots[si] = None
+        self._dirty = True
         if self.block_tables is not None:
             self.block_tables[si] = 0
 
@@ -199,6 +202,8 @@ class Engine:
             toks = self._sample(logits, temps)
             for i, (si, req, _) in enumerate(group):
                 self._emit(si, int(toks[i]))
+        if admitted:
+            self._dirty = True
 
     # ----------------------------------------------------------------- decode
     def _sample(self, logits, temperatures: np.ndarray):
@@ -217,30 +222,48 @@ class Engine:
             self._free_slot(si)
 
     def step(self) -> None:
-        """One scheduler tick: admit new work, then one decode step."""
+        """One scheduler tick: admit new work, then one decode step.
+
+        Scheduler state (last tokens, positions, temperatures) lives on
+        device between steps and is re-uploaded only when slot membership
+        changes; the single host sync per step is the sampled-token
+        readback the scheduler needs for EOS/output bookkeeping.  (Matters
+        on remote/tunneled runtimes where each transfer is a full RTT.)
+        """
         self._admit()
         active = [si for si in range(self.max_batch) if self.slots[si] is not None]
         if not active:
             return
-        positions = np.zeros((self.max_batch,), np.int32)
-        for si in active:
-            positions[si] = self.slots[si].length
+        if self._dirty or self._dev is None:
+            positions = np.zeros((self.max_batch,), np.int32)
+            temps = np.zeros((self.max_batch,), np.float32)
+            mask = np.zeros((self.max_batch,), np.int32)
+            for si in active:
+                positions[si] = self.slots[si].length
+                temps[si] = self.slots[si].request.temperature
+                mask[si] = 1
+            self._dev = {
+                "tokens": jnp.asarray(self.last_tokens),
+                "positions": jnp.asarray(positions),
+                "temps": jnp.asarray(temps),
+                "mask": jnp.asarray(mask),
+            }
+            self._dirty = False
+        d = self._dev
+        max_pos = max(self.slots[si].length for si in active)
         # power-of-two context bucket: short sequences skip max_seq_len KV
         # traffic; O(log max_len) decode compilations per session
-        s_bucket = min(_bucket(int(positions.max()) + 1, lo=self.page_size),
+        s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),
                        self.max_seq_len)
         logits, self.cache = self._decode(
-            self.model,
-            jnp.asarray(self.last_tokens),
-            self.cache,
-            self._bt(),
-            jnp.asarray(positions),
+            self.model, d["tokens"], self.cache, self._bt(), d["positions"],
             s_bucket=s_bucket,
         )
-        temps = np.zeros((self.max_batch,), np.float32)
-        for si in active:
-            temps[si] = self.slots[si].request.temperature
-        toks = self._sample(logits, temps)
+        self.key, sub = jax.random.split(self.key)
+        toks_dev = D.sample_per_row(logits, sub, d["temps"])
+        self._dev = {**d, "tokens": toks_dev,
+                     "positions": d["positions"] + d["mask"]}
+        toks = np.asarray(toks_dev)  # the one host sync per step
         self.steps += 1
         for si in active:
             self.slots[si].length += 1

@@ -144,6 +144,30 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
     return x, cache
 
 
+@functools.partial(jax.jit, static_argnames=("s_bucket",), donate_argnums=(2,))
+def decode_sample_step(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B,)
+    cache,
+    block_tables: Optional[jax.Array],
+    positions: jax.Array,  # (B,)
+    temperatures: jax.Array,  # (B,) — <=0 greedy per row
+    key: jax.Array,
+    s_bucket: Optional[int] = None,
+) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
+    """Decode + per-row sampling + PRNG-key advance in ONE dispatch.
+
+    The engine's hot step: on remote/tunneled runtimes every separate jit
+    call costs a full round trip, so decode, sampling, and the key split
+    fuse into a single program.  Returns ``(next_tokens, cache, new_key)``.
+    """
+    logits, cache = _decode_step_impl(model, tokens, cache, block_tables,
+                                      positions, s_bucket)
+    key, sub = jax.random.split(key)
+    toks = sample_per_row(logits, sub, temperatures)
+    return toks, cache, key
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "s_bucket"),
                    donate_argnums=(2,))
 def decode_multi(

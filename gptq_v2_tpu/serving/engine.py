@@ -255,12 +255,19 @@ class Engine:
         # traffic; O(log max_len) decode compilations per session
         s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),
                        self.max_seq_len)
-        logits, self.cache = self._decode(
-            self.model, d["tokens"], self.cache, self._bt(), d["positions"],
-            s_bucket=s_bucket,
-        )
-        self.key, sub = jax.random.split(self.key)
-        toks_dev = D.sample_per_row(logits, sub, d["temps"])
+        if self.mesh is None:
+            # decode + sample + key split in ONE dispatch (RTT-bound hosts)
+            toks_dev, self.cache, self.key = D.decode_sample_step(
+                self.model, d["tokens"], self.cache, self._bt(),
+                d["positions"], d["temps"], self.key, s_bucket=s_bucket,
+            )
+        else:
+            logits, self.cache = self._decode(
+                self.model, d["tokens"], self.cache, self._bt(),
+                d["positions"], s_bucket=s_bucket,
+            )
+            self.key, sub = jax.random.split(self.key)
+            toks_dev = D.sample_per_row(logits, sub, d["temps"])
         self._dev = {**d, "tokens": toks_dev,
                      "positions": d["positions"] + d["mask"]}
         toks = np.asarray(toks_dev)  # the one host sync per step

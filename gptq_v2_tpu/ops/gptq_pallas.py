@@ -80,17 +80,24 @@ def _feedback_dq(q_minus_z: jax.Array, scale: jax.Array,
     return (q_minus_z.astype(dt) * scale.astype(dt)).astype(jnp.float32)
 
 
+def _tail_chunk(c_total: int, g: int, target: int = 4096) -> int:
+    """Largest multiple of ``g`` dividing ``c_total`` and <= ``target``."""
+    n_groups = c_total // g
+    best = 1
+    for k in range(1, min(n_groups, target // g) + 1):
+        if n_groups % k == 0:
+            best = k
+    return best * g
+
+
 def _kernel(w_ref, hblk_ref, hblkT_ref, hinvT_ref,
-            wout_ref, q_ref, err_ref, sc_ref, zr_ref,
+            q_ref, err2_ref, sc_ref, zr_ref,
             w0_scr, hb_scr, hbT_scr, hd_scr, e_scr, q_scr,
             *, group_size, n_groups, maxq, sym, fb):
     g = group_size
     gi = pl.program_id(1)
     i1 = gi * g
-
-    @pl.when(gi == 0)
-    def _():
-        wout_ref[:] = w_ref[:]
+    wout_ref = w_ref  # aliased in/out (VMEM: one resident W block, not two)
 
     w0_scr[:] = wout_ref[pl.ds(i1, g), :]  # (g, Rt) current block
     hb_scr[:] = hblk_ref[0]
@@ -132,16 +139,32 @@ def _kernel(w_ref, hblk_ref, hblkT_ref, hinvT_ref,
 
     jax.lax.fori_loop(0, g, col, 0, unroll=False)
 
-    # block-tail update: W[i2:, :] -= hinvT[i2:, group] @ E  (one MXU dot)
-    row = jax.lax.broadcasted_iota(jnp.int32, (hinvT_ref.shape[1], 1), 0)
-    hmask = jnp.where(row >= i1 + g, hinvT_ref[0], 0.0)
-    wout_ref[:] = wout_ref[:] - jax.lax.dot_general(
-        hmask, e_scr[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32)
+    # block-tail update: W[i2:, :] -= hinvT[i2:, group] @ E, chunked over C
+    # so temporaries stay a few MB at 70B feature dims (an unchunked
+    # (C, Rt) masked dot spilled ~50MB of vregs at C=28672)
+    c_total = hinvT_ref.shape[1]
+    chunk = _tail_chunk(c_total, g)
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def tail(ci, _):
+        c0 = ci * chunk
+        hseg = hinvT_ref[0, pl.ds(c0, chunk), :]  # (chunk, g)
+        upd = jax.lax.dot_general(
+            hseg, e_scr[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        keep = (rows0 + c0) >= (i1 + g)
+        seg = wout_ref[pl.ds(c0, chunk), :]
+        wout_ref[pl.ds(c0, chunk), :] = seg - jnp.where(keep, upd, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, c_total // chunk, tail, 0, unroll=False)
 
     q_ref[pl.ds(i1, g), :] = q_scr[:]
-    err_ref[pl.ds(i1, g), :] = e_scr[:]
+    # per-group squared-error sums (metrics need only the mean; a full
+    # (C, Rt) error output would cost two more resident VMEM blocks)
+    err2_ref[pl.ds(gi, 1), :] = jnp.sum(e_scr[:] * e_scr[:], axis=0,
+                                        keepdims=True)
     sc_ref[pl.ds(gi, 1), :] = scale
     zr_ref[pl.ds(gi, 1), :] = qzero
 
@@ -176,7 +199,11 @@ def _solve_pallas(weight_t, hinv, group_size: int, maxq: float, sym: bool,
     kernel = functools.partial(
         _kernel, group_size=g, n_groups=n_groups, maxq=maxq, sym=sym, fb=fb)
     grid = (r_pad // rt, n_groups)
-    wout, q_t, err_t, sc_t, zr_t = pl.pallas_call(
+    # NB: the kernel mutates its (revisited) W input block in VMEM as the
+    # running weight state for the current lane tile; input blocks are never
+    # flushed back to HBM and the next lane tile refetches pristine columns,
+    # so no W output is needed — one resident (C, Rt) block instead of two.
+    q_t, err2_t, sc_t, zr_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -186,16 +213,14 @@ def _solve_pallas(weight_t, hinv, group_size: int, maxq: float, sym: bool,
             pl.BlockSpec((1, c, g), lambda rb, gi: (gi, 0, 0)),  # hinvT
         ],
         out_specs=[
-            pl.BlockSpec((c, rt), lambda rb, gi: (0, rb)),       # w (scratch out)
             pl.BlockSpec((c, rt), lambda rb, gi: (0, rb)),       # qweight_t
-            pl.BlockSpec((c, rt), lambda rb, gi: (0, rb)),       # err_t
+            pl.BlockSpec((n_groups, rt), lambda rb, gi: (0, rb)),  # err² sums
             pl.BlockSpec((n_groups, rt), lambda rb, gi: (0, rb)),  # scale_t
             pl.BlockSpec((n_groups, rt), lambda rb, gi: (0, rb)),  # qzero_t
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((c, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((c, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, r_pad), jnp.float32),
         ],
@@ -208,14 +233,13 @@ def _solve_pallas(weight_t, hinv, group_size: int, maxq: float, sym: bool,
             pltpu.VMEM((g, rt), jnp.float32),   # q
         ],
         compiler_params=pltpu.CompilerParams(
-            # resident W/q/err blocks are (C, Rt) f32 — beyond the default
-            # 16MB scoped-vmem budget at 7B feature dims
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # resident W/q blocks are (C, Rt) f32 — beyond the default
+            # 16MB scoped-vmem budget at 7B+ feature dims
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(weight_t, hblocks, hblocksT, hinvT)
-    del wout
-    return q_t[:, :r], err_t[:, :r], sc_t[:, :r], zr_t[:, :r]
+    return q_t[:, :r], err2_t[:, :r], sc_t[:, :r], zr_t[:, :r]
 
 
 def gptq_solve(
@@ -235,12 +259,14 @@ def gptq_solve(
         interpret = jax.default_backend() != "tpu"
     c, r = weight_t.shape
     assert c % group_size == 0, (c, group_size)
+    n_real = r  # true (unpadded) row count for the error-mean denominator
     rt = min(block_r, max(128, r))
-    # 4 resident (C, rt) f32 blocks (w_in, w_out, q, err), double-buffered,
-    # plus 2 hinvT blocks; keep the kernel's VMEM footprint under budget
-    while rt > 128 and 8 * c * rt * 4 + 8 * c * group_size > 88e6:
+    # 2 resident (C, rt) f32 blocks (W-in-place, q), conservatively counted
+    # double-buffered, plus 2 hinvT blocks; keep VMEM under budget.  At the
+    # minimum rt=128 this fits 70B dims (C=28672: ~59MB + 29MB hinvT).
+    while rt > 128 and 4 * c * rt * 4 + 8 * c * group_size > 88e6:
         rt //= 2
-    q_t, err_t, sc_t, zr_t = _solve_pallas(
+    q_t, err2_t, sc_t, zr_t = _solve_pallas(
         weight_t.astype(jnp.float32), hinv.astype(jnp.float32),
         group_size=group_size, maxq=float(maxq), sym=bool(sym),
         fb=feedback_dtype, block_r=rt, interpret=bool(interpret))
@@ -259,7 +285,8 @@ def gptq_solve(
     return {
         "qweight": q_t.T,
         "quant": dq_t.T,
-        "error": err_t.T,
+        # mean over all (R, C) entries of err², from per-group lane sums
+        "error_sq_mean": jnp.sum(err2_t) / (n_real * c),
         "scale": scale,
         "qzero": qzero,
     }

@@ -273,7 +273,7 @@ def gptq_quant(
 
     if inverted is None:
         out = _rtn_uniform(w32, maxq_arr, group_size=g, **common)
-        error = jnp.zeros((), dtype=jnp.float32)
+        error_sq_mean = jnp.zeros((), dtype=jnp.float32)
         gptq_norm_src = out["quant"] * 0.0  # reference uses `error` here (0-init path)
     else:
         if use_solver_kernel and kernel_eligible:
@@ -288,7 +288,10 @@ def gptq_quant(
                 w32, inverted.hessian_inv, maxq_arr, group_size=g,
                 fb_dtype_name=feedback_dtype, **common,
             )
-        error = out["error"]
+        # the kernel reports mean(err²) directly (it never materializes the
+        # full error matrix); the jnp path returns the matrix
+        error_sq_mean = (out["error_sq_mean"] if "error_sq_mean" in out
+                         else jnp.mean(out["error"].astype(jnp.float32) ** 2.0))
         gptq_norm_src = weight_ref.astype(jnp.float32) / jnp.diagonal(inverted.hessian_inv)
 
     quant_perm_order = out["quant"]  # (R, C) in act-order column order
@@ -301,7 +304,7 @@ def gptq_quant(
     # dispatch queue on the whole solve; the pipeline collects at block end)
     wrap = (lambda a: a) if keep_on_device else float
     metrics = {
-        "gptq_error": wrap(jnp.mean(error.astype(jnp.float32) ** 2.0)),
+        "gptq_error": wrap(error_sq_mean),
         "gptq_norm": wrap(jnp.mean(gptq_norm_src ** 2.0)),
         "l2_error": wrap(jnp.mean(jnp.abs(quant_orig - w_ref32) ** 2.0)),
         "l2_norm": wrap(jnp.mean(jnp.abs(w_ref32) ** 2.0)),

@@ -170,6 +170,46 @@ def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinea
     )
 
 
+def rtn_pack_dense(w: np.ndarray, group_size: int,
+                   compute_dtype=None) -> PackedLinear:
+    """RTN-quantize a dense ``(C, R)`` weight to a packed INT4 linear.
+
+    Asymmetric per-group (along C) 4-bit, no Hessian — for weights outside
+    the GPTQ pass (e.g. the optional packed lm_head; the reference never
+    quantizes lm_head, so RTN keeps this strictly additive).
+    """
+    import jax.numpy as _jnp
+
+    if compute_dtype is None:
+        compute_dtype = _jnp.bfloat16
+    w = np.asarray(w, dtype=np.float32)
+    c, r = w.shape
+    g = group_size
+    assert c % g == 0, (c, g)
+    wg = w.reshape(c // g, g, r)
+    x_max = np.maximum(wg.max(axis=1), 0.0)  # (G, R)
+    x_min = np.minimum(wg.min(axis=1), 0.0)
+    scale = (x_max - x_min) / 15.0 + 1e-12
+    zero = np.round(-x_min / scale)
+    codes = np.clip(np.round(wg / scale[:, None, :]) + zero[:, None, :],
+                    0.0, 15.0).astype(np.uint8)
+    codes_rc = codes.reshape(c, r).T  # (R, C)
+    packed = pack_int4(codes_rc, g)
+    g_pad = packed.shape[0] // g * 8
+    pad = g_pad - c // g
+    if pad:
+        scale = np.concatenate([scale, np.zeros((pad, r), np.float32)])
+        zero = np.concatenate([zero, np.zeros((pad, r), np.float32)])
+    return PackedLinear(
+        qweight=jnp.asarray(packed),
+        scales=jnp.asarray(scale).astype(compute_dtype),
+        zeros=jnp.asarray(zero).astype(compute_dtype),
+        perm=None,
+        group_size=g,
+        in_features=c,
+    )
+
+
 def split_packed_column(p: PackedLinear, n_shards: int) -> list:
     """Column-parallel split: shard the output dim R into ``n_shards``
     contiguous chunks (Megatron-style).  Each shard keeps the full

@@ -38,6 +38,7 @@ from gptq_v2_tpu.ops.packing import (
     split_packed_row,
 )
 from gptq_v2_tpu.ops.w4a16 import w4a16_matmul
+from gptq_v2_tpu.serving.model import _linear as _plain_linear
 from gptq_v2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, tp_size
 from gptq_v2_tpu.serving import kv_cache as kvc
 
@@ -119,7 +120,14 @@ class TPPackedLlama:
         layer_specs = tuple(
             {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers
         )
-        return TPPackedLlama(self.cfg, self.tp, P(), layer_specs, P(), P())
+        if isinstance(self.lm_head, PackedLinear):  # replicated packed lm_head
+            lm_spec = PackedLinear(
+                P(), P(), P(), None if self.lm_head.perm is None else P(),
+                self.lm_head.group_size, self.lm_head.in_features,
+                self.lm_head.bits)
+        else:
+            lm_spec = P()
+        return TPPackedLlama(self.cfg, self.tp, P(), layer_specs, P(), lm_spec)
 
 
 def _stack_packed(shards) -> TPPacked:
@@ -326,7 +334,7 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
                                                pos_b, pad_mask)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
         last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-        return last @ model.lm_head, cache
+        return _plain_linear(model.lm_head, last), cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -385,7 +393,7 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             act = _gather_cols(jax.nn.silu(gate) * up)
             x = x + _row_linear(lp["mlp.down_proj"], act)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-        return x[:, 0] @ model.lm_head, cache
+        return _plain_linear(model.lm_head, x[:, 0]), cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -413,7 +421,7 @@ def build_tp_forward_logits(mesh):
         for lp in model.layers:
             x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-        return x @ model.lm_head
+        return _plain_linear(model.lm_head, x)
 
     def sharded(model, tokens):
         return jax.shard_map(

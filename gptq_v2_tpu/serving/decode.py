@@ -65,7 +65,9 @@ def prefill(
             )
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    return last @ model.lm_head, cache
+    from gptq_v2_tpu.serving.model import _linear
+
+    return _linear(model.lm_head, last), cache
 
 
 @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("s_bucket",))
@@ -110,7 +112,9 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
         x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
                                  positions, key_mask, s)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-    return x[:, 0] @ model.lm_head, cache
+    from gptq_v2_tpu.serving.model import _linear
+
+    return _linear(model.lm_head, x[:, 0]), cache
 
 
 def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,

@@ -44,12 +44,16 @@ def quantize_params_to_packed(
     params: L.Params,
     quant_data: Dict[str, dict],
     compute_dtype=jnp.bfloat16,
+    quantize_lm_head: bool = False,
+    lm_head_group_size: int = 128,
 ) -> PackedLlama:
     """Build a packed model from pipeline output ``results['data']``.
 
     ``params`` supplies the non-quantized leaves (norms, embeddings,
     lm_head); each linear with an entry in ``quant_data`` becomes a
-    :class:`PackedLinear`.
+    :class:`PackedLinear`.  ``quantize_lm_head`` additionally RTN-packs the
+    lm_head to INT4 (the reference never quantizes it, so this is opt-in;
+    saves ~6% decode HBM traffic at 7B for a small ppl cost).
     """
     layers: List[Dict[str, Any]] = []
     for li, lp in enumerate(params["layers"]):
@@ -61,12 +65,19 @@ def quantize_params_to_packed(
             else:
                 out[name] = jnp.asarray(w).astype(compute_dtype)
         layers.append(out)
+    if quantize_lm_head:
+        from gptq_v2_tpu.ops.packing import rtn_pack_dense
+
+        lm_head = rtn_pack_dense(np.asarray(params["lm_head"]),
+                                 lm_head_group_size, compute_dtype)
+    else:
+        lm_head = jnp.asarray(params["lm_head"]).astype(compute_dtype)
     return PackedLlama(
         cfg=cfg,
         embed_tokens=jnp.asarray(params["embed_tokens"]).astype(compute_dtype),
         layers=tuple(layers),
         norm=jnp.asarray(params["norm"]).astype(compute_dtype),
-        lm_head=jnp.asarray(params["lm_head"]).astype(compute_dtype),
+        lm_head=lm_head,
     )
 
 
@@ -124,7 +135,7 @@ def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
     for lp in model.layers:
         x, _ = packed_block_apply(cfg, lp, x, cos, sin)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-    return x @ model.lm_head
+    return _linear(model.lm_head, x)
 
 
 def random_packed_llama(
@@ -202,5 +213,6 @@ def dequantized_params(model: PackedLlama, dtype=jnp.bfloat16) -> L.Params:
         "embed_tokens": model.embed_tokens,
         "layers": layers,
         "norm": model.norm,
-        "lm_head": model.lm_head,
+        "lm_head": (dequantize_dense(model.lm_head, dtype)
+                    if isinstance(model.lm_head, PackedLinear) else model.lm_head),
     }

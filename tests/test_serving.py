@@ -106,6 +106,33 @@ class TestEngine:
         out = eng.run([Request(uid=1, prompt=p2, max_new_tokens=5)])
         assert out[1] == greedy_full_recompute(model, p2, 5)
 
+    def test_packed_lm_head(self, packed_model):
+        """Opt-in INT4 lm_head: forward matches dense RTN-dequant; serving
+        and TP paths run with it."""
+        from gptq_v2_tpu.ops.packing import dequantize_dense, rtn_pack_dense
+        from gptq_v2_tpu.serving.model import (PackedLlama,
+                                               packed_forward_logits)
+
+        model, _ = packed_model
+        lm_packed = rtn_pack_dense(np.asarray(model.lm_head), 16, jnp.float32)
+        model_q = PackedLlama(model.cfg, model.embed_tokens, model.layers,
+                              model.norm, lm_packed)
+        rng = np.random.default_rng(13)
+        tokens = jnp.asarray(rng.integers(0, model.cfg.vocab_size, (2, 8)))
+        got = packed_forward_logits(model_q, tokens)
+        dense_lm = dequantize_dense(lm_packed, jnp.float32)
+        ref_model = PackedLlama(model.cfg, model.embed_tokens, model.layers,
+                                model.norm, dense_lm)
+        want = packed_forward_logits(ref_model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=5e-3 * scale)
+        # engine end-to-end with the packed head
+        eng = Engine(model_q, max_batch=1, page_size=8, max_seq_len=32)
+        prompt = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=3)])
+        assert len(out[0]) == 3
+
     def test_paged_gather_kernel_matches_jnp(self):
         """Pallas page-copy gather == the jnp gather twin (interpret mode)."""
         from gptq_v2_tpu.ops.paged_gather import paged_gather_kv

@@ -51,6 +51,38 @@ def _leaf_name(path) -> str:
     return keystr(path).replace("['", "").replace("']", "").replace(".", "/").replace("/", ".")
 
 
+def _is_literal(v) -> bool:
+    return type(v).__name__ == "Literal"
+
+
+# Primitives whose presence in a live subgraph marks it "expensive to
+# recompute" (MXU work / custom kernels) — used by the incremental
+# quantization planner to decide which stage activations are worth caching.
+_EXPENSIVE = {"dot_general", "conv_general_dilated", "pallas_call",
+              "custom_vjp_call", "custom_jvp_call"}
+
+
+def analyze_live(jaxpr, outvars) -> Tuple[set, bool]:
+    """Backward liveness over a (flat) jaxpr restricted to ``outvars``.
+
+    Returns ``(live_invar_ids, expensive)``: the ``id()``s of jaxpr vars
+    (including invars) on which the outputs depend, and whether any live
+    equation is MXU-scale work (:data:`_EXPENSIVE`).  Higher-order equations
+    (pjit/pallas_call/custom_*) are treated opaquely — all their inputs are
+    live if any output is.
+    """
+    live = {id(v) for v in outvars if not _is_literal(v)}
+    expensive = False
+    for eqn in reversed(jaxpr.eqns):
+        if any(id(ov) in live for ov in eqn.outvars):
+            if eqn.primitive.name in _EXPENSIVE:
+                expensive = True
+            for iv in eqn.invars:
+                if not _is_literal(iv):
+                    live.add(id(iv))
+    return live, expensive
+
+
 def extract_dependencies(
     block_fn: Callable,
     params,

@@ -309,6 +309,7 @@ def block_apply(
     cos: jax.Array,
     sin: jax.Array,
     capture: Sequence[str] = (),
+    inject: Optional[Dict[str, jax.Array]] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decoder block. Returns ``(hidden, {name: linear_input})``.
 
@@ -317,10 +318,20 @@ def block_apply(
     reference RecorderWrapper.stage_hessian_accumulation,
     ``model_utils.py:101-103``).  Unused captures are DCE'd by XLA, so
     requesting an early stage's input skips all later compute for free.
+
+    ``inject`` maps linear names to pre-computed *inputs*: the linear uses
+    the injected activation instead of the locally computed one, and XLA
+    DCE's the now-unused producing compute.  This is the functional analogue
+    of the reference's replay records (``llama.py:171-179``): the
+    quantization driver caches each stage's captured input and injects it
+    into later stages' forwards, so the expensive prefix (e.g. attention)
+    runs once per block instead of once per stage.
     """
     caps: Dict[str, jax.Array] = {}
+    inject = inject or {}
 
     def lin(name: str, h: jax.Array) -> jax.Array:
+        h = inject.get(name, h)
         if name in capture:
             caps[name] = h
         return h @ lp[name]

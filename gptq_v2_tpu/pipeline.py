@@ -131,6 +131,193 @@ def _host_layer(lp: Dict) -> Dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Incremental stage scheduling
+#
+# Legacy behaviour recomputes the full block prefix for every stage's Hessian
+# pass plus one final block forward (the reference does the same per-stage
+# forwards, ``llama.py:108-136,184-191``).  The incremental plan instead
+# caches each stage's captured input activation and *injects* it into later
+# stage forwards (``models/llama.py block_apply(inject=...)``) — XLA DCE
+# removes the injected value's producing compute, so attention/qkv run once
+# per block instead of once per downstream stage.  This is the functional
+# analogue of the reference's replay records (``llama.py:171-179``), but it
+# also accelerates the Hessian passes, not just the downstream replay.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _IncPlan:
+    """Per-block incremental execution plan (model-agnostic, built once).
+
+    ``steps`` has one entry per Hessian stage plus a final entry for the
+    block-output forward.  Entry k: ``(inject, cache, uses_input)`` —
+    which cached captures (stage-first names) to inject, whether to cache
+    this stage's own capture, and whether the block input batch is live.
+    ``last_use[name]`` (or ``last_use['input']``) is the last step index
+    consuming the cache, for buffer donation + freeing.
+    """
+
+    injects: tuple  # per step: tuple of stage-first names to inject
+    cache: tuple  # per hessian stage: bool — cache this stage's capture
+    uses_input: tuple  # per step: bool
+    last_use: tuple  # ((name, step_idx), ...) incl. 'input'
+
+    def last_use_of(self, name: str) -> int:
+        return dict(self.last_use).get(name, -1)
+
+
+def _plan_incremental(cfg, lp_struct, x_struct, cs_struct, stage_list,
+                      max_cache_ratio: float = 1.5) -> Optional[_IncPlan]:
+    """Build the incremental plan by abstract tracing (zero real compute).
+
+    A stage's capture is cached iff (a) recomputing it from the already-
+    cached values involves MXU-scale work (``graph.analyze_live``), (b) it
+    is at most ``max_cache_ratio`` times the block input's size (the MLP
+    up-projection activation is ~2.7x hidden width on Llama — recomputing
+    gate/up at the final forward is cheaper than holding gigabytes), and
+    (c) some later step actually consumes it.
+    """
+    firsts = [st.linears[0] for st in stage_list]
+    stage_idx = {f: k for k, f in enumerate(firsts)}
+    members = {st.linears[0]: st.linears for st in stage_list}
+    n_final = len(firsts)  # step index of the block-output forward
+
+    cap_struct = jax.eval_shape(
+        lambda lp, x, cs: L.block_apply(cfg, lp, x, cs[0], cs[1],
+                                        capture=tuple(firsts))[1],
+        lp_struct, x_struct, cs_struct)
+
+    n_lp = len(jax.tree_util.tree_leaves(lp_struct))
+    n_x = len(jax.tree_util.tree_leaves(x_struct))
+    n_cs = len(jax.tree_util.tree_leaves(cs_struct))
+
+    def trace(capture_name, inject_firsts):
+        """Trace one step; returns (x_live, {inject_first: live}, expensive_capture)."""
+
+        def fn(lp, x, cs, inj):
+            injd = {m: inj[i] for i, f in enumerate(inject_firsts)
+                    for m in members[f]}
+            out, caps = L.block_apply(
+                cfg, lp, x, cs[0], cs[1],
+                capture=(capture_name,) if capture_name else (), inject=injd)
+            return caps[capture_name] if capture_name else out
+
+        closed = jax.make_jaxpr(fn)(
+            lp_struct, x_struct, cs_struct,
+            [cap_struct[f] for f in inject_firsts])
+        jaxpr = closed.jaxpr
+        live, expensive = graph.analyze_live(jaxpr, jaxpr.outvars)
+        x_live = any(id(v) in live
+                     for v in jaxpr.invars[n_lp:n_lp + n_x])
+        inj_vars = jaxpr.invars[n_lp + n_x + n_cs:]
+        inj_live = {f: id(v) in live for f, v in zip(inject_firsts, inj_vars)}
+        return x_live, inj_live, expensive
+
+    x_bytes = x_struct.size * x_struct.dtype.itemsize
+
+    # Candidate selection: expensive to recompute + small enough to hold.
+    candidates = []
+    for k, first in enumerate(firsts):
+        avail = list(candidates)
+        _, _, expensive = trace(first, avail)
+        cs_ = cap_struct[first]
+        if expensive and cs_.size * cs_.dtype.itemsize <= max_cache_ratio * x_bytes:
+            candidates.append(first)
+
+    # Liveness fixpoint: drop candidates no later step consumes; dropping one
+    # changes what the remaining steps recompute, so iterate.
+    for _ in range(len(firsts) + 1):
+        injects, uses_input, used_anywhere = [], [], set()
+        for k, first in enumerate(firsts):
+            avail = [c for c in candidates if stage_idx[c] < k]
+            x_live, inj_live, _ = trace(first, avail)
+            live_inj = tuple(c for c in avail if inj_live[c])
+            injects.append(live_inj)
+            uses_input.append(x_live)
+            used_anywhere.update(live_inj)
+        x_live, inj_live, _ = trace(None, candidates)
+        final_inj = tuple(c for c in candidates if inj_live[c])
+        injects.append(final_inj)
+        uses_input.append(x_live)
+        used_anywhere.update(final_inj)
+        kept = [c for c in candidates if c in used_anywhere]
+        if kept == candidates:
+            break
+        candidates = kept
+
+    last_use: Dict[str, int] = {}
+    for k, inj in enumerate(injects):
+        for c in inj:
+            last_use[c] = k
+        if uses_input[k]:
+            last_use[graph.INPUT] = k
+    return _IncPlan(
+        injects=tuple(injects),
+        cache=tuple(f in candidates for f in firsts),
+        uses_input=tuple(uses_input),
+        last_use=tuple(sorted(last_use.items())),
+    )
+
+
+_inc_step_cache: Dict = {}
+
+
+def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
+                       members_map: tuple, want_capture: bool,
+                       donate_inj: tuple, use_kernel: bool):
+    """Jitted Hessian step with activation injection.
+
+    Args at call time: ``(lp, xb, cos_sin, inj_tuple, h)``.  Donates the
+    accumulator and any injected cache buffers at their last use.
+    """
+    key = ("hess", cfg, stage_linears, inject_firsts, members_map,
+           want_capture, donate_inj, use_kernel)
+    if key not in _inc_step_cache:
+        first = stage_linears[0]
+        members = dict(members_map)
+        # signature: step(lp, xb, cos_sin, h, *inj) — h and last-use caches
+        # are donated (injected caches are separate positional args so each
+        # can be donated individually).
+        donate = (3,) + tuple(i + 4 for i, d in enumerate(donate_inj) if d)
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def step(lp, xb, cos_sin, h, *inj):
+            injd = {m: inj[i] for i, f in enumerate(inject_firsts)
+                    for m in members[f]}
+            _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                    capture=(first,), inject=injd)
+            act = caps[first]
+            st = hs.accumulate(
+                hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
+                use_kernel=use_kernel)
+            return (st.hessian, act) if want_capture else st.hessian
+
+        _inc_step_cache[key] = step
+    return _inc_step_cache[key]
+
+
+def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
+                   uses_input: bool, donate_inj: tuple):
+    key = ("final", cfg, inject_firsts, members_map, uses_input, donate_inj)
+    if key not in _inc_step_cache:
+        members = dict(members_map)
+        donate = tuple(i + 3 for i, d in enumerate(donate_inj) if d)
+        if uses_input:
+            donate = (1,) + donate
+
+        @functools.partial(jax.jit, donate_argnums=donate)
+        def fwd(lp, xb, cos_sin, *inj):
+            injd = {m: inj[i] for i, f in enumerate(inject_firsts)
+                    for m in members[f]}
+            out, _ = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                   inject=injd)
+            return out
+
+        _inc_step_cache[key] = fwd
+    return _inc_step_cache[key]
+
+
 # One jitted hessian step per (config, stage) — reused across layers/batches.
 _hess_step_cache: Dict = {}
 
@@ -210,6 +397,7 @@ def quantize_model(
     resume: bool = True,
     offload: str = "reconstruct",
     mesh=None,
+    incremental: bool = True,
 ) -> Dict[str, Dict]:
     """Quantize all decoder blocks in place (params is updated per layer).
 
@@ -237,6 +425,12 @@ def quantize_model(
     block forward + Hessian accumulation runs as shard_map'd per-device
     work with one cross-device reduction per stage (``parallel/dp.py``);
     ``batch_size`` must divide by the data-axis size.
+
+    ``incremental``: cache stage activations and inject them into later
+    stage forwards so the expensive block prefix runs once per block instead
+    of once per stage (see :func:`_plan_incremental`; numerically identical
+    to the legacy per-stage recompute).  Auto-disabled for RTN, mesh runs,
+    and blocks with partially resumable stages.
     """
     n_seq, seqlen = encodings.shape
     dt = cfg.jdtype
@@ -293,39 +487,112 @@ def quantize_model(
 
     block_fwd = _block_fwd_for(cfg)
 
+    plan = None
+    if incremental and mesh is None and not qcfg.rtn:
+        cs_struct = (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
+                     jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype))
+        plan = _plan_incremental(
+            cfg, lp0,
+            jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size), dt),
+            cs_struct, stage_list)
+        members_map = tuple((st.linears[0], st.linears) for st in stage_list)
+        logger.info(
+            "incremental plan: caching %s",
+            [st.linears[0] for st, c in zip(stage_list, plan.cache) if c])
+
+    def try_resume_stage(li, stage):
+        """Loaded results for a fully-saved stage of THIS config, else None.
+
+        Only results produced by the SAME QuantConfig resume — stale files
+        from a different sweep point must recompute."""
+        files = {name: save_path / f"model.layers.{li}.{name}.npz"
+                 for name in stage.linears}
+        if not all(f.exists() for f in files.values()):
+            return None
+        loaded = {name: _load_layer_npz(f) for name, f in files.items()}
+        if not all(tag == _config_tag(qcfg) for _, _, tag in loaded.values()):
+            logger.warning(
+                "block %d stage %s: saved results are from a different "
+                "QuantConfig; recomputing", li, stage.linears[0])
+            return None
+        return loaded
+
+    def apply_resumed(lp, li, loaded):
+        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+        for name, (meta, metrics, _) in loaded.items():
+            canonical = f"model.layers.{li}.{name}"
+            results["data"][canonical] = meta
+            results["metrics"][canonical] = metrics
+            w = reconstruct_weight(meta, out_dtype=jnp.float32)
+            lp[name] = w.T.astype(dt)
+            logger.debug("%s resumed", canonical)
+
+    def solve_stage(lp, li, stage, inv, pending):
+        """Quantize every linear of one stage against its inverted Hessian,
+        swapping dequantized weights into ``lp`` (the v2 error-propagation,
+        reference ``llama.py:171-179``)."""
+        t_stage = time.time()
+        d_in = lp[stage.linears[0]].shape[0]
+        for name in stage.linears:
+            w = lp[name].T  # (out, in) solver layout
+            n_groups = d_in // qcfg.group_size
+            res = gq.gptq_quant(
+                w, inv,
+                [qcfg.group_size] * n_groups, [qcfg.bits] * n_groups,
+                scale_bit_width=qcfg.scale_bit_width,
+                quant_symmetric=qcfg.sym,
+                quant_mse=qcfg.mse,
+                quant_max_shrink=qcfg.mse_max_shrink,
+                quant_n_grid=qcfg.mse_n_grid,
+                quant_norm=qcfg.mse_norm,
+                feedback_dtype=qcfg.feedback_dtype,
+                save_dtype=dt,
+                use_solver_kernel=qcfg.use_solver_kernel,
+                keep_on_device=True,
+            )
+            lp[name] = res["quant"].T.astype(dt)
+            canonical = f"model.layers.{li}.{name}"
+            # start the device→host copies now; they overlap the next
+            # stages' compute and are collected at block end
+            for v in res["quant_meta"].values():
+                if isinstance(v, jax.Array):
+                    v.copy_to_host_async()
+            results["data"][canonical] = res["quant_meta"]
+            results["metrics"][canonical] = res["metrics"]
+            pending.append(canonical)
+            del res
+        logger.debug("block %d stage %s: solve %.2fs", li, stage.linears[0],
+                     time.time() - t_stage)
+
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
         lp = place_layer(_device_layer(params["layers"][li]))
         pending: list = []  # canonical names with device-resident quant_meta
 
+        resumed_stages: Dict[str, Dict] = {}
+        if save_path and resume:
+            for st in stage_list:
+                r = try_resume_stage(li, st)
+                if r is not None:
+                    resumed_stages[st.linears[0]] = r
+
+        if plan is not None and not resumed_stages:
+            xs = _quantize_block_incremental(
+                cfg, qcfg, lp, li, xs, cos_sin, stage_list, plan,
+                members_map, n_seq, solve_stage, pending)
+            _finish_block(results, pending, save_path, qcfg, params, lp, li,
+                          offload, dt)
+            logger.info("finished block %d in %.2f s", li, time.time() - t0)
+            continue
+
         for stage in stage_list:
             first = stage.linears[0]
             d_in = lp[first].shape[0]
 
-            if save_path and resume:
-                files = {name: save_path / f"model.layers.{li}.{name}.npz"
-                         for name in stage.linears}
-                if all(f.exists() for f in files.values()):
-                    loaded = {name: _load_layer_npz(f)
-                              for name, f in files.items()}
-                    # only resume results produced by the SAME QuantConfig —
-                    # stale files from a different sweep point must recompute
-                    if all(tag == _config_tag(qcfg)
-                           for _, _, tag in loaded.values()):
-                        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
-
-                        for name, (meta, metrics, _) in loaded.items():
-                            canonical = f"model.layers.{li}.{name}"
-                            results["data"][canonical] = meta
-                            results["metrics"][canonical] = metrics
-                            w = reconstruct_weight(meta, out_dtype=jnp.float32)
-                            lp[name] = w.T.astype(dt)
-                            logger.debug("%s resumed from %s", canonical,
-                                         files[name])
-                        continue
-                    logger.warning(
-                        "block %d stage %s: saved results are from a "
-                        "different QuantConfig; recomputing", li, first)
+            if first in resumed_stages:
+                apply_resumed(lp, li, resumed_stages[first])
+                continue
 
             if not qcfg.rtn:
                 if mesh is not None:
@@ -352,41 +619,7 @@ def quantize_model(
             else:
                 inv = None
 
-            t_stage = time.time()
-            for name in stage.linears:
-                w = lp[name].T  # (out, in) solver layout
-                n_groups = d_in // qcfg.group_size
-                res = gq.gptq_quant(
-                    w, inv,
-                    [qcfg.group_size] * n_groups, [qcfg.bits] * n_groups,
-                    scale_bit_width=qcfg.scale_bit_width,
-                    quant_symmetric=qcfg.sym,
-                    quant_mse=qcfg.mse,
-                    quant_max_shrink=qcfg.mse_max_shrink,
-                    quant_n_grid=qcfg.mse_n_grid,
-                    quant_norm=qcfg.mse_norm,
-                    feedback_dtype=qcfg.feedback_dtype,
-                    save_dtype=dt,
-                    use_solver_kernel=qcfg.use_solver_kernel,
-                    keep_on_device=True,
-                )
-                # Swap in the dequantized weight: downstream stages and the
-                # next block's inputs see real quantized outputs (the v2
-                # error-propagation, reference llama.py:171-179).
-                lp[name] = res["quant"].T.astype(dt)
-                canonical = f"model.layers.{li}.{name}"
-                # start the device→host copies now; they overlap the next
-                # stages' compute and are collected at block end
-                for v in res["quant_meta"].values():
-                    if isinstance(v, jax.Array):
-                        v.copy_to_host_async()
-                results["data"][canonical] = res["quant_meta"]
-                results["metrics"][canonical] = res["metrics"]
-                pending.append(canonical)
-                del res
-
-            logger.debug("block %d stage %s: solve %.2fs", li, first,
-                         time.time() - t_stage)
+            solve_stage(lp, li, stage, inv, pending)
             del inv
 
         # Inputs of the next block, computed with fully quantized weights
@@ -394,34 +627,101 @@ def quantize_model(
         fwd = dp_fwd if mesh is not None else block_fwd
         xs = [fwd(lp, xb, cos_sin) for xb in xs]
 
-        # collect the async quant_meta copies (overlapped with the stages
-        # above) and release their device buffers
-        for canonical in pending:
-            meta = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
-                    for k, v in results["data"][canonical].items()}
-            results["data"][canonical] = meta
-            results["metrics"][canonical] = {
-                k: float(v) for k, v in results["metrics"][canonical].items()}
-            logger.debug("%s %s", canonical, results["metrics"][canonical])
-            if save_path:
-                np.savez(save_path / f"{canonical}.npz",
-                         **{k: v for k, v in meta.items() if v is not None},
-                         config_tag=_config_tag(qcfg),
-                         **{f"metric_{k}": v
-                            for k, v in results["metrics"][canonical].items()})
-
-        if offload == "host":
-            params["layers"][li] = _host_layer(lp)
-        else:
-            new_lp: Dict = {}
-            for name in lp:
-                canonical = f"model.layers.{li}.{name}"
-                if canonical in results["data"]:
-                    new_lp[name] = QuantMetaRef(results["data"][canonical], dt)
-                else:  # norms — tiny
-                    new_lp[name] = np.asarray(jax.device_get(lp[name]))
-            params["layers"][li] = new_lp
+        _finish_block(results, pending, save_path, qcfg, params, lp, li,
+                      offload, dt)
         del lp
         logger.info("finished block %d in %.2f s", li, time.time() - t0)
 
     return results
+
+
+def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
+                                plan: _IncPlan, members_map, n_seq,
+                                solve_stage, pending) -> list:
+    """One block under the incremental plan; returns the next block's inputs.
+
+    Per stage: one injected forward per batch accumulates the Hessian and
+    (when planned) emits the capture for downstream injection; cache buffers
+    are donated to XLA at their last use.  The final block forward also runs
+    injected — at most one application of each linear per batch per block.
+    """
+    n_final = len(stage_list)
+    cache: Dict[str, list] = {}
+
+    for k, stage in enumerate(stage_list):
+        first = stage.linears[0]
+        d_in = lp[first].shape[0]
+        inj_names = plan.injects[k]
+        donate_inj = tuple(plan.last_use_of(c) == k for c in inj_names)
+        step = _inc_hess_step_for(cfg, stage.linears, inj_names, members_map,
+                                  plan.cache[k], donate_inj,
+                                  qcfg.use_hessian_kernel)
+        h = jnp.zeros((d_in, d_in), jnp.float32)
+        if plan.cache[k]:
+            cache[first] = [None] * len(xs)
+        for b, xb in enumerate(xs):
+            out = step(lp, xb, cos_sin, h,
+                       *(cache[c][b] for c in inj_names))
+            if plan.cache[k]:
+                h, cache[first][b] = out
+            else:
+                h = out
+            for c, d in zip(inj_names, donate_inj):
+                if d:
+                    cache[c][b] = None  # buffer donated to XLA
+        for c, d in zip(inj_names, donate_inj):
+            if d:
+                cache.pop(c, None)
+
+        state = hs.HessianState(h, jnp.asarray(n_seq, jnp.int32))
+        inv = hs.invert(state, damp_ratio=qcfg.damp_ratio,
+                        act_order=qcfg.act_order)
+        del h, state
+        solve_stage(lp, li, stage, inv, pending)
+        del inv
+
+    inj_names = plan.injects[n_final]
+    donate_inj = tuple(plan.last_use_of(c) == n_final for c in inj_names)
+    fwd = _inc_final_for(cfg, inj_names, members_map,
+                         plan.uses_input[n_final], donate_inj)
+    new_xs = []
+    for b, xb in enumerate(xs):
+        new_xs.append(fwd(lp, xb, cos_sin,
+                          *(cache[c][b] for c in inj_names)))
+        for c, d in zip(inj_names, donate_inj):
+            if d:
+                cache[c][b] = None
+    cache.clear()
+    return new_xs
+
+
+def _finish_block(results, pending, save_path, qcfg, params, lp, li,
+                  offload, dt) -> None:
+    """Collect the async quant_meta copies (overlapped with the stages
+    above), release their device buffers, stream to disk, and offload the
+    finished block's parameters."""
+    for canonical in pending:
+        meta = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
+                for k, v in results["data"][canonical].items()}
+        results["data"][canonical] = meta
+        results["metrics"][canonical] = {
+            k: float(v) for k, v in results["metrics"][canonical].items()}
+        logger.debug("%s %s", canonical, results["metrics"][canonical])
+        if save_path:
+            np.savez(save_path / f"{canonical}.npz",
+                     **{k: v for k, v in meta.items() if v is not None},
+                     config_tag=_config_tag(qcfg),
+                     **{f"metric_{k}": v
+                        for k, v in results["metrics"][canonical].items()})
+
+    if offload == "host":
+        params["layers"][li] = _host_layer(lp)
+    else:
+        new_lp: Dict = {}
+        for name in lp:
+            canonical = f"model.layers.{li}.{name}"
+            if canonical in results["data"]:
+                new_lp[name] = QuantMetaRef(results["data"][canonical], dt)
+            else:  # norms — tiny
+                new_lp[name] = np.asarray(jax.device_get(lp[name]))
+        params["layers"][li] = new_lp

@@ -107,6 +107,67 @@ class TestQuantizeModel:
             cfg.hidden_size // 16)
         assert meta["qweight"].max() <= 15
 
+    def test_incremental_matches_legacy(self, tiny):
+        """The injected incremental schedule must be numerically equivalent
+        to the legacy per-stage full-prefix recompute (same math, different
+        program partitioning — only fusion-level fp differences allowed)."""
+        cfg, params, calib, _ = tiny
+        qcfg = QuantConfig(bits=4, group_size=16)
+        p_inc = clone_params(params)
+        r_inc = quantize_model(cfg, p_inc, calib, qcfg, batch_size=4,
+                               incremental=True)
+        p_leg = clone_params(params)
+        r_leg = quantize_model(cfg, p_leg, calib, qcfg, batch_size=4,
+                               incremental=False)
+        for canonical, meta in r_inc["data"].items():
+            ml = r_leg["data"][canonical]
+            from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+            wi = np.asarray(reconstruct_weight(meta))
+            wl = np.asarray(reconstruct_weight(ml))
+            np.testing.assert_allclose(wi, wl, rtol=1e-5, atol=1e-6,
+                                       err_msg=canonical)
+            mi = r_inc["metrics"][canonical]
+            for k, v in r_leg["metrics"][canonical].items():
+                assert abs(mi[k] - v) <= 1e-4 * max(1.0, abs(v)), (canonical, k)
+
+    def test_incremental_plan_structure(self, tiny):
+        """Planner on the Llama block: the qkv capture (a norm of the block
+        input — no MXU work) is recomputed, attention-out and the MLP input
+        are cached, and the wide up-projection activation (> 1.5x hidden)
+        is recomputed at the final forward."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu import graph
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.pipeline import _plan_incremental
+
+        cfg, params, calib, _ = tiny
+        lp0 = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            dict(params["layers"][0]))
+        x_st = jax.ShapeDtypeStruct((4, 32, cfg.hidden_size), cfg.jdtype)
+        cos, sin = L.rope_cos_sin(cfg, jnp.arange(32))
+        cs_st = (jax.ShapeDtypeStruct(cos.shape, cos.dtype),
+                 jax.ShapeDtypeStruct(sin.shape, sin.dtype))
+        schedule = graph.extract_dependencies(
+            lambda p, xb, cs: L.block_apply(cfg, p, xb, cs[0], cs[1])[0],
+            lp0, x_st, cs_st)
+        stages = [st for st in schedule if st.linears != (graph.OUTPUT,)]
+        plan = _plan_incremental(cfg, lp0, x_st, cs_st, stages)
+
+        assert plan.cache == (False, True, True, False)
+        assert plan.injects[0] == ()
+        assert plan.injects[1] == ()  # attn capture needs the real prefix
+        assert plan.injects[2] == ("self_attn.o_proj",)
+        assert plan.injects[3] == ("mlp.gate_proj",)
+        # final forward: residual from x + o(attn), MLP re-applied from h2
+        assert set(plan.injects[4]) == {"self_attn.o_proj", "mlp.gate_proj"}
+        assert plan.uses_input[4]
+        assert not plan.uses_input[3]  # down capture depends only on h2
+        assert plan.last_use_of("self_attn.o_proj") == 4
+        assert plan.last_use_of("mlp.gate_proj") == 4
+
     def test_streaming_save(self, tiny, tmp_path):
         cfg, params, calib, _ = tiny
         p = clone_params(params)

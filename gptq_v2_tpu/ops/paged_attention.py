@@ -1,0 +1,86 @@
+"""Paged decode attention: ragged-paged-attention kernel + jnp twin.
+
+The serving stack's paged KV layout is kernel-native: per layer
+``(n_pages, page_size, 2·n_kv, head_dim)`` with K/V interleaved along the
+combined-head axis (``serving/kv_cache.py``).  Decode attention streams
+exactly the *valid* pages of each sequence from HBM inside the kernel — no
+materialized gather, and no per-sequence ``max_pages`` over-read (the XLA
+row-gather alternative measured ~84 GB/s effective on v5e and always reads
+the full table).
+
+Kernel: ``jax.experimental.pallas.ops.tpu.ragged_paged_attention`` (the
+vLLM-TPU production kernel: grouped-query flash attention over pages with
+auto-tuned block sizes per TPU generation).  The reference CUDA framework
+has no serving attention at all (it evaluates on dequantized fp16 linears,
+reference ``quant.py:262-279``); this component is mandated by the BASELINE
+north star, and the jnp twin below is its correctness oracle (the repo-wide
+dual-path rule, SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def kernel_eligible(kv_pages: jax.Array) -> bool:
+    """Static conditions under which the Pallas kernel runs."""
+    n_comb, hd = kv_pages.shape[2], kv_pages.shape[3]
+    return (jax.default_backend() == "tpu"
+            and hd % 128 == 0
+            and n_comb % 2 == 0)
+
+
+def paged_decode_attention(
+    q: jax.Array,  # (B, Hq, hd) — one query token per sequence
+    kv_pages: jax.Array,  # (n_pages, page_size, 2·n_kv, hd) — K even, V odd
+    lengths: jax.Array,  # (B,) valid positions incl. the new token
+    block_tables: jax.Array,  # (B, pages_per_seq)
+) -> jax.Array:
+    """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
+    else to the jnp twin."""
+    if kernel_eligible(kv_pages):
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention,
+        )
+
+        b, hq, hd = q.shape
+        # decode: each sequence contributes exactly one query token
+        cu_q_lens = jnp.arange(b + 1, dtype=jnp.int32)
+        return ragged_paged_attention(
+            q, kv_pages, lengths.astype(jnp.int32),
+            block_tables.astype(jnp.int32), cu_q_lens,
+            jnp.full((1,), b, jnp.int32),
+            sm_scale=1.0 / math.sqrt(hd),
+        )
+    return paged_decode_attention_reference(q, kv_pages, lengths,
+                                            block_tables)
+
+
+def paged_decode_attention_reference(
+    q: jax.Array,
+    kv_pages: jax.Array,
+    lengths: jax.Array,
+    block_tables: jax.Array,
+) -> jax.Array:
+    """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
+    _, ps, n_comb, hd = kv_pages.shape
+    n_kv = n_comb // 2
+    b, mp = block_tables.shape
+    hq = q.shape[1]
+    s = mp * ps
+    pages = jnp.take(kv_pages, block_tables, axis=0)  # (B, mp, ps, 2kv, hd)
+    seq = pages.reshape(b, s, n_comb, hd)
+    k, v = seq[:, :, 0::2], seq[:, :, 1::2]
+    groups = hq // n_kv
+    qg = q.reshape(b, n_kv, groups, hd)
+    scores = jnp.einsum("bkgh,bskh->bkgs", qg, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    mask = jnp.arange(s)[None, :] < lengths[:, None]  # (B, S)
+    scores = jnp.where(mask[:, None, None, :], scores,
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgs,bskh->bkgh", probs, v)
+    return out.reshape(b, hq, hd)

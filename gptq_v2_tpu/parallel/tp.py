@@ -187,8 +187,10 @@ def cache_pspec(cache, data_parallel: bool = False):
     if isinstance(cache, kvc.ContiguousKVCache):
         s = P(None, d, None, MODEL_AXIS, None)
         return kvc.ContiguousKVCache(s, s)
-    s = P(None, d, MODEL_AXIS, None)
-    return kvc.PagedKVCache(s, s, cache.page_size)
+    # (n_layers, n_pages, page_size, 2·n_kv, hd): combined KV heads shard over
+    # model (pairs stay intact — even counts per shard), pool over data
+    s = P(None, d, None, MODEL_AXIS, None)
+    return kvc.PagedKVCache(s, cache.page_size)
 
 
 def shard_cache(cache, mesh, data_parallel: bool = False):
@@ -284,18 +286,8 @@ def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None,
         if s is None or s >= cache.max_len:
             return cache, (cache.k[li], cache.v[li])
         return cache, (cache.k[li, :, :s], cache.v[li, :, :s])
-    n = k.shape[1]
-    if pad_mask is not None:
-        slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, positions),
-                               cache.page_size)
-        slots = jnp.where(pad_mask, 0, slots)
-    else:
-        slots = kvc.flat_slots(block_tables, positions, cache.page_size)
-    n_kv, hd = k.shape[2], k.shape[3]
-    cache = cache._replace(
-        k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * n, n_kv, hd)),
-        v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * n, n_kv, hd)),
-    )
+    cache = kvc.write_kv(cache, li, k, v, block_tables, positions,
+                         pad_mask=pad_mask)
     if s is None or s >= block_tables.shape[1] * cache.page_size:
         return cache, kvc.gather_kv(cache, li, block_tables)
     n_pages = -(-s // cache.page_size)
@@ -382,9 +374,23 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
             q = L.apply_rope(q, cos, sin)
             k = L.apply_rope(k, cos, sin)
-            cache, (k_all, v_all) = _write_then_read_kv(
-                cache, li, k, v, block_tables, positions[:, None], s=s)
-            attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+            if contiguous:
+                cache, (k_all, v_all) = _write_then_read_kv(
+                    cache, li, k, v, block_tables, positions[:, None], s=s)
+                attn = L.attention(q, k_all, v_all, causal_offset=None,
+                                   key_mask=key_mask)
+            else:
+                from gptq_v2_tpu.ops.paged_attention import (
+                    paged_decode_attention,
+                )
+
+                cache = kvc.write_kv(cache, li, k, v, block_tables,
+                                     positions[:, None])
+                n_pages = -(-s // cache.page_size)
+                # local KV heads stream their own pages in-kernel
+                attn = paged_decode_attention(
+                    q[:, 0], cache.kv[li], positions + 1,
+                    block_tables[:, :n_pages])[:, None]
             attn = _gather_cols(attn.reshape(b, 1, hq * hd))
             x = x + _row_linear(lp["self_attn.o_proj"], attn)
             h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

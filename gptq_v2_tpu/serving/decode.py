@@ -55,14 +55,9 @@ def prefill(
                 v=cache.v.at[li, rows, wpos].set(v),
             )
         else:
-            # steer pad-token writes into the trash slot (page 0 is reserved)
-            slots = kvc.flat_slots(block_tables, jnp.where(pad_mask, 0, pos_b),
-                                   cache.page_size)
-            slots = jnp.where(pad_mask, 0, slots)
-            cache = cache._replace(
-                k=cache.k.at[li, slots.reshape(-1)].set(k.reshape(b * lpad, n_kv, hd)),
-                v=cache.v.at[li, slots.reshape(-1)].set(v.reshape(b * lpad, n_kv, hd)),
-            )
+            # pad-token writes steer into the trash page (page 0 is reserved)
+            cache = kvc.write_kv(cache, li, k, v, block_tables, pos_b,
+                                 pad_mask=pad_mask)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
     from gptq_v2_tpu.serving.model import _linear
@@ -134,12 +129,17 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
         # attend over the slot's region in place — no gather
         cache = kvc.write_kv_contiguous(cache, li, k, v, positions[:, None])
         k_all, v_all = cache.k[li, :, :s], cache.v[li, :, :s]
+        attn = L.attention(q, k_all, v_all, causal_offset=None,
+                           key_mask=key_mask)
     else:
+        from gptq_v2_tpu.ops.paged_attention import paged_decode_attention
+
         cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
         n_pages = -(-s // cache.page_size)
-        k_all, v_all = kvc.gather_kv(cache, li, block_tables[:, :n_pages])
-        k_all, v_all = k_all[:, :s], v_all[:, :s]
-    attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
+        # in-kernel page streaming: reads only each sequence's valid pages
+        attn = paged_decode_attention(
+            q[:, 0], cache.kv[li], positions + 1,
+            block_tables[:, :n_pages])[:, None]
     x = x + _linear(lp["self_attn.o_proj"], attn.reshape(b, 1, hq * hd))
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     gate = _linear(lp["mlp.gate_proj"], h)

@@ -10,9 +10,15 @@ Two layouts behind one engine:
   per-slot max-length preallocation — the standard TPU-serving trade.
 * :class:`PagedKVCache` — vLLM-style page pool for allocation flexibility
   (long/short mixes without per-slot preallocation).  Layout per layer:
-  ``(n_pages · page_size, n_kv_heads, head_dim)``; logical position ``t``
-  lives at flat slot ``block_table[t // page_size] · page_size +
-  t % page_size``.  Attention assembles K/V via :func:`gather_kv`.
+  ``(n_pages, page_size, 2 · n_kv_heads, head_dim)`` with K and V
+  *interleaved* along the combined-head axis (K at even indices, V at odd)
+  — the native layout of the TPU ragged-paged-attention kernel
+  (``ops/paged_attention.py``).  Token-major: one token's full K+V write is
+  a single contiguous ``(2·n_kv, hd)`` row (an efficient one-row-per-token
+  scatter), and the kernel DMA-streams whole pages.  Logical position ``t``
+  of a sequence lives at page ``block_table[t // page_size]``, offset
+  ``t % page_size``.  Off-TPU, attention assembles K/V via the
+  :func:`gather_kv` jnp twin.
 
 All functions are pure/jittable; free-slot/page bookkeeping is host-side in
 the engine.
@@ -20,7 +26,7 @@ the engine.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,19 +35,18 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PagedKVCache:
-    k: jax.Array  # (n_layers, n_pages * page_size, n_kv, hd)
-    v: jax.Array  # same
+    kv: jax.Array  # (n_layers, n_pages, page_size, 2·n_kv, hd); K even, V odd
     page_size: int  # static
 
     @property
     def n_slots(self) -> int:
-        return self.k.shape[1]
+        return self.kv.shape[1] * self.kv.shape[2]
 
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
     def tree_flatten(self):
-        return ((self.k, self.v), (self.page_size,))
+        return ((self.kv,), (self.page_size,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -50,8 +55,8 @@ class PagedKVCache:
 
 def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
                dtype=jnp.bfloat16) -> PagedKVCache:
-    shape = (n_layers, n_pages * page_size, n_kv, hd)
-    return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), page_size)
+    shape = (n_layers, n_pages, page_size, 2 * n_kv, hd)
+    return PagedKVCache(jnp.zeros(shape, dtype), page_size)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -101,12 +106,25 @@ def write_kv_contiguous(
     return cache._replace(k=k, v=v)
 
 
-def flat_slots(block_tables: jax.Array, positions: jax.Array, page_size: int) -> jax.Array:
-    """(B, max_pages) block tables + (B, N) logical positions → flat slots."""
+def page_offsets(block_tables: jax.Array, positions: jax.Array,
+                 page_size: int, pad_mask: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """(B, max_pages) block tables + (B, N) logical positions →
+    ``(pages, offsets)`` each (B, N).  With ``pad_mask``, padded tokens are
+    steered to page 0 offset 0 (the reserved trash page)."""
     page_idx = positions // page_size  # (B, N)
     offset = positions % page_size
     pages = jnp.take_along_axis(block_tables, page_idx, axis=1)  # (B, N)
-    return pages * page_size + offset
+    if pad_mask is not None:
+        pages = jnp.where(pad_mask, 0, pages)
+        offset = jnp.where(pad_mask, 0, offset)
+    return pages, offset
+
+
+def interleave_kv(k: jax.Array, v: jax.Array) -> jax.Array:
+    """(…, n_kv, hd) K and V → (…, 2·n_kv, hd) combined rows (K even, V odd)."""
+    kv = jnp.stack((k, v), axis=-2)  # (…, n_kv, 2, hd)
+    return kv.reshape(*k.shape[:-2], 2 * k.shape[-2], k.shape[-1])
 
 
 def write_kv(
@@ -116,12 +134,23 @@ def write_kv(
     v_new: jax.Array,
     block_tables: jax.Array,  # (B, max_pages)
     positions: jax.Array,  # (B, N) logical positions of the new tokens
+    pad_mask: Optional[jax.Array] = None,  # (B, N) → write to trash page
 ) -> PagedKVCache:
-    slots = flat_slots(block_tables, positions, cache.page_size).reshape(-1)
+    pages, offs = page_offsets(block_tables, positions, cache.page_size,
+                               pad_mask)
     b, n, n_kv, hd = k_new.shape
-    k = cache.k.at[layer, slots].set(k_new.reshape(b * n, n_kv, hd))
-    v = cache.v.at[layer, slots].set(v_new.reshape(b * n, n_kv, hd))
-    return cache._replace(k=k, v=v)
+    pg, of = pages.reshape(-1), offs.reshape(-1)
+    rows = interleave_kv(k_new, v_new).reshape(b * n, 2 * n_kv, hd)
+    if (jax.default_backend() == "tpu" and n == 1
+            and hd % 128 == 0 and (2 * n_kv) % 8 == 0):
+        # decode hot path: one DMA per row instead of XLA's scatter lowering
+        # (row shape must be DMA-tileable: lanes 128, sublanes 8)
+        from gptq_v2_tpu.ops.paged_write import paged_write_rows
+
+        return cache._replace(
+            kv=paged_write_rows(cache.kv, layer, rows, pg, of))
+    # one contiguous (2·n_kv, hd) row per token — a row scatter
+    return cache._replace(kv=cache.kv.at[layer, pg, of].set(rows))
 
 
 def gather_kv(
@@ -131,17 +160,14 @@ def gather_kv(
 ) -> Tuple[jax.Array, jax.Array]:
     """Assemble each sequence's K/V: (B, max_pages·page_size, n_kv, hd).
 
-    Entries past a sequence's length are garbage; the attention mask
-    (``seq_lens``) must exclude them.  (A Pallas page-block copy kernel,
-    ``ops/paged_gather.py``, measures identical to this XLA gather —
-    ~280 GB/s r+w on v5e; the gather itself is copy-bound either way,
-    which is why the gather-free contiguous cache is the default layout.)
+    The **jnp reference twin** of the Pallas ragged-paged-attention kernel's
+    in-kernel page streaming (``ops/paged_attention.py``) — the off-TPU /
+    debugging path.  Entries past a sequence's length are garbage; the
+    attention mask (``seq_lens``) must exclude them.
     """
     ps = cache.page_size
     b, mp = block_tables.shape
-    n_kv, hd = cache.k.shape[2], cache.k.shape[3]
-    base = block_tables[:, :, None] * ps + jnp.arange(ps)[None, None, :]
-    slots = base.reshape(b, mp * ps)
-    k = jnp.take(cache.k[layer], slots, axis=0)  # (B, mp*ps, n_kv, hd)
-    v = jnp.take(cache.v[layer], slots, axis=0)
-    return k, v
+    n_comb, hd = cache.kv.shape[3], cache.kv.shape[4]
+    pages = jnp.take(cache.kv[layer], block_tables, axis=0)  # (B, mp, ps, 2kv, hd)
+    seq = pages.reshape(b, mp * ps, n_comb, hd)
+    return seq[:, :, 0::2], seq[:, :, 1::2]

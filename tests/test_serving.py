@@ -133,25 +133,53 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=3)])
         assert len(out[0]) == 3
 
-    def test_paged_gather_kernel_matches_jnp(self):
-        """Pallas page-copy gather == the jnp gather twin (interpret mode)."""
-        from gptq_v2_tpu.ops.paged_gather import paged_gather_kv
+    def test_paged_attention_reference_matches_dense(self):
+        """The paged-attention jnp twin (the kernel's oracle) == dense masked
+        GQA attention over the gathered K/V."""
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.ops.paged_attention import (
+            paged_decode_attention_reference,
+        )
+        from gptq_v2_tpu.serving import kv_cache as kvc
 
         rng = np.random.default_rng(11)
-        b, ps, mp, n_kv, hd = 3, 8, 4, 2, 16
+        b, ps, mp, n_kv, hq, hd = 3, 8, 4, 2, 4, 16
         npool = 1 + b * mp
-        kp = jnp.asarray(rng.standard_normal((npool * ps, n_kv, hd)),
-                         dtype=jnp.float32)
-        vp = jnp.asarray(rng.standard_normal((npool * ps, n_kv, hd)),
-                         dtype=jnp.float32)
+        cache = kvc.init_cache(1, npool, ps, n_kv, hd, dtype=jnp.float32)
+        cache = cache._replace(
+            kv=jnp.asarray(rng.standard_normal(cache.kv.shape), jnp.float32))
         bt = jnp.asarray(
             rng.permutation(npool - 1)[:b * mp].reshape(b, mp).astype(np.int32) + 1)
-        ko, vo = paged_gather_kv(kp, vp, bt, ps, interpret=True)
-        slots = (bt[:, :, None] * ps + jnp.arange(ps)[None, None, :]).reshape(b, -1)
-        np.testing.assert_array_equal(np.asarray(ko),
-                                      np.asarray(jnp.take(kp, slots, axis=0)))
-        np.testing.assert_array_equal(np.asarray(vo),
-                                      np.asarray(jnp.take(vp, slots, axis=0)))
+        lengths = jnp.asarray([5, mp * ps, 17], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((b, hq, hd)), jnp.float32)
+
+        out = paged_decode_attention_reference(q, cache.kv[0], lengths, bt)
+        k_all, v_all = kvc.gather_kv(cache, 0, bt)
+        mask = jnp.arange(mp * ps)[None, :] < lengths[:, None]
+        ref = L.attention(q[:, None], k_all, v_all, causal_offset=None,
+                          key_mask=mask)[:, 0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_write_kv_roundtrip_and_pad_steering(self):
+        """write_kv places tokens at (page, offset) per the block table;
+        pad-masked tokens land in the trash page."""
+        from gptq_v2_tpu.serving import kv_cache as kvc
+
+        rng = np.random.default_rng(3)
+        b, n, ps, mp, n_kv, hd = 2, 5, 4, 3, 2, 8
+        cache = kvc.init_cache(1, 1 + b * mp, ps, n_kv, hd, dtype=jnp.float32)
+        bt = jnp.asarray(1 + np.arange(b * mp).reshape(b, mp), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+        pad = pos >= jnp.asarray([[4], [2]])  # row lengths 4 and 2
+        k_new = jnp.asarray(rng.standard_normal((b, n, n_kv, hd)), jnp.float32)
+        cache = kvc.write_kv(cache, 0, k_new, k_new, bt, pos, pad_mask=pad)
+        k_all, _ = kvc.gather_kv(cache, 0, bt)
+        for row, L_ in ((0, 4), (1, 2)):
+            np.testing.assert_array_equal(np.asarray(k_all[row, :L_]),
+                                          np.asarray(k_new[row, :L_]))
+            # padded positions were steered away: cache region stays zero
+            np.testing.assert_array_equal(np.asarray(k_all[row, L_:n]), 0.0)
 
     def test_decode_multi_matches_stepwise(self, packed_model):
         """One scanned burst == n repeated decode_step calls (greedy)."""

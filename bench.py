@@ -22,8 +22,9 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gptq_v2_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 import jax.numpy as jnp
 

@@ -69,6 +69,10 @@ def main(argv=None) -> dict:
     args = parse_args(argv)
     logging.info(args)
 
+    from gptq_v2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg, params = load_hf_model(args.model_dir)
 
     encodings_train = get_dataloader(

@@ -71,6 +71,87 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
     return init, step, reduce
 
 
+def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...],
+                        inject_firsts: Tuple[str, ...], members_map: tuple,
+                        want_capture: bool, donate_inj: Tuple[bool, ...],
+                        use_kernel: bool = True):
+    """Data-parallel variant of the pipeline's incremental Hessian step
+    (``pipeline._inc_hess_step_for``): injected stage activations are
+    sharded over ``data`` like the batch; the per-device forward captures
+    this stage's activation shard for downstream injection.
+
+    Returns ``(init, step, reduce)``; ``step(lp, xb, cos_sin, h_parts,
+    *inj)`` donates the partials and last-use injected caches.
+    """
+    dp = dp_size(mesh)
+    members = dict(members_map)
+    first = stage_linears[0]
+
+    def init(d_in: int):
+        return jax.device_put(
+            jnp.zeros((dp, d_in, d_in), jnp.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    def local(lp, xb, cs, hp, *inj):
+        injd = {m: inj[i] for i, f in enumerate(inject_firsts)
+                for m in members[f]}
+        _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=(first,),
+                                inject=injd)
+        act = caps[first]
+        st = hs.accumulate(
+            hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
+            use_kernel=use_kernel,
+        )
+        return (st.hessian[None], act) if want_capture else st.hessian[None]
+
+    def step_impl(lp, xb, cos_sin, h_parts, *inj):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P(DATA_AXIS))
+                     + (P(DATA_AXIS),) * len(inj),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)) if want_capture
+                      else P(DATA_AXIS),
+            check_vma=False,
+        )(lp, xb, cos_sin, h_parts, *inj)
+
+    donate = (3,) + tuple(i + 4 for i, d in enumerate(donate_inj) if d)
+    step = jax.jit(step_impl, donate_argnums=donate)
+
+    @jax.jit
+    def reduce(h_parts):
+        return h_parts.sum(axis=0)
+
+    return init, step, reduce
+
+
+def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
+                     members_map: tuple, uses_input: bool,
+                     donate_inj: Tuple[bool, ...]):
+    """Data-parallel injected block-output forward
+    (``pipeline._inc_final_for`` over the mesh)."""
+    members = dict(members_map)
+
+    def local(lp, xb, cs, *inj):
+        injd = {m: inj[i] for i, f in enumerate(inject_firsts)
+                for m in members[f]}
+        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], inject=injd)
+        return out
+
+    def fwd_impl(lp, xb, cos_sin, *inj):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P()) + (P(DATA_AXIS),) * len(inj),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(lp, xb, cos_sin, *inj)
+
+    donate = tuple(i + 3 for i, d in enumerate(donate_inj) if d)
+    if uses_input:
+        donate = (1,) + donate
+    return jax.jit(fwd_impl, donate_argnums=donate)
+
+
 def dp_block_forward(mesh, cfg: L.LlamaConfig):
     """Jitted data-parallel block forward: recompute next-block inputs with
     the batch sharded over ``data`` (pipeline HOT LOOP 4,

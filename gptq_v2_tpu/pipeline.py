@@ -429,8 +429,9 @@ def quantize_model(
     ``incremental``: cache stage activations and inject them into later
     stage forwards so the expensive block prefix runs once per block instead
     of once per stage (see :func:`_plan_incremental`; numerically identical
-    to the legacy per-stage recompute).  Auto-disabled for RTN, mesh runs,
-    and blocks with partially resumable stages.
+    to the legacy per-stage recompute).  Works on single devices and over
+    the mesh ``data`` axis; auto-disabled for RTN and blocks with
+    resumable stages.
     """
     n_seq, seqlen = encodings.shape
     dt = cfg.jdtype
@@ -488,7 +489,7 @@ def quantize_model(
     block_fwd = _block_fwd_for(cfg)
 
     plan = None
-    if incremental and mesh is None and not qcfg.rtn:
+    if incremental and not qcfg.rtn:
         cs_struct = (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
                      jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype))
         plan = _plan_incremental(
@@ -580,7 +581,7 @@ def quantize_model(
         if plan is not None and not resumed_stages:
             xs = _quantize_block_incremental(
                 cfg, qcfg, lp, li, xs, cos_sin, stage_list, plan,
-                members_map, n_seq, solve_stage, pending)
+                members_map, n_seq, solve_stage, pending, mesh=mesh)
             _finish_block(results, pending, save_path, qcfg, params, lp, li,
                           offload, dt)
             logger.info("finished block %d in %.2f s", li, time.time() - t0)
@@ -637,13 +638,15 @@ def quantize_model(
 
 def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
                                 plan: _IncPlan, members_map, n_seq,
-                                solve_stage, pending) -> list:
+                                solve_stage, pending, mesh=None) -> list:
     """One block under the incremental plan; returns the next block's inputs.
 
     Per stage: one injected forward per batch accumulates the Hessian and
     (when planned) emits the capture for downstream injection; cache buffers
     are donated to XLA at their last use.  The final block forward also runs
     injected — at most one application of each linear per batch per block.
+    With ``mesh``, batches and caches shard over the ``data`` axis and the
+    Hessian reduces once per stage (``parallel/dp.py``).
     """
     n_final = len(stage_list)
     cache: Dict[str, list] = {}
@@ -653,10 +656,24 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
         d_in = lp[first].shape[0]
         inj_names = plan.injects[k]
         donate_inj = tuple(plan.last_use_of(c) == k for c in inj_names)
-        step = _inc_hess_step_for(cfg, stage.linears, inj_names, members_map,
-                                  plan.cache[k], donate_inj,
-                                  qcfg.use_hessian_kernel)
-        h = jnp.zeros((d_in, d_in), jnp.float32)
+        if mesh is None:
+            step = _inc_hess_step_for(cfg, stage.linears, inj_names,
+                                      members_map, plan.cache[k], donate_inj,
+                                      qcfg.use_hessian_kernel)
+            h = jnp.zeros((d_in, d_in), jnp.float32)
+            reduce_h = lambda h: h
+        else:
+            key = ("dp-hess", mesh, cfg, stage.linears, inj_names,
+                   plan.cache[k], donate_inj, qcfg.use_hessian_kernel)
+            if key not in _inc_step_cache:
+                from gptq_v2_tpu.parallel import dp as DP
+
+                _inc_step_cache[key] = DP.dp_inc_hessian_step(
+                    mesh, cfg, stage.linears, inj_names, members_map,
+                    plan.cache[k], donate_inj,
+                    use_kernel=qcfg.use_hessian_kernel)
+            init, step, reduce_h = _inc_step_cache[key]
+            h = init(d_in)
         if plan.cache[k]:
             cache[first] = [None] * len(xs)
         for b, xb in enumerate(xs):
@@ -673,7 +690,7 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
             if d:
                 cache.pop(c, None)
 
-        state = hs.HessianState(h, jnp.asarray(n_seq, jnp.int32))
+        state = hs.HessianState(reduce_h(h), jnp.asarray(n_seq, jnp.int32))
         inv = hs.invert(state, damp_ratio=qcfg.damp_ratio,
                         act_order=qcfg.act_order)
         del h, state
@@ -682,8 +699,19 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
 
     inj_names = plan.injects[n_final]
     donate_inj = tuple(plan.last_use_of(c) == n_final for c in inj_names)
-    fwd = _inc_final_for(cfg, inj_names, members_map,
-                         plan.uses_input[n_final], donate_inj)
+    if mesh is None:
+        fwd = _inc_final_for(cfg, inj_names, members_map,
+                             plan.uses_input[n_final], donate_inj)
+    else:
+        key = ("dp-final", mesh, cfg, inj_names, plan.uses_input[n_final],
+               donate_inj)
+        if key not in _inc_step_cache:
+            from gptq_v2_tpu.parallel import dp as DP
+
+            _inc_step_cache[key] = DP.dp_inc_final_fwd(
+                mesh, cfg, inj_names, members_map,
+                plan.uses_input[n_final], donate_inj)
+        fwd = _inc_step_cache[key]
     new_xs = []
     for b, xb in enumerate(xs):
         new_xs.append(fwd(lp, xb, cos_sin,

@@ -69,6 +69,9 @@ def main(argv=None) -> dict:
     logging.basicConfig(format="%(levelname)s %(asctime)s %(message)s",
                         level=logging.INFO)
     logging.info(" ".join(argv if argv is not None else sys.argv))
+    from gptq_v2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_serve_args(argv)
     eng = build_engine(args)
     stats = {}

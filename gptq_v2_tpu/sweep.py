@@ -86,6 +86,9 @@ def run_sweep(args) -> list:
 def main(argv=None) -> list:
     logging.basicConfig(format="%(levelname)s %(asctime)s %(message)s",
                         level=logging.INFO)
+    from gptq_v2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_sweep_args(argv)
     rows = run_sweep(args)
     if args.out:

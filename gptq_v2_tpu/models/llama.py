@@ -40,6 +40,11 @@ BLOCK_LINEARS = ATTN_LINEARS + MLP_LINEARS
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    """Config for the Llama *family*: Llama-1/2/3, Mistral (same math plus a
+    sliding attention window), and Qwen2/2.5 (QKV biases, otherwise
+    identical).  One functional decoder serves all three — the HF classes
+    differ only in these switches."""
+
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -56,6 +61,9 @@ class LlamaConfig:
     # (the config doubles as a jit static arg / cache key); None = no
     # scaling.  Supported rope types: "linear", "llama3".
     rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
+    qkv_bias: bool = False  # Qwen2; HF llama `attention_bias` sets both
+    o_bias: bool = False
+    sliding_window: Optional[int] = None  # Mistral/Qwen2 local attention
 
     @property
     def head_dim_(self) -> int:
@@ -67,6 +75,9 @@ class LlamaConfig:
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
+        model_type = d.get("model_type", "llama")
+        if model_type not in ("llama", "mistral", "qwen2"):
+            raise NotImplementedError(f"model_type {model_type!r}")
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
         rope_scaling = None
@@ -79,6 +90,13 @@ class LlamaConfig:
                         for k, v in rs.items() if k != "type"}
                 norm["rope_type"] = rope_type
                 rope_scaling = tuple(sorted(norm.items()))
+        # HF LlamaConfig.attention_bias covers q/k/v/o; Qwen2 hard-codes
+        # bias=True on q/k/v and bias=False on o (HF Qwen2Attention)
+        attention_bias = d.get("attention_bias", False)
+        qkv_bias = attention_bias or model_type == "qwen2"
+        sliding = d.get("sliding_window")
+        if model_type == "qwen2" and not d.get("use_sliding_window", False):
+            sliding = None  # HF Qwen2 gates the window behind this flag
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -93,6 +111,9 @@ class LlamaConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             dtype=dtype,
             rope_scaling=rope_scaling,
+            qkv_bias=qkv_bias,
+            o_bias=attention_bias,
+            sliding_window=sliding,
         )
 
     @classmethod
@@ -120,7 +141,7 @@ class LlamaConfig:
 def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
     d, hd = cfg.hidden_size, cfg.head_dim_
     nq, nkv, i = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
-    return {
+    shapes = {
         "input_layernorm": (d,),
         "self_attn.q_proj": (d, nq * hd),
         "self_attn.k_proj": (d, nkv * hd),
@@ -131,6 +152,12 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
         "mlp.up_proj": (d, i),
         "mlp.down_proj": (i, d),
     }
+    if cfg.qkv_bias:
+        for n in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
+            shapes[n + ".bias"] = (shapes[n][1],)
+    if cfg.o_bias:
+        shapes["self_attn.o_proj.bias"] = (d,)
+    return shapes
 
 
 def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
@@ -239,16 +266,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c.astype(x.dtype) + _rotate_half(x) * s.astype(x.dtype)
 
 
-def _use_flash(q: jax.Array, k: jax.Array) -> bool:
+def _use_flash(q: jax.Array, k: jax.Array, window: Optional[int]) -> bool:
     """Full-sequence causal self-attention on TPU → Pallas flash kernel.
 
     Dense attention materializes (B, H, N, N) fp32 scores — at the
     calibration length 2048 that is HBM-catastrophic (measured 14x off MXU
-    peak); the flash kernel keeps the softmax online in VMEM.
+    peak); the flash kernel keeps the softmax online in VMEM.  A sliding
+    window narrower than the sequence needs the dense mask path (the flash
+    kernel is causal-only); a window >= N is a no-op and keeps flash.
     """
     b, n, hq, hd = q.shape
     return (jax.default_backend() == "tpu" and n == k.shape[1]
-            and n >= 1024 and n % 512 == 0 and hd % 128 == 0)
+            and n >= 1024 and n % 512 == 0 and hd % 128 == 0
+            and (window is None or window >= n))
 
 
 def _flash_attention(q, k, v):
@@ -273,15 +303,18 @@ def attention(
     v: jax.Array,  # (B, S, Hkv, hd)
     causal_offset: Optional[int] = 0,
     key_mask: Optional[jax.Array] = None,  # (B, S) valid-key mask
+    window: Optional[int] = None,  # sliding window (Mistral/Qwen2)
 ) -> jax.Array:
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
 
     ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
     S - N for decode with a prefix); ``None`` disables causal masking.
     ``key_mask`` additionally masks invalid keys (paged-cache decode).
+    ``window``: query i additionally attends only the last ``window`` keys
+    (``i + offset - window < j``, HF sliding-window semantics).
     Long causal self-attention dispatches to the Pallas flash kernel.
     """
-    if causal_offset == 0 and key_mask is None and _use_flash(q, k):
+    if causal_offset == 0 and key_mask is None and _use_flash(q, k, window):
         return _flash_attention(q, k, v)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
@@ -294,6 +327,8 @@ def attention(
         qi = jnp.arange(n)[:, None]
         kj = jnp.arange(s)[None, :]
         mask = kj <= qi + causal_offset
+        if window is not None:
+            mask &= kj > qi + causal_offset - window
         scores = jnp.where(mask[None, None, None], scores, neg)
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, None, :], scores, neg)
@@ -334,7 +369,9 @@ def block_apply(
         h = inject.get(name, h)
         if name in capture:
             caps[name] = h
-        return h @ lp[name]
+        y = h @ lp[name]
+        bias = lp.get(name + ".bias")
+        return y if bias is None else y + bias
 
     b, n, d = x.shape
     hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -345,7 +382,7 @@ def block_apply(
     v = lin("self_attn.v_proj", h).reshape(b, n, hkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = attention(q, k, v).reshape(b, n, hq * hd)
+    attn = attention(q, k, v, window=cfg.sliding_window).reshape(b, n, hq * hd)
     x = x + lin("self_attn.o_proj", attn)
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

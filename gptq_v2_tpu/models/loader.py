@@ -26,6 +26,8 @@ def _hf_key(our_layer_key: str, layer_idx: int | None) -> str:
             "norm": "model.norm.weight",
             "lm_head": "lm_head.weight",
         }[our_layer_key]
+    if our_layer_key.endswith(".bias"):  # Qwen2 QKV biases
+        return f"model.layers.{layer_idx}.{our_layer_key}"
     return f"model.layers.{layer_idx}.{our_layer_key}.weight"
 
 

@@ -37,6 +37,7 @@ def paged_decode_attention(
     kv_pages: jax.Array,  # (n_pages, page_size, 2·n_kv, hd) — K even, V odd
     lengths: jax.Array,  # (B,) valid positions incl. the new token
     block_tables: jax.Array,  # (B, pages_per_seq)
+    sliding_window: int | None = None,  # Mistral/Qwen2 local attention
 ) -> jax.Array:
     """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
     else to the jnp twin."""
@@ -53,9 +54,10 @@ def paged_decode_attention(
             block_tables.astype(jnp.int32), cu_q_lens,
             jnp.full((1,), b, jnp.int32),
             sm_scale=1.0 / math.sqrt(hd),
+            sliding_window=sliding_window,
         )
     return paged_decode_attention_reference(q, kv_pages, lengths,
-                                            block_tables)
+                                            block_tables, sliding_window)
 
 
 def paged_decode_attention_reference(
@@ -63,6 +65,7 @@ def paged_decode_attention_reference(
     kv_pages: jax.Array,
     lengths: jax.Array,
     block_tables: jax.Array,
+    sliding_window: int | None = None,
 ) -> jax.Array:
     """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
     _, ps, n_comb, hd = kv_pages.shape
@@ -79,6 +82,8 @@ def paged_decode_attention_reference(
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd)
     mask = jnp.arange(s)[None, :] < lengths[:, None]  # (B, S)
+    if sliding_window is not None:
+        mask &= jnp.arange(s)[None, :] > lengths[:, None] - 1 - sliding_window
     scores = jnp.where(mask[:, None, None, :], scores,
                        jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)

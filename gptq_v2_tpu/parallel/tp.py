@@ -114,9 +114,9 @@ class TPPackedLlama:
         def leaf_spec(w):
             if isinstance(w, TPPacked):
                 return w.spec_like()
-            if hasattr(w, "ndim") and w.ndim == 3:  # stacked dense shard
+            if hasattr(w, "ndim") and w.ndim >= 2:  # stacked dense/bias shard
                 return P(MODEL_AXIS)
-            return P()  # replicated (norms)
+            return P()  # replicated (norms, row-parallel bias)
         layer_specs = tuple(
             {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers
         )
@@ -165,8 +165,10 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
             elif name in ROW_PARALLEL:
                 out[name] = (_stack_packed(split_packed_row(w, tp))
                              if isinstance(w, PackedLinear) else shard_dense(w, 0))
+            elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
+                out[name] = shard_dense(w, 0)  # shards with the out features
             else:
-                out[name] = w  # norms: replicated
+                out[name] = w  # norms + row-parallel bias: replicated
         layers.append(out)
     tpm = TPPackedLlama(cfg, tp, model.embed_tokens, tuple(layers),
                         model.norm, model.lm_head)
@@ -224,6 +226,18 @@ def _row_linear(w, x_full: jax.Array) -> jax.Array:
     return jax.lax.psum(part, MODEL_AXIS)
 
 
+def _col_lin(lp, name: str, x: jax.Array) -> jax.Array:
+    y = _col_linear(lp[name], x)
+    b = lp.get(name + ".bias")
+    return y if b is None else y + b[0]  # bias shards with the out features
+
+
+def _row_lin(lp, name: str, x_full: jax.Array) -> jax.Array:
+    y = _row_linear(lp[name], x_full)
+    b = lp.get(name + ".bias")
+    return y if b is None else y + b  # replicated bias, added post-psum
+
+
 def _gather_cols(x: jax.Array) -> jax.Array:
     """All-gather the feature axis across the model axis (shard order)."""
     return jax.lax.all_gather(x, MODEL_AXIS, axis=x.ndim - 1, tiled=True)
@@ -243,9 +257,9 @@ def _tp_block(cfg, tp, lp, x, cos, sin,
     hkv = cfg.num_key_value_heads // tp
 
     h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _col_linear(lp["self_attn.q_proj"], h).reshape(b, n, hq, hd)
-    k = _col_linear(lp["self_attn.k_proj"], h).reshape(b, n, hkv, hd)
-    v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, n, hkv, hd)
+    q = _col_lin(lp, "self_attn.q_proj", h).reshape(b, n, hq, hd)
+    k = _col_lin(lp, "self_attn.k_proj", h).reshape(b, n, hkv, hd)
+    v = _col_lin(lp, "self_attn.v_proj", h).reshape(b, n, hkv, hd)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
@@ -253,15 +267,15 @@ def _tp_block(cfg, tp, lp, x, cos, sin,
         k_all, v_all, key_mask = kv_override
         attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
     else:
-        attn = L.attention(q, k, v)
+        attn = L.attention(q, k, v, window=cfg.sliding_window)
     attn = _gather_cols(attn.reshape(b, n, hq * hd))  # (b, n, hq_full*hd)
-    x = x + _row_linear(lp["self_attn.o_proj"], attn)
+    x = x + _row_lin(lp, "self_attn.o_proj", attn)
 
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _col_linear(lp["mlp.gate_proj"], h)
-    up = _col_linear(lp["mlp.up_proj"], h)
+    gate = _col_lin(lp, "mlp.gate_proj", h)
+    up = _col_lin(lp, "mlp.up_proj", h)
     act = _gather_cols(jax.nn.silu(gate) * up)  # (b, n, I_full)
-    x = x + _row_linear(lp["mlp.down_proj"], act)
+    x = x + _row_lin(lp, "mlp.down_proj", act)
     return x, (k, v)
 
 
@@ -363,15 +377,18 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
         if s_bucket is not None:
             s = min(s, s_bucket)
         key_mask = jnp.arange(s)[None, :] <= positions[:, None]
+        if cfg.sliding_window is not None:  # Mistral/Qwen2 local attention
+            key_mask &= (jnp.arange(s)[None, :]
+                         > positions[:, None] - cfg.sliding_window)
         for li, lp in enumerate(model.layers):
             # write the new token's local-head K/V, then attend over the cache
             hd = cfg.head_dim_
             hq = cfg.num_attention_heads // model.tp
             hkv = cfg.num_key_value_heads // model.tp
             h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-            q = _col_linear(lp["self_attn.q_proj"], h).reshape(b, 1, hq, hd)
-            k = _col_linear(lp["self_attn.k_proj"], h).reshape(b, 1, hkv, hd)
-            v = _col_linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
+            q = _col_lin(lp, "self_attn.q_proj", h).reshape(b, 1, hq, hd)
+            k = _col_lin(lp, "self_attn.k_proj", h).reshape(b, 1, hkv, hd)
+            v = _col_lin(lp, "self_attn.v_proj", h).reshape(b, 1, hkv, hd)
             q = L.apply_rope(q, cos, sin)
             k = L.apply_rope(k, cos, sin)
             if contiguous:
@@ -390,14 +407,15 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                 # local KV heads stream their own pages in-kernel
                 attn = paged_decode_attention(
                     q[:, 0], cache.kv[li], positions + 1,
-                    block_tables[:, :n_pages])[:, None]
+                    block_tables[:, :n_pages],
+                    sliding_window=cfg.sliding_window)[:, None]
             attn = _gather_cols(attn.reshape(b, 1, hq * hd))
-            x = x + _row_linear(lp["self_attn.o_proj"], attn)
+            x = x + _row_lin(lp, "self_attn.o_proj", attn)
             h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            gate = _col_linear(lp["mlp.gate_proj"], h)
-            up = _col_linear(lp["mlp.up_proj"], h)
+            gate = _col_lin(lp, "mlp.gate_proj", h)
+            up = _col_lin(lp, "mlp.up_proj", h)
             act = _gather_cols(jax.nn.silu(gate) * up)
-            x = x + _row_linear(lp["mlp.down_proj"], act)
+            x = x + _row_lin(lp, "mlp.down_proj", act)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
         return _plain_linear(model.lm_head, x[:, 0]), cache
 

@@ -100,6 +100,8 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
     if s_bucket is not None:
         s = min(s, s_bucket)
     key_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
+    if cfg.sliding_window is not None:  # Mistral/Qwen2 local attention
+        key_mask &= jnp.arange(s)[None, :] > positions[:, None] - cfg.sliding_window
 
     for li, lp in enumerate(model.layers):
         # write this token's K/V first, then attend over the full cache
@@ -114,14 +116,14 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
 
 def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                   key_mask, s):
-    from gptq_v2_tpu.serving.model import _linear
+    from gptq_v2_tpu.serving.model import _lin
 
     b = x.shape[0]
     hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
     h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _linear(lp["self_attn.q_proj"], h).reshape(b, 1, hq, hd)
-    k = _linear(lp["self_attn.k_proj"], h).reshape(b, 1, hkv, hd)
-    v = _linear(lp["self_attn.v_proj"], h).reshape(b, 1, hkv, hd)
+    q = _lin(lp, "self_attn.q_proj", h).reshape(b, 1, hq, hd)
+    k = _lin(lp, "self_attn.k_proj", h).reshape(b, 1, hkv, hd)
+    v = _lin(lp, "self_attn.v_proj", h).reshape(b, 1, hkv, hd)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
     if isinstance(cache, kvc.ContiguousKVCache):
@@ -139,12 +141,13 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
         # in-kernel page streaming: reads only each sequence's valid pages
         attn = paged_decode_attention(
             q[:, 0], cache.kv[li], positions + 1,
-            block_tables[:, :n_pages])[:, None]
-    x = x + _linear(lp["self_attn.o_proj"], attn.reshape(b, 1, hq * hd))
+            block_tables[:, :n_pages],
+            sliding_window=cfg.sliding_window)[:, None]
+    x = x + _lin(lp, "self_attn.o_proj", attn.reshape(b, 1, hq * hd))
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _linear(lp["mlp.gate_proj"], h)
-    up = _linear(lp["mlp.up_proj"], h)
-    x = x + _linear(lp["mlp.down_proj"], jax.nn.silu(gate) * up)
+    gate = _lin(lp, "mlp.gate_proj", h)
+    up = _lin(lp, "mlp.up_proj", h)
+    x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
     return x, cache
 
 

@@ -81,10 +81,13 @@ def quantize_params_to_packed(
     )
 
 
-def _linear(w, x: jax.Array) -> jax.Array:
-    if isinstance(w, PackedLinear):
-        return w4a16_matmul(x, w)
-    return x @ w
+def _linear(w, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+    y = w4a16_matmul(x, w) if isinstance(w, PackedLinear) else x @ w
+    return y if bias is None else y + bias
+
+
+def _lin(lp: Dict[str, Any], name: str, x: jax.Array) -> jax.Array:
+    return _linear(lp[name], x, lp.get(name + ".bias"))
 
 
 def packed_block_apply(
@@ -106,9 +109,9 @@ def packed_block_apply(
     hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
 
     h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _linear(lp["self_attn.q_proj"], h).reshape(b, n, hq, hd)
-    k = _linear(lp["self_attn.k_proj"], h).reshape(b, n, hkv, hd)
-    v = _linear(lp["self_attn.v_proj"], h).reshape(b, n, hkv, hd)
+    q = _lin(lp, "self_attn.q_proj", h).reshape(b, n, hq, hd)
+    k = _lin(lp, "self_attn.k_proj", h).reshape(b, n, hkv, hd)
+    v = _lin(lp, "self_attn.v_proj", h).reshape(b, n, hkv, hd)
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
 
@@ -116,14 +119,14 @@ def packed_block_apply(
         k_all, v_all, key_mask = kv_override
         attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
     else:
-        attn = L.attention(q, k, v)
+        attn = L.attention(q, k, v, window=cfg.sliding_window)
     attn = attn.reshape(b, n, hq * hd)
-    x = x + _linear(lp["self_attn.o_proj"], attn)
+    x = x + _lin(lp, "self_attn.o_proj", attn)
 
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _linear(lp["mlp.gate_proj"], h)
-    up = _linear(lp["mlp.up_proj"], h)
-    x = x + _linear(lp["mlp.down_proj"], jax.nn.silu(gate) * up)
+    gate = _lin(lp, "mlp.gate_proj", h)
+    up = _lin(lp, "mlp.up_proj", h)
+    x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
     return x, (k, v)
 
 

@@ -116,6 +116,85 @@ class TestHFParity:
         np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+class TestModelFamilies:
+    """Mistral (sliding window) and Qwen2 (QKV biases) against their HF
+    implementations — same functional decoder, family switches only."""
+
+    def _parity(self, hf_model, hf_cfg_dict, seqlen, seed, rtol=2e-4):
+        import torch
+
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg_dict,
+                                          "torch_dtype": "float32"})
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(seed)
+        tokens = rng.integers(0, cfg.vocab_size, (2, seqlen))
+        with torch.no_grad():
+            ref = hf_model(torch.from_numpy(tokens)).logits.numpy()
+        ours = np.asarray(L.forward_logits(cfg, params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(ours, ref, rtol=rtol, atol=rtol)
+        return cfg, params
+
+    def test_qwen2_logits_match_transformers(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Qwen2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(4)
+        hf_model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 5)
+        assert cfg.qkv_bias and not cfg.o_bias
+        assert "self_attn.q_proj.bias" in params["layers"][0]
+
+    def test_mistral_sliding_window_matches_transformers(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.MistralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            sliding_window=16, attn_implementation="eager",
+        )
+        torch.manual_seed(6)
+        hf_model = transformers.MistralForCausalLM(hf_cfg).eval()
+        # seqlen 48 > window 16 exercises the windowed mask path
+        cfg, _ = self._parity(hf_model, hf_cfg.to_dict(), 48, 7)
+        assert cfg.sliding_window == 16
+
+    def test_qwen2_quantize_pipeline(self):
+        """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from gptq_v2_tpu.evaluate import evaluate_ppl
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        hf_cfg = transformers.Qwen2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(8)
+        hf_model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg.to_dict(),
+                                          "torch_dtype": "float32"})
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(0)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+        ppl_fp = evaluate_ppl(cfg, dict(params), calib, batch_size=4)
+        r = quantize_model(cfg, params, calib, QuantConfig(bits=8, group_size=16),
+                           batch_size=4)
+        assert "model.layers.0.self_attn.q_proj" in r["data"]
+        ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
+        assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
+
+
 class TestDependencySchedule:
     def test_llama_schedule(self, tiny_cfg, tiny_params):
         lp = tiny_params["layers"][0]

@@ -69,6 +69,27 @@ class TestEngine:
         assert out[0] == expected
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_qwen2_style_decode_matches_full_recompute(self, kind):
+        """QKV biases + sliding window through the serving stack: cached
+        decode must equal the windowed full recompute."""
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, qkv_bias=True,
+                                 sliding_window=8)
+        model = random_packed_llama(cfg, group_size=16, seed=9,
+                                    compute_dtype=jnp.float32)
+        assert "self_attn.q_proj.bias" in model.layers[0]
+        rng = np.random.default_rng(4)
+        # prompt + generation crosses the window boundary (8)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
     def test_continuous_batching_matches_sequential(self, packed_model, kind):
         model, _ = packed_model
         rng = np.random.default_rng(5)

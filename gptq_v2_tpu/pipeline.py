@@ -357,6 +357,43 @@ def _block_fwd_for(cfg):
     return _block_fwd_cache[cfg]
 
 
+def _pack_meta_for_host(meta: Dict) -> Dict:
+    """Shrink device→host quant_meta traffic (the per-block bottleneck on
+    tunneled runtimes: ~130 MB/block of uint8 codes at ~32 MB/s).  INT4
+    codes pack two-per-byte; f16/bf16 tensors ship as uint16 bits (the
+    float conversion path is ~3x slower).  Inverse: :func:`_unpack_meta`."""
+    out = dict(meta)
+    qw = out.get("qweight")
+    if (isinstance(qw, jax.Array) and qw.shape[1] % 2 == 0
+            and np.asarray(out["group_bit_widths"]).max() <= 4):
+        out["qweight__nibbles"] = qw[:, 0::2] | (qw[:, 1::2] << 4)
+        del out["qweight"]
+    for k, v in list(out.items()):
+        if isinstance(v, jax.Array) and v.dtype in (jnp.float16, jnp.bfloat16):
+            tag = "f16" if v.dtype == jnp.float16 else "bf16"
+            out[f"{k}__{tag}bits"] = jax.lax.bitcast_convert_type(v, jnp.uint16)
+            del out[k]
+    return out
+
+
+def _unpack_meta(meta: Dict) -> Dict:
+    """Host-side inverse of :func:`_pack_meta_for_host` (np arrays in/out)."""
+    out = {}
+    for k, v in meta.items():
+        if k == "qweight__nibbles":
+            qw = np.empty((v.shape[0], v.shape[1] * 2), np.uint8)
+            qw[:, 0::2] = v & 0xF
+            qw[:, 1::2] = v >> 4
+            out["qweight"] = qw
+        elif k.endswith("__f16bits"):
+            out[k[:-len("__f16bits")]] = v.view(np.float16)
+        elif k.endswith("__bf16bits"):
+            out[k[:-len("__bf16bits")]] = v.view(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
 def ensure_optional_meta(meta: Dict) -> Dict:
     """Default the optional quant_meta fields (shared by every loader)."""
     for opt in ("qscale", "sscale", "scale_bit_width"):
@@ -554,18 +591,24 @@ def quantize_model(
             )
             lp[name] = res["quant"].T.astype(dt)
             canonical = f"model.layers.{li}.{name}"
-            # start the device→host copies now; they overlap the next
-            # stages' compute and are collected at block end
-            for v in res["quant_meta"].values():
+            # start the device→host copies now (nibble-packed / bit-cast to
+            # halve the bytes); they overlap the next stages' compute and
+            # are collected at block end
+            packed = _pack_meta_for_host(res["quant_meta"])
+            for v in packed.values():
                 if isinstance(v, jax.Array):
                     v.copy_to_host_async()
-            results["data"][canonical] = res["quant_meta"]
+            results["data"][canonical] = packed
             results["metrics"][canonical] = res["metrics"]
             pending.append(canonical)
             del res
         logger.debug("block %d stage %s: solve %.2fs", li, stage.linears[0],
                      time.time() - t_stage)
 
+    # NB: host collection stays inline at block end — deferring it by one
+    # block to "overlap" the d2h copies with the next block's compute was
+    # measured 2x SLOWER on the tunneled runtime (the transfer saturates
+    # the tunnel and starves the next block's dispatch stream).
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
         lp = place_layer(_device_layer(params["layers"][li]))
@@ -729,8 +772,9 @@ def _finish_block(results, pending, save_path, qcfg, params, lp, li,
     above), release their device buffers, stream to disk, and offload the
     finished block's parameters."""
     for canonical in pending:
-        meta = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
-                for k, v in results["data"][canonical].items()}
+        meta = _unpack_meta(
+            {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
+             for k, v in results["data"][canonical].items()})
         results["data"][canonical] = meta
         results["metrics"][canonical] = {
             k: float(v) for k, v in results["metrics"][canonical].items()}

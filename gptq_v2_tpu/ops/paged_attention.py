@@ -38,6 +38,8 @@ def paged_decode_attention(
     lengths: jax.Array,  # (B,) valid positions incl. the new token
     block_tables: jax.Array,  # (B, pages_per_seq)
     sliding_window: int | None = None,  # Mistral/Qwen2 local attention
+    k_scale: float | None = None,  # int8 KV storage scales (static,
+    v_scale: float | None = None,  # per layer; kernel dequantizes in VMEM)
 ) -> jax.Array:
     """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
     else to the jnp twin."""
@@ -55,9 +57,11 @@ def paged_decode_attention(
             jnp.full((1,), b, jnp.int32),
             sm_scale=1.0 / math.sqrt(hd),
             sliding_window=sliding_window,
+            k_scale=k_scale, v_scale=v_scale,
         )
     return paged_decode_attention_reference(q, kv_pages, lengths,
-                                            block_tables, sliding_window)
+                                            block_tables, sliding_window,
+                                            k_scale, v_scale)
 
 
 def paged_decode_attention_reference(
@@ -66,6 +70,8 @@ def paged_decode_attention_reference(
     lengths: jax.Array,
     block_tables: jax.Array,
     sliding_window: int | None = None,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
 ) -> jax.Array:
     """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
     _, ps, n_comb, hd = kv_pages.shape
@@ -76,6 +82,10 @@ def paged_decode_attention_reference(
     pages = jnp.take(kv_pages, block_tables, axis=0)  # (B, mp, ps, 2kv, hd)
     seq = pages.reshape(b, s, n_comb, hd)
     k, v = seq[:, :, 0::2], seq[:, :, 1::2]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale
+    if v_scale is not None:
+        v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
     groups = hq // n_kv
     qg = q.reshape(b, n_kv, groups, hd)
     scores = jnp.einsum("bkgh,bskh->bkgs", qg, k,

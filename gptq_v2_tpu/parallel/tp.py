@@ -329,11 +329,12 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
         for li, lp in enumerate(model.layers):
             x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin)
             if contiguous:
+                kq, vq = kvc.quantize_kv_write(cache, li, k, v)
                 wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
                 rows = jnp.broadcast_to(slot[:, None], wpos.shape)
                 cache = cache._replace(
-                    k=cache.k.at[li, rows, wpos].set(k),
-                    v=cache.v.at[li, rows, wpos].set(v),
+                    k=cache.k.at[li, rows, wpos].set(kq),
+                    v=cache.v.at[li, rows, wpos].set(vq),
                 )
             else:
                 cache, _ = _write_then_read_kv(cache, li, k, v, block_tables,
@@ -394,8 +395,16 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             if contiguous:
                 cache, (k_all, v_all) = _write_then_read_kv(
                     cache, li, k, v, block_tables, positions[:, None], s=s)
-                attn = L.attention(q, k_all, v_all, causal_offset=None,
+                qq = q
+                if cache.k_scales is not None:  # int8 KV (see serving.decode)
+                    qq = q * jnp.asarray(cache.k_scales[li],
+                                         jnp.float32).astype(q.dtype)
+                    k_all = k_all.astype(q.dtype)
+                    v_all = v_all.astype(q.dtype)
+                attn = L.attention(qq, k_all, v_all, causal_offset=None,
                                    key_mask=key_mask)
+                if cache.v_scales is not None:
+                    attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
             else:
                 from gptq_v2_tpu.ops.paged_attention import (
                     paged_decode_attention,
@@ -408,7 +417,12 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                 attn = paged_decode_attention(
                     q[:, 0], cache.kv[li], positions + 1,
                     block_tables[:, :n_pages],
-                    sliding_window=cfg.sliding_window)[:, None]
+                    sliding_window=cfg.sliding_window,
+                    k_scale=(None if cache.k_scales is None
+                             else cache.k_scales[li]),
+                    v_scale=(None if cache.v_scales is None
+                             else cache.v_scales[li]),
+                )[:, None]
             attn = _gather_cols(attn.reshape(b, 1, hq * hd))
             x = x + _row_lin(lp, "self_attn.o_proj", attn)
             h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

@@ -139,6 +139,17 @@ def _chol_inv_upper(h: jax.Array, chunk: int = 2048) -> jax.Array:
     return u[:, :d] if pad else u
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _damp_factor_check(h, damp, chunk: int = 2048):
+    """One retry attempt fused into a single dispatch: damp, factorize, and
+    reduce the NaN check to one scalar — one host readback per attempt
+    (tunnel RTT dominates; the reference-style two separate checks cost two
+    round trips each, gptq_py.py:57-65)."""
+    hd = _add_damp(h, damp)
+    u = _chol_inv_upper(hd, chunk)
+    return u, hd, jnp.logical_not(jnp.any(jnp.isnan(u)))
+
+
 def invert(
     state: HessianState,
     damp_ratio: float = 1e-2,
@@ -155,11 +166,9 @@ def invert(
     """
     h, damp, perm, perm_inv = _prepare(
         state.hessian, state.n_samples, jnp.float32(damp_ratio), act_order)
-    hinv = None
-    for tries in range(max_try):
-        h = _add_damp(h, damp)
-        hinv = _chol_inv_upper(h)
-        if not bool(jnp.isnan(hinv[-1, -1])) and not bool(jnp.any(jnp.isnan(hinv))):
+    for _ in range(max_try):
+        hinv, h, ok = _damp_factor_check(h, damp)
+        if bool(ok):
             return InvertedHessian(hessian=h, hessian_inv=hinv,
                                    perm=perm, perm_inv=perm_inv)
     raise FloatingPointError(

@@ -35,6 +35,10 @@ def parse_serve_args(argv=None):
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--cache-kind", type=str, default="contiguous",
                    choices=["contiguous", "paged"])
+    p.add_argument("--kv-dtype", type=str, default="native",
+                   choices=["native", "int8"],
+                   help="int8 halves decode KV traffic (per-layer scales "
+                        "auto-calibrated at engine build)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways over a device mesh (0 = off)")
     p.add_argument("--benchmark", type=str2bool, default=True,
@@ -62,7 +66,7 @@ def build_engine(args):
         mesh = make_mesh(tp=args.tp, dp=1)
     return Engine(model, max_batch=args.max_batch, page_size=args.page_size,
                   max_seq_len=args.max_seq_len, cache_kind=args.cache_kind,
-                  mesh=mesh)
+                  mesh=mesh, kv_dtype=args.kv_dtype)
 
 
 def main(argv=None) -> dict:

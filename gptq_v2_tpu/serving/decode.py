@@ -48,11 +48,12 @@ def prefill(
         if contiguous:
             # pad writes clamp to the last position; any real token landing
             # there later rewrites it before it is ever attended to
+            kq, vq = kvc.quantize_kv_write(cache, li, k, v)
             wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
             rows = jnp.broadcast_to(slot[:, None], wpos.shape)
             cache = cache._replace(
-                k=cache.k.at[li, rows, wpos].set(k),
-                v=cache.v.at[li, rows, wpos].set(v),
+                k=cache.k.at[li, rows, wpos].set(kq),
+                v=cache.v.at[li, rows, wpos].set(vq),
             )
         else:
             # pad-token writes steer into the trash page (page 0 is reserved)
@@ -131,8 +132,17 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
         # attend over the slot's region in place — no gather
         cache = kvc.write_kv_contiguous(cache, li, k, v, positions[:, None])
         k_all, v_all = cache.k[li, :, :s], cache.v[li, :, :s]
-        attn = L.attention(q, k_all, v_all, causal_offset=None,
+        qq = q
+        if cache.k_scales is not None:  # int8 KV: fold k_scale into q, cast
+            # inline (XLA fuses the convert into the attention dot — the
+            # int8 cache is what streams from HBM, halving decode traffic)
+            qq = q * jnp.asarray(cache.k_scales[li], jnp.float32).astype(q.dtype)
+            k_all = k_all.astype(q.dtype)
+            v_all = v_all.astype(q.dtype)
+        attn = L.attention(qq, k_all, v_all, causal_offset=None,
                            key_mask=key_mask)
+        if cache.v_scales is not None:
+            attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
     else:
         from gptq_v2_tpu.ops.paged_attention import paged_decode_attention
 
@@ -142,7 +152,10 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
         attn = paged_decode_attention(
             q[:, 0], cache.kv[li], positions + 1,
             block_tables[:, :n_pages],
-            sliding_window=cfg.sliding_window)[:, None]
+            sliding_window=cfg.sliding_window,
+            k_scale=None if cache.k_scales is None else cache.k_scales[li],
+            v_scale=None if cache.v_scales is None else cache.v_scales[li],
+        )[:, None]
     x = x + _lin(lp, "self_attn.o_proj", attn.reshape(b, 1, hq * hd))
     h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     gate = _lin(lp, "mlp.gate_proj", h)

@@ -70,11 +70,21 @@ class Engine:
         seed: int = 0,
         cache_kind: str = "contiguous",
         mesh=None,
+        kv_dtype: str = "native",
+        kv_scales=None,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
         serving; ``parallel/tp.py``).  Data parallelism = one engine per
-        replica."""
+        replica.
+
+        ``kv_dtype="int8"``: store the KV cache as int8 with per-layer
+        symmetric scales — decode at batch x context scale is KV-traffic
+        bound (e.g. 8.6 GB/step vs 3.5 GB of INT4 weights at 7B, B=64,
+        ctx 256), so halving KV bytes is the dominant lever.  ``kv_scales``
+        supplies ``(k_scales, v_scales)`` per-layer tuples — see
+        :func:`~gptq_v2_tpu.serving.model.calibrate_kv_scales`; if omitted
+        they are calibrated on a synthetic forward at engine build."""
         self.model = model
         cfg = model.cfg
         self.max_batch = max_batch
@@ -82,11 +92,23 @@ class Engine:
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.max_seq_len = self.max_pages_per_seq * page_size
+        if kv_dtype == "int8":
+            if kv_scales is None:
+                from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+                kv_scales = calibrate_kv_scales(model)
+            k_scales, v_scales = kv_scales
+            cache_dtype = jnp.int8
+        elif kv_dtype == "native":
+            k_scales = v_scales = None
+            cache_dtype = model.embed_tokens.dtype
+        else:
+            raise ValueError(kv_dtype)
         if cache_kind == "contiguous":
             self.cache = kvc.init_contiguous_cache(
                 cfg.num_hidden_layers, max_batch, self.max_seq_len,
                 cfg.num_key_value_heads, cfg.head_dim_,
-                dtype=model.embed_tokens.dtype,
+                dtype=cache_dtype, k_scales=k_scales, v_scales=v_scales,
             )
             self.free_pages: List[int] = []
             self.block_tables = None
@@ -96,7 +118,7 @@ class Engine:
             self.cache = kvc.init_cache(
                 cfg.num_hidden_layers, n_pages, page_size,
                 cfg.num_key_value_heads, cfg.head_dim_,
-                dtype=model.embed_tokens.dtype,
+                dtype=cache_dtype, k_scales=k_scales, v_scales=v_scales,
             )
             self.free_pages = list(range(1, n_pages))  # page 0 = trash
             self.block_tables = np.zeros((max_batch, self.max_pages_per_seq),

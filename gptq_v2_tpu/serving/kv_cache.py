@@ -37,16 +37,25 @@ import jax.numpy as jnp
 class PagedKVCache:
     kv: jax.Array  # (n_layers, n_pages, page_size, 2·n_kv, hd); K even, V odd
     page_size: int  # static
+    # per-layer static quantization scales (int8 storage); None = full
+    # precision.  Static/hashable aux: each unrolled layer's attention
+    # bakes its own scalar in, so per-layer scales cost no recompiles.
+    k_scales: Optional[Tuple[float, ...]] = None
+    v_scales: Optional[Tuple[float, ...]] = None
 
     @property
     def n_slots(self) -> int:
         return self.kv.shape[1] * self.kv.shape[2]
 
+    @property
+    def kv_storage_dtype(self):
+        return self.kv.dtype
+
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
     def tree_flatten(self):
-        return ((self.kv,), (self.page_size,))
+        return ((self.kv,), (self.page_size, self.k_scales, self.v_scales))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -54,9 +63,21 @@ class PagedKVCache:
 
 
 def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
-               dtype=jnp.bfloat16) -> PagedKVCache:
+               dtype=jnp.bfloat16, k_scales=None, v_scales=None) -> PagedKVCache:
     shape = (n_layers, n_pages, page_size, 2 * n_kv, hd)
-    return PagedKVCache(jnp.zeros(shape, dtype), page_size)
+    return PagedKVCache(jnp.zeros(shape, dtype), page_size,
+                        k_scales, v_scales)
+
+
+def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
+    """Quantize new K/V for storage when the cache holds int8 (symmetric,
+    per-layer static scale); identity for full-precision caches."""
+    if cache.kv_storage_dtype != jnp.int8:
+        return k.astype(cache.kv_storage_dtype), v.astype(cache.kv_storage_dtype)
+    ks, vs = cache.k_scales[layer], cache.v_scales[layer]
+    k = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127)
+    v = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -127, 127)
+    return k.astype(jnp.int8), v.astype(jnp.int8)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -66,6 +87,8 @@ class ContiguousKVCache:
 
     k: jax.Array
     v: jax.Array
+    k_scales: Optional[Tuple[float, ...]] = None  # per-layer int8 scales
+    v_scales: Optional[Tuple[float, ...]] = None
 
     @property
     def n_slots(self) -> int:
@@ -75,21 +98,27 @@ class ContiguousKVCache:
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def kv_storage_dtype(self):
+        return self.k.dtype
+
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
 
     def tree_flatten(self):
-        return ((self.k, self.v), ())
+        return ((self.k, self.v), (self.k_scales, self.v_scales))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
 
 def init_contiguous_cache(n_layers: int, n_slots: int, max_len: int, n_kv: int,
-                          hd: int, dtype=jnp.bfloat16) -> ContiguousKVCache:
+                          hd: int, dtype=jnp.bfloat16,
+                          k_scales=None, v_scales=None) -> ContiguousKVCache:
     shape = (n_layers, n_slots, max_len, n_kv, hd)
-    return ContiguousKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return ContiguousKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                             k_scales, v_scales)
 
 
 def write_kv_contiguous(
@@ -99,6 +128,7 @@ def write_kv_contiguous(
     v_new: jax.Array,
     positions: jax.Array,  # (B, N) logical positions of the new tokens
 ) -> ContiguousKVCache:
+    k_new, v_new = quantize_kv_write(cache, layer, k_new, v_new)
     b = k_new.shape[0]
     rows = jnp.broadcast_to(jnp.arange(b)[:, None], positions.shape)
     k = cache.k.at[layer, rows, positions].set(k_new)
@@ -136,15 +166,18 @@ def write_kv(
     positions: jax.Array,  # (B, N) logical positions of the new tokens
     pad_mask: Optional[jax.Array] = None,  # (B, N) → write to trash page
 ) -> PagedKVCache:
+    k_new, v_new = quantize_kv_write(cache, layer, k_new, v_new)
     pages, offs = page_offsets(block_tables, positions, cache.page_size,
                                pad_mask)
     b, n, n_kv, hd = k_new.shape
     pg, of = pages.reshape(-1), offs.reshape(-1)
     rows = interleave_kv(k_new, v_new).reshape(b * n, 2 * n_kv, hd)
+    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(k_new.dtype).itemsize]
     if (jax.default_backend() == "tpu" and n == 1
-            and hd % 128 == 0 and (2 * n_kv) % 8 == 0):
+            and hd % 128 == 0 and (2 * n_kv) % sublane == 0):
         # decode hot path: one DMA per row instead of XLA's scatter lowering
-        # (row shape must be DMA-tileable: lanes 128, sublanes 8)
+        # (row shape must be DMA-tileable: 128 lanes, a full sublane tile
+        # for the storage dtype)
         from gptq_v2_tpu.ops.paged_write import paged_write_rows
 
         return cache._replace(

@@ -10,6 +10,7 @@ embeddings, lm_head) is bf16.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -202,6 +203,37 @@ def random_packed_llama(
         norm=jnp.ones((cfg.hidden_size,), compute_dtype),
         lm_head=dense(cfg.hidden_size, cfg.vocab_size),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _block_kv_amax(cfg, lp, x, cos, sin):
+    x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin)
+    return x, jnp.max(jnp.abs(k)), jnp.max(jnp.abs(v))
+
+
+def calibrate_kv_scales(
+    model: PackedLlama,
+    tokens: Optional[jax.Array] = None,
+    margin: float = 1.05,
+) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Per-layer symmetric scales for int8 KV storage: ``amax/127`` of each
+    layer's rope'd K and V over a short forward (pass real prompt
+    ``tokens`` for text-statistics calibration; default is a synthetic
+    batch).  Returns ``(k_scales, v_scales)`` tuples of Python floats —
+    static jit constants, so per-layer scales cost no extra compiles."""
+    cfg = model.cfg
+    if tokens is None:
+        tokens = jax.random.randint(
+            jax.random.key(0),
+            (2, min(128, cfg.max_position_embeddings)), 0, cfg.vocab_size)
+    cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+    x = jnp.take(model.embed_tokens, tokens, axis=0)
+    k_scales, v_scales = [], []
+    for lp in model.layers:
+        x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin)
+        k_scales.append(max(float(ka) * margin / 127.0, 1e-6))
+        v_scales.append(max(float(va) * margin / 127.0, 1e-6))
+    return tuple(k_scales), tuple(v_scales)
 
 
 def dequantized_params(model: PackedLlama, dtype=jnp.bfloat16) -> L.Params:

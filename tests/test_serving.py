@@ -90,6 +90,77 @@ class TestEngine:
         assert out[0] == expected
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_int8_kv_cache_close_to_native(self, packed_model, kind):
+        """int8 KV (per-layer calibrated scales) tracks the full-precision
+        cache: per-step decode logits within int8-noise tolerance.  (Token-
+        sequence agreement is not asserted — tiny random models have
+        near-flat logits where any lossy cache flips argmaxes.)"""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        cfg = model.cfg
+        scales = calibrate_kv_scales(model)
+        assert len(scales[0]) == cfg.num_hidden_layers
+        assert all(s > 0 for s in scales[0] + scales[1])
+
+        rng = np.random.default_rng(12)
+        B, PLEN, PS, MAXP = 2, 9, 8, 4
+        prompts = rng.integers(0, cfg.vocab_size, (B, PLEN)).astype(np.int32)
+        lengths = jnp.full((B,), PLEN, jnp.int32)
+
+        def run(kv_dtype, kv_scales):
+            if kind == "contiguous":
+                cache = kvc.init_contiguous_cache(
+                    cfg.num_hidden_layers, B, PS * MAXP,
+                    cfg.num_key_value_heads, cfg.head_dim_, dtype=kv_dtype,
+                    k_scales=kv_scales and kv_scales[0],
+                    v_scales=kv_scales and kv_scales[1])
+                bt, slot = None, jnp.arange(B)
+            else:
+                cache = kvc.init_cache(
+                    cfg.num_hidden_layers, 1 + B * MAXP, PS,
+                    cfg.num_key_value_heads, cfg.head_dim_, dtype=kv_dtype,
+                    k_scales=kv_scales and kv_scales[0],
+                    v_scales=kv_scales and kv_scales[1])
+                bt, slot = jnp.asarray(
+                    1 + np.arange(B * MAXP).reshape(B, MAXP), jnp.int32), None
+            logits, cache = D.prefill(model, jnp.asarray(prompts), cache, bt,
+                                      lengths, slot=slot)
+            outs = [logits]
+            toks = jnp.argmax(logits, -1).astype(jnp.int32)
+            for step in range(3):
+                pos = jnp.full((B,), PLEN + step, jnp.int32)
+                logits, cache = D.decode_step(model, toks, cache, bt, pos,
+                                              s_bucket=32)
+                outs.append(logits)
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)
+            return outs
+
+        native = run(model.embed_tokens.dtype, None)
+        quant = run(jnp.int8, scales)
+        for i, (a, b) in enumerate(zip(native, quant)):
+            rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+            assert rel < 0.06, (i, rel)
+        # prefill writes don't affect prefill logits: step 0 exact-ish
+        rel0 = float(jnp.max(jnp.abs(native[0] - quant[0]))
+                     / jnp.max(jnp.abs(native[0])))
+        assert rel0 < 1e-5, rel0
+
+    def test_int8_kv_engine_end_to_end(self, packed_model):
+        """Engine integration: int8 KV engine runs and produces the right
+        number of tokens with auto-calibrated scales."""
+        model, _ = packed_model
+        rng = np.random.default_rng(13)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", kv_dtype="int8")
+        assert eng.cache.kv_storage_dtype == jnp.int8
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert len(out[0]) == 5
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
     def test_continuous_batching_matches_sequential(self, packed_model, kind):
         model, _ = packed_model
         rng = np.random.default_rng(5)

@@ -64,6 +64,95 @@ def paged_decode_attention(
                                             k_scale, v_scale)
 
 
+def paged_ragged_attention(
+    q: jax.Array,  # (T, Hq, hd) — new tokens, grouped by sequence
+    kv_pages: jax.Array,  # (n_pages, page_size, 2·n_kv, hd)
+    kv_lens: jax.Array,  # (S,) context length per sequence incl. new tokens
+    block_tables: jax.Array,  # (S, pages_per_seq)
+    cu_q_lens: jax.Array,  # (S+1,) cumulative new-token counts
+    num_seqs: jax.Array,  # (1,) int32 — active sequences (dynamic)
+    sliding_window: int | None = None,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+) -> jax.Array:
+    """Mixed prefill+decode attention over the page pool (vLLM-style
+    chunked-prefill): sequence i's rows ``[cu_q_lens[i], cu_q_lens[i+1])``
+    attend its cache up to ``kv_lens[i]`` with causal masking inside the
+    new-token run.  One program serves every (prefill chunk x decode)
+    mix — no per-bucket recompiles.  Returns (T, Hq, hd)."""
+    if kernel_eligible(kv_pages):
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention,
+        )
+
+        hd = q.shape[-1]
+        return ragged_paged_attention(
+            q, kv_pages, kv_lens.astype(jnp.int32),
+            block_tables.astype(jnp.int32), cu_q_lens.astype(jnp.int32),
+            num_seqs.astype(jnp.int32),
+            sm_scale=1.0 / math.sqrt(hd),
+            sliding_window=sliding_window,
+            k_scale=k_scale, v_scale=v_scale,
+        )
+    return paged_ragged_attention_reference(
+        q, kv_pages, kv_lens, block_tables, cu_q_lens, num_seqs,
+        sliding_window, k_scale, v_scale)
+
+
+def paged_ragged_attention_reference(
+    q: jax.Array,
+    kv_pages: jax.Array,
+    kv_lens: jax.Array,
+    block_tables: jax.Array,
+    cu_q_lens: jax.Array,
+    num_seqs: jax.Array,
+    sliding_window: int | None = None,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+) -> jax.Array:
+    """jnp twin: per-token gather of its sequence's pages + masked GQA.
+
+    O(T · S_kv) dense scores — test/debug scale only."""
+    _, ps, n_comb, hd = kv_pages.shape
+    n_kv = n_comb // 2
+    s_seqs, mp = block_tables.shape
+    t, hq = q.shape[0], q.shape[1]
+    s_kv = mp * ps
+    # map each token row to its sequence: seg[r] = i iff cu[i] <= r < cu[i+1]
+    rows = jnp.arange(t)
+    seg = jnp.searchsorted(cu_q_lens[1:], rows, side="right")  # (T,)
+    seg = jnp.minimum(seg, s_seqs - 1)
+    valid_row = rows < cu_q_lens[jnp.minimum(num_seqs[0], s_seqs)]
+    # token position within the kv sequence: last new token sits at kv_len-1
+    n_new = cu_q_lens[seg + 1] - cu_q_lens[seg]
+    local = rows - cu_q_lens[seg]
+    tok_pos = kv_lens[seg] - n_new + local  # (T,)
+
+    pages = jnp.take(kv_pages, block_tables[seg], axis=0)  # (T, mp, ps, 2kv, hd)
+    seq = pages.reshape(t, s_kv, n_comb, hd)
+    k, v = seq[:, :, 0::2], seq[:, :, 1::2]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale
+    if v_scale is not None:
+        v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
+    groups = hq // n_kv
+    qg = q.reshape(t, n_kv, groups, hd)
+    scores = jnp.einsum("tkgh,tskh->tkgs", qg, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    kj = jnp.arange(s_kv)[None, :]
+    mask = (kj <= tok_pos[:, None]) & (kj < kv_lens[seg][:, None])
+    if sliding_window is not None:
+        mask &= kj > tok_pos[:, None] - sliding_window
+    mask &= valid_row[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores,
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    # fully-masked (padding) rows produce garbage probs; zero them
+    probs = jnp.where(valid_row[:, None, None, None], probs, 0)
+    out = jnp.einsum("tkgs,tskh->tkgh", probs, v)
+    return out.reshape(t, hq, hd)
+
+
 def paged_decode_attention_reference(
     q: jax.Array,
     kv_pages: jax.Array,

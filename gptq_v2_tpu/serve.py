@@ -39,6 +39,12 @@ def parse_serve_args(argv=None):
                    choices=["native", "int8"],
                    help="int8 halves decode KV traffic (per-layer scales "
                         "auto-calibrated at engine build)")
+    p.add_argument("--scheduler", type=str, default="phased",
+                   choices=["phased", "ragged"],
+                   help="ragged = vLLM-style chunked prefill, one mixed "
+                        "dispatch per tick (paged cache only)")
+    p.add_argument("--token-budget", type=int, default=0,
+                   help="ragged tick token budget (0 = auto)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways over a device mesh (0 = off)")
     p.add_argument("--benchmark", type=str2bool, default=True,
@@ -66,7 +72,9 @@ def build_engine(args):
         mesh = make_mesh(tp=args.tp, dp=1)
     return Engine(model, max_batch=args.max_batch, page_size=args.page_size,
                   max_seq_len=args.max_seq_len, cache_kind=args.cache_kind,
-                  mesh=mesh, kv_dtype=args.kv_dtype)
+                  mesh=mesh, kv_dtype=args.kv_dtype,
+                  scheduler=args.scheduler,
+                  token_budget=args.token_budget or None)
 
 
 def main(argv=None) -> dict:

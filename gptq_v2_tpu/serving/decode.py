@@ -222,6 +222,75 @@ def decode_multi(
     return toks, logits[-1], cache
 
 
+@functools.partial(jax.jit, donate_argnums=(2,))
+def ragged_step(
+    model: PackedLlama,
+    tokens: jax.Array,  # (T,) new tokens, grouped by sequence (padded)
+    cache: kvc.PagedKVCache,
+    positions: jax.Array,  # (T,) each token's position in its sequence
+    tok_pages: jax.Array,  # (T,) destination page (0 = trash for padding)
+    tok_offs: jax.Array,  # (T,) in-page offset
+    block_tables: jax.Array,  # (S, max_pages)
+    kv_lens: jax.Array,  # (S,) context length per seq incl. its new tokens
+    cu_q_lens: jax.Array,  # (S+1,) cumulative new-token counts
+    num_seqs: jax.Array,  # (1,) int32 active sequences
+    sample_rows: jax.Array,  # (S,) row index of each sequence's last token
+    temperatures: jax.Array,  # (S,) per-sequence (<=0 greedy)
+    key: jax.Array,
+) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
+    """Mixed prefill+decode in ONE dispatch (vLLM-style chunked prefill).
+
+    Every tick processes a token budget ``T``: one token per decoding
+    sequence plus prompt chunks of admitting sequences, concatenated in
+    sequence order.  KV rows are written at host-precomputed (page, offset)
+    slots, then the ragged-paged-attention kernel attends each row against
+    its sequence's cache with in-run causal masking
+    (``ops/paged_attention.paged_ragged_attention``).  One compiled program
+    replaces the prefill-bucket x decode-bucket matrix.  Returns
+    ``(next_tokens (S,), cache, key)`` — entries only meaningful for
+    sequences whose ``sample_rows`` point at a prompt-complete token.
+    """
+    cfg = model.cfg
+    from gptq_v2_tpu.serving.model import _lin, _linear
+
+    cos, sin = L.rope_cos_sin(cfg, positions)  # (T, hd) on-device path
+    cos, sin = cos[:, None, :], sin[:, None, :]
+    x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]  # (T, 1, D)
+    t = tokens.shape[0]
+    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    for li, lp in enumerate(model.layers):
+        h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = _lin(lp, "self_attn.q_proj", h).reshape(t, 1, hq, hd)
+        k = _lin(lp, "self_attn.k_proj", h).reshape(t, 1, hkv, hd)
+        v = _lin(lp, "self_attn.v_proj", h).reshape(t, 1, hkv, hd)
+        q = L.apply_rope(q, cos, sin)
+        k = L.apply_rope(k, cos, sin)
+        cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0], tok_pages,
+                                  tok_offs)
+        from gptq_v2_tpu.ops.paged_attention import paged_ragged_attention
+
+        attn = paged_ragged_attention(
+            q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
+            num_seqs,
+            sliding_window=cfg.sliding_window,
+            k_scale=None if cache.k_scales is None else cache.k_scales[li],
+            v_scale=None if cache.v_scales is None else cache.v_scales[li],
+        )[:, None]
+        x = x + _lin(lp, "self_attn.o_proj", attn.reshape(t, 1, hq * hd))
+        h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = _lin(lp, "mlp.gate_proj", h)
+        up = _lin(lp, "mlp.up_proj", h)
+        x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
+
+    x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps)  # (T, D)
+    last = jnp.take(x, sample_rows, axis=0)  # (S, D)
+    logits = _linear(model.lm_head, last)
+    key, sub = jax.random.split(key)
+    toks = sample_per_row(logits, sub, temperatures)
+    return toks, cache, key
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def sample_per_row(
     logits: jax.Array,  # (B, V)

@@ -49,6 +49,7 @@ class _Slot:
     request: Request
     length: int  # tokens currently in cache
     pages: List[int]
+    prefill_done: int = 0  # prompt tokens already written (ragged scheduler)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -72,6 +73,8 @@ class Engine:
         mesh=None,
         kv_dtype: str = "native",
         kv_scales=None,
+        scheduler: str = "phased",
+        token_budget: Optional[int] = None,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -84,7 +87,16 @@ class Engine:
         ctx 256), so halving KV bytes is the dominant lever.  ``kv_scales``
         supplies ``(k_scales, v_scales)`` per-layer tuples — see
         :func:`~gptq_v2_tpu.serving.model.calibrate_kv_scales`; if omitted
-        they are calibrated on a synthetic forward at engine build."""
+        they are calibrated on a synthetic forward at engine build.
+
+        ``scheduler="ragged"`` (paged cache, single mesh-less chip):
+        vLLM-style chunked prefill — every tick runs ONE dispatch mixing a
+        decode token per active sequence with up to ``token_budget`` prompt
+        tokens of admitting sequences (``decode.ragged_step``).  Prefill no
+        longer stalls decode, and the prefill-bucket x decode-bucket
+        compile matrix collapses to two programs (decode-only tick and
+        mixed tick).  ``scheduler="phased"`` is the classic
+        prefill-then-decode loop."""
         self.model = model
         cfg = model.cfg
         self.max_batch = max_batch
@@ -125,6 +137,13 @@ class Engine:
                                          np.int32)
         else:
             raise ValueError(cache_kind)
+        self.scheduler = scheduler
+        if scheduler == "ragged":
+            assert cache_kind == "paged", "ragged scheduler needs paged cache"
+            assert mesh is None, "ragged scheduler is single-chip for now"
+        elif scheduler != "phased":
+            raise ValueError(scheduler)
+        self.token_budget = token_budget or max(2 * max_batch, 64)
         self.mesh = mesh
         if mesh is not None:
             from gptq_v2_tpu.parallel import tp as TP
@@ -243,6 +262,107 @@ class Engine:
             req.done = True
             self._free_slot(si)
 
+    # ----------------------------------------------------------------- ragged
+    def _admit_ragged(self) -> None:
+        """Bookkeeping-only admission: allocate a slot + pages; the prompt
+        streams in chunks through subsequent ragged ticks."""
+        for si in range(self.max_batch):
+            if self.slots[si] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            plen = len(req.prompt)
+            need = -(-(plen + req.max_new_tokens) // self.page_size)
+            pages = self._alloc_pages(need)
+            if pages is None:
+                break  # wait for memory
+            self.block_tables[si] = 0
+            self.block_tables[si, :need] = pages
+            self.queue.pop(0)
+            self.slots[si] = _Slot(request=req, length=0, pages=pages,
+                                   prefill_done=0)
+
+    def _step_ragged(self) -> None:
+        """One mixed prefill+decode tick (see ``decode.ragged_step``)."""
+        self._admit_ragged()
+        active = [si for si in range(self.max_batch)
+                  if self.slots[si] is not None]
+        if not active:
+            return
+        S, PS = self.max_batch, self.page_size
+        decoding = [si for si in active
+                    if self.slots[si].prefill_done >= len(self.slots[si].request.prompt)]
+        prefilling = [si for si in active if si not in decoding]
+        # two static shapes total: a decode-only tick (S rows) and a mixed
+        # tick (token_budget rows)
+        T = self.token_budget if prefilling else S
+
+        tokens = np.zeros((T,), np.int32)
+        positions = np.zeros((T,), np.int32)
+        tok_pages = np.zeros((T,), np.int32)  # 0 = trash page for padding
+        tok_offs = np.zeros((T,), np.int32)
+        kv_lens = np.ones((S,), np.int32)
+        cu = np.zeros((S + 1,), np.int32)
+        sample_rows = np.zeros((S,), np.int32)
+        temps = np.zeros((S,), np.float32)
+        bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
+
+        row = 0
+        order = []  # (slot_id, n_new, completes_prefill)
+        remaining = T - len(decoding)
+        for si in decoding + prefilling:
+            slot = self.slots[si]
+            req = slot.request
+            if si in decoding:
+                n_new = 1
+                tokens[row] = self.last_tokens[si]
+                positions[row] = slot.length
+                completes = True
+            else:
+                left = len(req.prompt) - slot.prefill_done
+                n_new = min(left, max(0, remaining))
+                if n_new == 0:  # out of budget this tick; try next tick
+                    continue
+                remaining -= n_new
+                chunk = req.prompt[slot.prefill_done:slot.prefill_done + n_new]
+                tokens[row:row + n_new] = chunk
+                positions[row:row + n_new] = np.arange(
+                    slot.prefill_done, slot.prefill_done + n_new)
+                completes = slot.prefill_done + n_new >= len(req.prompt)
+            i = len(order)
+            pos = positions[row:row + n_new]
+            tok_pages[row:row + n_new] = self.block_tables[si][pos // PS]
+            tok_offs[row:row + n_new] = pos % PS
+            kv_lens[i] = int(pos[-1]) + 1
+            cu[i + 1] = cu[i] + n_new
+            sample_rows[i] = row + n_new - 1
+            temps[i] = req.temperature
+            bt_rows[i] = self.block_tables[si]
+            order.append((si, n_new, completes))
+            row += n_new
+        cu[len(order) + 1:] = cu[len(order)]
+
+        toks_dev, self.cache, self.key = D.ragged_step(
+            self.model, jnp.asarray(tokens), self.cache,
+            jnp.asarray(positions), jnp.asarray(tok_pages),
+            jnp.asarray(tok_offs), jnp.asarray(bt_rows),
+            jnp.asarray(kv_lens), jnp.asarray(cu),
+            jnp.asarray([len(order)], np.int32),
+            jnp.asarray(sample_rows), jnp.asarray(temps), self.key,
+        )
+        toks = np.asarray(toks_dev)  # the one host sync per tick
+        self.steps += 1
+        for i, (si, n_new, completes) in enumerate(order):
+            slot = self.slots[si]
+            if si in decoding:
+                slot.length += 1
+                self.decode_tokens += 1
+                self._emit(si, int(toks[i]))
+            else:
+                slot.prefill_done += n_new
+                slot.length = slot.prefill_done
+                if completes:  # prompt done: first generated token
+                    self._emit(si, int(toks[i]))
+
     def step(self) -> None:
         """One scheduler tick: admit new work, then one decode step.
 
@@ -252,6 +372,8 @@ class Engine:
         readback the scheduler needs for EOS/output bookkeeping.  (Matters
         on remote/tunneled runtimes where each transfer is a full RTT.)
         """
+        if self.scheduler == "ragged":
+            return self._step_ragged()
         self._admit()
         active = [si for si in range(self.max_batch) if self.slots[si] is not None]
         if not active:

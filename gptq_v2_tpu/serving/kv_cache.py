@@ -170,14 +170,36 @@ def write_kv(
     pages, offs = page_offsets(block_tables, positions, cache.page_size,
                                pad_mask)
     b, n, n_kv, hd = k_new.shape
-    pg, of = pages.reshape(-1), offs.reshape(-1)
     rows = interleave_kv(k_new, v_new).reshape(b * n, 2 * n_kv, hd)
-    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(k_new.dtype).itemsize]
-    if (jax.default_backend() == "tpu" and n == 1
-            and hd % 128 == 0 and (2 * n_kv) % sublane == 0):
+    return _store_rows(cache, layer, rows, pages.reshape(-1),
+                       offs.reshape(-1), dma_path=(n == 1))
+
+
+def write_kv_flat(
+    cache: PagedKVCache,
+    layer: int,
+    k_new: jax.Array,  # (T, n_kv, hd) — one row per new token
+    v_new: jax.Array,
+    pages: jax.Array,  # (T,) destination page per token (host-precomputed)
+    offs: jax.Array,  # (T,) in-page offset per token
+) -> PagedKVCache:
+    """Token-flat write for the ragged (mixed prefill+decode) step."""
+    k_new, v_new = quantize_kv_write(cache, layer, k_new[:, None],
+                                     v_new[:, None])
+    t, _, n_kv, hd = k_new.shape
+    rows = interleave_kv(k_new[:, 0], v_new[:, 0])
+    return _store_rows(cache, layer, rows, pages, offs, dma_path=False)
+
+
+def _store_rows(cache, layer, rows, pg, of, dma_path: bool):
+    n_kv2, hd = rows.shape[1], rows.shape[2]
+    sublane = {4: 8, 2: 16, 1: 32}[jnp.dtype(rows.dtype).itemsize]
+    if (dma_path and jax.default_backend() == "tpu"
+            and hd % 128 == 0 and n_kv2 % sublane == 0):
         # decode hot path: one DMA per row instead of XLA's scatter lowering
         # (row shape must be DMA-tileable: 128 lanes, a full sublane tile
-        # for the storage dtype)
+        # for the storage dtype).  Many-token writes (prefill/ragged) use
+        # the scatter — row-at-a-time DMAs are latency-bound there.
         from gptq_v2_tpu.ops.paged_write import paged_write_rows
 
         return cache._replace(

@@ -148,6 +148,37 @@ class TestEngine:
                      / jnp.max(jnp.abs(native[0])))
         assert rel0 < 1e-5, rel0
 
+    def test_ragged_scheduler_matches_phased(self, packed_model):
+        """Chunked-prefill (ragged) scheduling must produce the same greedy
+        outputs as the phased prefill-then-decode loop — prompts longer
+        than the token budget force multi-tick chunking, and staggered
+        lengths force mixed prefill+decode ticks."""
+        model, _ = packed_model
+        rng = np.random.default_rng(21)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (23, 5, 11)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=6)
+                        for i, p in enumerate(prompts)]
+        eng_p = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                       cache_kind="paged")
+        out_p = eng_p.run(reqs())
+        eng_r = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                       cache_kind="paged", scheduler="ragged", token_budget=8)
+        out_r = eng_r.run(reqs())
+        for uid in out_p:
+            assert out_r[uid] == out_p[uid], (uid, out_r[uid], out_p[uid])
+
+    def test_ragged_scheduler_int8_kv(self, packed_model):
+        """Ragged scheduling composes with int8 KV storage."""
+        model, _ = packed_model
+        rng = np.random.default_rng(22)
+        prompt = rng.integers(0, model.cfg.vocab_size, (9,)).tolist()
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", token_budget=8,
+                     kv_dtype="int8")
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=4)])
+        assert len(out[0]) == 4
+
     def test_int8_kv_engine_end_to_end(self, packed_model):
         """Engine integration: int8 KV engine runs and produces the right
         number of tokens with auto-calibrated scales."""

@@ -24,15 +24,16 @@ from gptq_v2_tpu.models import llama as L
 from gptq_v2_tpu.pipeline import _to_device, _block_fwd_for, _device_layer
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _final_norm(w, xb, eps):
-    return L.rms_norm(xb, w, eps)
+@functools.partial(jax.jit, static_argnames=("eps", "unit_offset"))
+def _final_norm(w, xb, eps, unit_offset=False):
+    return L.rms_norm(xb, w, eps, unit_offset)
 
 
-@jax.jit
-def _batch_nll(lm_head, hidden, labels):
+@functools.partial(jax.jit, static_argnames=("logit_cap",))
+def _batch_nll(lm_head, hidden, labels, logit_cap=None):
     """Mean shifted cross-entropy over one batch, fp32."""
-    logits = (hidden @ lm_head)[:, :-1, :].astype(jnp.float32)
+    logits = L.soft_cap(hidden @ lm_head, logit_cap)
+    logits = logits[:, :-1, :].astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = labels[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -50,14 +51,14 @@ def evaluate_ppl(
     cos_sin = L.rope_cos_sin(cfg, positions)
 
     embed_w = _to_device(params["embed_tokens"])
-    embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
+    embed_fn = jax.jit(lambda w, t: L.embed_lookup(cfg, w, t))
     xs = [embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))
           for b in range(0, n_seq, batch_size)]
     x = jnp.concatenate(xs, axis=0)
     del embed_w, xs
 
-    block_fwd = _block_fwd_for(cfg)
     for li in range(cfg.num_hidden_layers):
+        block_fwd = _block_fwd_for(cfg, window=cfg.layer_window(li))
         lp = _device_layer(params["layers"][li])
         outs = [block_fwd(lp, x[b:b + batch_size], cos_sin)
                 for b in range(0, n_seq, batch_size)]
@@ -66,14 +67,16 @@ def evaluate_ppl(
 
     norm_w = _to_device(params["norm"])
     x = jnp.concatenate(
-        [_final_norm(norm_w, x[b:b + batch_size], cfg.rms_norm_eps)
+        [_final_norm(norm_w, x[b:b + batch_size], cfg.rms_norm_eps,
+                     cfg.norm_unit_offset)
          for b in range(0, n_seq, batch_size)], axis=0)
 
     lm_head = _to_device(params["lm_head"])
     total, weight = 0.0, 0
     for b in range(0, n_seq, batch_size):
         labels = jnp.asarray(encodings[b:b + batch_size])
-        nll = _batch_nll(lm_head, x[b:b + batch_size], labels)
+        nll = _batch_nll(lm_head, x[b:b + batch_size], labels,
+                         logit_cap=cfg.final_logit_softcap)
         bs = labels.shape[0]
         total += float(nll) * bs
         weight += bs

@@ -41,9 +41,10 @@ BLOCK_LINEARS = ATTN_LINEARS + MLP_LINEARS
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     """Config for the Llama *family*: Llama-1/2/3, Mistral (same math plus a
-    sliding attention window), and Qwen2/2.5 (QKV biases, otherwise
-    identical).  One functional decoder serves all three — the HF classes
-    differ only in these switches."""
+    sliding attention window), Qwen2/2.5 (QKV biases), and Gemma-2
+    (sandwich norms, unit-offset RMSNorm, GeGLU, logit softcapping,
+    alternating sliding/global attention).  One functional decoder serves
+    them all — the HF classes differ only in these switches."""
 
     vocab_size: int = 32000
     hidden_size: int = 4096
@@ -64,6 +65,17 @@ class LlamaConfig:
     qkv_bias: bool = False  # Qwen2; HF llama `attention_bias` sets both
     o_bias: bool = False
     sliding_window: Optional[int] = None  # Mistral/Qwen2 local attention
+    # --- Gemma-2 switches ---------------------------------------------------
+    hidden_act: str = "silu"  # "silu" | "gelu_pytorch_tanh"
+    norm_unit_offset: bool = False  # RMSNorm weight stored as (w - 1)
+    sandwich_norms: bool = False  # post-attn + pre/post-FFN norms (4 total)
+    embed_normalizer: bool = False  # hidden *= sqrt(D) after embedding
+    attn_logit_softcap: Optional[float] = None  # tanh capping of attn scores
+    final_logit_softcap: Optional[float] = None  # tanh capping of lm logits
+    query_pre_attn_scalar: Optional[float] = None  # sm_scale = this**-0.5
+    # per-layer attention kind ("sliding_attention" | "full_attention");
+    # None = ``sliding_window`` (if set) applies to every layer (Mistral)
+    layer_types: Optional[Tuple[str, ...]] = None
 
     @property
     def head_dim_(self) -> int:
@@ -73,10 +85,26 @@ class LlamaConfig:
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def sm_scale_(self) -> float:
+        """Attention score scale (Gemma-2 overrides 1/sqrt(head_dim))."""
+        if self.query_pre_attn_scalar is not None:
+            return self.query_pre_attn_scalar ** -0.5
+        return 1.0 / math.sqrt(self.head_dim_)
+
+    def layer_window(self, layer_idx: int) -> Optional[int]:
+        """Sliding window for one layer (None = global attention)."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is None:
+            return self.sliding_window
+        lt = self.layer_types[layer_idx]
+        return self.sliding_window if lt == "sliding_attention" else None
+
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
-        if model_type not in ("llama", "mistral", "qwen2"):
+        if model_type not in ("llama", "mistral", "qwen2", "gemma2"):
             raise NotImplementedError(f"model_type {model_type!r}")
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
@@ -97,6 +125,13 @@ class LlamaConfig:
         sliding = d.get("sliding_window")
         if model_type == "qwen2" and not d.get("use_sliding_window", False):
             sliding = None  # HF Qwen2 gates the window behind this flag
+        gemma2 = model_type == "gemma2"
+        layer_types = d.get("layer_types")
+        if layer_types is None and gemma2:
+            # HF Gemma2Config default: even layers sliding, odd global
+            layer_types = tuple(
+                "sliding_attention" if (i + 1) % 2 else "full_attention"
+                for i in range(d["num_hidden_layers"]))
         return cls(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -108,12 +143,26 @@ class LlamaConfig:
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
-            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            # HF Gemma2Config *defaults* tie_word_embeddings=True, so its
+            # absence from a gemma2 config.json means tied
+            tie_word_embeddings=d.get("tie_word_embeddings", gemma2),
             dtype=dtype,
             rope_scaling=rope_scaling,
             qkv_bias=qkv_bias,
             o_bias=attention_bias,
             sliding_window=sliding,
+            hidden_act=d.get("hidden_activation" if gemma2 else "hidden_act",
+                             "gelu_pytorch_tanh" if gemma2 else "silu"),
+            norm_unit_offset=gemma2,
+            sandwich_norms=gemma2,
+            embed_normalizer=gemma2,
+            attn_logit_softcap=d.get("attn_logit_softcapping")
+            if gemma2 else None,
+            final_logit_softcap=d.get("final_logit_softcapping")
+            if gemma2 else None,
+            query_pre_attn_scalar=d.get("query_pre_attn_scalar")
+            if gemma2 else None,
+            layer_types=None if layer_types is None else tuple(layer_types),
         )
 
     @classmethod
@@ -152,6 +201,9 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
         "mlp.up_proj": (d, i),
         "mlp.down_proj": (i, d),
     }
+    if cfg.sandwich_norms:  # Gemma-2: 4 norms per block (HF names)
+        shapes["pre_feedforward_layernorm"] = (d,)
+        shapes["post_feedforward_layernorm"] = (d,)
     if cfg.qkv_bias:
         for n in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
             shapes[n + ".bias"] = (shapes[n][1],)
@@ -170,17 +222,19 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
         scale = 1.0 / math.sqrt(shape[0])
         return (jax.random.normal(next(keys), shape, dtype=jnp.float32) * scale).astype(dt)
 
+    # unit-offset norms (Gemma-2) store w-1: zeros == identity scale
+    norm_init = jnp.zeros if cfg.norm_unit_offset else jnp.ones
     layers = []
     for _ in range(cfg.num_hidden_layers):
         lp = {}
         for name, shape in layer_param_shapes(cfg).items():
-            lp[name] = jnp.ones(shape, dtype=dt) if len(shape) == 1 else w(shape)
+            lp[name] = norm_init(shape, dtype=dt) if len(shape) == 1 else w(shape)
         layers.append(lp)
     embed = w((cfg.vocab_size, cfg.hidden_size))
     return {
         "embed_tokens": embed,
         "layers": layers,
-        "norm": jnp.ones((cfg.hidden_size,), dtype=dt),
+        "norm": norm_init((cfg.hidden_size,), dtype=dt),
         "lm_head": embed.T if cfg.tie_word_embeddings else w((cfg.hidden_size, cfg.vocab_size)),
     }
 
@@ -190,11 +244,33 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             unit_offset: bool = False) -> jax.Array:
+    """RMSNorm.  ``unit_offset`` (Gemma-2) stores the weight as ``w - 1``
+    and multiplies ``(1 + w)`` in fp32 before the cast (HF Gemma2RMSNorm);
+    Llama multiplies the cast output by ``w`` in model dtype."""
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     normed = x32 * jax.lax.rsqrt(var + eps)
+    if unit_offset:
+        return (normed * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
     return weight * normed.astype(x.dtype)
+
+
+def activation(cfg: LlamaConfig):
+    """The MLP gate activation (SiLU for Llama, tanh-GELU for Gemma-2)."""
+    if cfg.hidden_act == "silu":
+        return jax.nn.silu
+    if cfg.hidden_act in ("gelu_pytorch_tanh", "gelu_tanh"):
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise NotImplementedError(f"hidden_act {cfg.hidden_act!r}")
+
+
+def soft_cap(x: jax.Array, cap: Optional[float]) -> jax.Array:
+    """Gemma-2 logit softcapping: ``cap * tanh(x / cap)`` (None = no-op)."""
+    if cap is None:
+        return x
+    return jnp.tanh(x / cap) * cap
 
 
 def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray) -> np.ndarray:
@@ -266,22 +342,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c.astype(x.dtype) + _rotate_half(x) * s.astype(x.dtype)
 
 
-def _use_flash(q: jax.Array, k: jax.Array, window: Optional[int]) -> bool:
+def _use_flash(q: jax.Array, k: jax.Array, window: Optional[int],
+               logit_cap: Optional[float]) -> bool:
     """Full-sequence causal self-attention on TPU → Pallas flash kernel.
 
     Dense attention materializes (B, H, N, N) fp32 scores — at the
     calibration length 2048 that is HBM-catastrophic (measured 14x off MXU
     peak); the flash kernel keeps the softmax online in VMEM.  A sliding
     window narrower than the sequence needs the dense mask path (the flash
-    kernel is causal-only); a window >= N is a no-op and keeps flash.
+    kernel is causal-only), as does logit softcapping (Gemma-2); a window
+    >= N is a no-op and keeps flash.
     """
     b, n, hq, hd = q.shape
     return (jax.default_backend() == "tpu" and n == k.shape[1]
             and n >= 1024 and n % 512 == 0 and hd % 128 == 0
+            and logit_cap is None
             and (window is None or window >= n))
 
 
-def _flash_attention(q, k, v):
+def _flash_attention(q, k, v, sm_scale=None):
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     b, n, hq, hd = q.shape
@@ -292,7 +371,8 @@ def _flash_attention(q, k, v):
     out = fa.flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
-        causal=True, sm_scale=1.0 / math.sqrt(hd),
+        causal=True,
+        sm_scale=1.0 / math.sqrt(hd) if sm_scale is None else sm_scale,
     )
     return out.transpose(0, 2, 1, 3)
 
@@ -304,6 +384,8 @@ def attention(
     causal_offset: Optional[int] = 0,
     key_mask: Optional[jax.Array] = None,  # (B, S) valid-key mask
     window: Optional[int] = None,  # sliding window (Mistral/Qwen2)
+    sm_scale: Optional[float] = None,  # score scale; None = 1/sqrt(hd)
+    logit_cap: Optional[float] = None,  # Gemma-2 attn softcapping
 ) -> jax.Array:
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
 
@@ -314,14 +396,16 @@ def attention(
     (``i + offset - window < j``, HF sliding-window semantics).
     Long causal self-attention dispatches to the Pallas flash kernel.
     """
-    if causal_offset == 0 and key_mask is None and _use_flash(q, k, window):
-        return _flash_attention(q, k, v)
+    if (causal_offset == 0 and key_mask is None
+            and _use_flash(q, k, window, logit_cap)):
+        return _flash_attention(q, k, v, sm_scale)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
     qg = q.reshape(b, n, hkv, groups, hd)
     scores = jnp.einsum("bnkgh,bskh->bkgns", qg, k, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd)
+    scores = scores * (1.0 / math.sqrt(hd) if sm_scale is None else sm_scale)
+    scores = soft_cap(scores, logit_cap)
     neg = jnp.finfo(jnp.float32).min
     if causal_offset is not None:
         qi = jnp.arange(n)[:, None]
@@ -337,6 +421,54 @@ def attention(
     return out.reshape(b, n, hq, hd)
 
 
+# Sentinel: "use cfg.sliding_window on every layer" (the pre-Gemma default;
+# Gemma-2 callers pass cfg.layer_window(layer_idx) explicitly).
+AUTO_WINDOW = -1
+
+
+def block_core(
+    cfg: LlamaConfig,
+    lp: Params,
+    x: jax.Array,  # (B, N, D)
+    cos: jax.Array,
+    sin: jax.Array,
+    lin,  # lin(name, h) -> projection output (packing/TP/capture variants)
+    attn_fn,  # attn_fn(q, k, v) -> (attn (B,N,H,hd), aux)
+):
+    """Family-generic decoder block skeleton shared by every forward path
+    (dense, packed serving, cache decode, ragged, TP).  The caller supplies
+    the linear-application and attention strategies; this function owns the
+    family switches: sandwich norms + unit-offset RMSNorm + GeGLU (Gemma-2)
+    vs the 2-norm SiLU Llama block.  Head counts are inferred from the
+    projection outputs so TP-local shards work unchanged.  Returns
+    ``(hidden, aux)`` where ``aux`` is whatever ``attn_fn`` returned
+    (cache state / new K,V)."""
+    b, n = x.shape[0], x.shape[1]
+    hd, eps, uo = cfg.head_dim_, cfg.rms_norm_eps, cfg.norm_unit_offset
+
+    h = rms_norm(x, lp["input_layernorm"], eps, uo)
+    q = lin("self_attn.q_proj", h)
+    k = lin("self_attn.k_proj", h)
+    v = lin("self_attn.v_proj", h)
+    q = apply_rope(q.reshape(b, n, -1, hd), cos, sin)
+    k = apply_rope(k.reshape(b, n, -1, hd), cos, sin)
+    attn, aux = attn_fn(q, k, v.reshape(b, n, -1, hd))
+    o = lin("self_attn.o_proj", attn.reshape(b, n, -1))
+    if cfg.sandwich_norms:
+        o = rms_norm(o, lp["post_attention_layernorm"], eps, uo)
+    x = x + o
+
+    pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
+               else "post_attention_layernorm")
+    h = rms_norm(x, lp[pre_mlp], eps, uo)
+    gate = lin("mlp.gate_proj", h)
+    up = lin("mlp.up_proj", h)
+    mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
+    if cfg.sandwich_norms:
+        mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
+    return x + mlp, aux
+
+
 def block_apply(
     cfg: LlamaConfig,
     lp: Params,
@@ -345,6 +477,7 @@ def block_apply(
     sin: jax.Array,
     capture: Sequence[str] = (),
     inject: Optional[Dict[str, jax.Array]] = None,
+    window: Optional[int] = AUTO_WINDOW,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decoder block. Returns ``(hidden, {name: linear_input})``.
 
@@ -361,9 +494,15 @@ def block_apply(
     quantization driver caches each stage's captured input and injects it
     into later stages' forwards, so the expensive prefix (e.g. attention)
     runs once per block instead of once per stage.
+
+    ``window``: this layer's sliding window — pass
+    ``cfg.layer_window(layer_idx)`` for families with per-layer attention
+    kinds (Gemma-2); the default applies ``cfg.sliding_window`` uniformly.
     """
     caps: Dict[str, jax.Array] = {}
     inject = inject or {}
+    if window == AUTO_WINDOW:
+        window = cfg.sliding_window
 
     def lin(name: str, h: jax.Array) -> jax.Array:
         h = inject.get(name, h)
@@ -373,27 +512,26 @@ def block_apply(
         bias = lp.get(name + ".bias")
         return y if bias is None else y + bias
 
-    b, n, d = x.shape
-    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    def attn_fn(q, k, v):
+        return attention(q, k, v, window=window, sm_scale=cfg.sm_scale_,
+                         logit_cap=cfg.attn_logit_softcap), None
 
-    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = lin("self_attn.q_proj", h).reshape(b, n, hq, hd)
-    k = lin("self_attn.k_proj", h).reshape(b, n, hkv, hd)
-    v = lin("self_attn.v_proj", h).reshape(b, n, hkv, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    attn = attention(q, k, v, window=cfg.sliding_window).reshape(b, n, hq * hd)
-    x = x + lin("self_attn.o_proj", attn)
-
-    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = lin("mlp.gate_proj", h)
-    up = lin("mlp.up_proj", h)
-    x = x + lin("mlp.down_proj", jax.nn.silu(gate) * up)
+    x, _ = block_core(cfg, lp, x, cos, sin, lin, attn_fn)
     return x, caps
 
 
 def embed(cfg: LlamaConfig, params: Params, tokens: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], tokens, axis=0)
+    return embed_lookup(cfg, params["embed_tokens"], tokens)
+
+
+def embed_lookup(cfg: LlamaConfig, embed_w: jax.Array,
+                 tokens: jax.Array) -> jax.Array:
+    """Token embedding + the Gemma-2 ``sqrt(D)`` normalizer (multiplied in
+    model dtype, matching HF's cast-then-multiply)."""
+    x = jnp.take(embed_w, tokens, axis=0)
+    if cfg.embed_normalizer:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    return x
 
 
 def forward_hidden(
@@ -405,13 +543,13 @@ def forward_hidden(
         positions = jnp.arange(tokens.shape[1])
     cos, sin = rope_cos_sin(cfg, positions)
     x = embed(cfg, params, tokens)
-    for lp in params["layers"]:
-        x, _ = block_apply(cfg, lp, x, cos, sin)
-    return rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    for li, lp in enumerate(params["layers"]):
+        x, _ = block_apply(cfg, lp, x, cos, sin, window=cfg.layer_window(li))
+    return rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.norm_unit_offset)
 
 
 def lm_logits(cfg: LlamaConfig, params: Params, hidden: jax.Array) -> jax.Array:
-    return hidden @ params["lm_head"]
+    return soft_cap(hidden @ params["lm_head"], cfg.final_logit_softcap)
 
 
 def forward_logits(cfg: LlamaConfig, params: Params, tokens: jax.Array) -> jax.Array:

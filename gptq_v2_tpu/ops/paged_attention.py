@@ -40,6 +40,11 @@ def paged_decode_attention(
     sliding_window: int | None = None,  # Mistral/Qwen2 local attention
     k_scale: float | None = None,  # int8 KV storage scales (static,
     v_scale: float | None = None,  # per layer; kernel dequantizes in VMEM)
+    soft_cap: float | None = None,  # Gemma-2 attn-logit softcapping
+    sm_scale: float | None = None,  # score scale; None = 1/sqrt(hd)
+    num_kv_pages_per_block: int | None = None,  # kernel tile tuning
+    num_queries_per_block: int | None = None,
+    vmem_limit_bytes: int | None = None,
 ) -> jax.Array:
     """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
     else to the jnp twin."""
@@ -55,13 +60,18 @@ def paged_decode_attention(
             q, kv_pages, lengths.astype(jnp.int32),
             block_tables.astype(jnp.int32), cu_q_lens,
             jnp.full((1,), b, jnp.int32),
-            sm_scale=1.0 / math.sqrt(hd),
+            sm_scale=1.0 / math.sqrt(hd) if sm_scale is None else sm_scale,
             sliding_window=sliding_window,
+            soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
+            num_kv_pages_per_block=num_kv_pages_per_block,
+            num_queries_per_block=num_queries_per_block,
+            vmem_limit_bytes=vmem_limit_bytes,
         )
     return paged_decode_attention_reference(q, kv_pages, lengths,
                                             block_tables, sliding_window,
-                                            k_scale, v_scale)
+                                            k_scale, v_scale, soft_cap,
+                                            sm_scale)
 
 
 def paged_ragged_attention(
@@ -74,6 +84,11 @@ def paged_ragged_attention(
     sliding_window: int | None = None,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    soft_cap: float | None = None,
+    sm_scale: float | None = None,
+    num_kv_pages_per_block: int | None = None,
+    num_queries_per_block: int | None = None,
+    vmem_limit_bytes: int | None = None,
 ) -> jax.Array:
     """Mixed prefill+decode attention over the page pool (vLLM-style
     chunked-prefill): sequence i's rows ``[cu_q_lens[i], cu_q_lens[i+1])``
@@ -90,13 +105,17 @@ def paged_ragged_attention(
             q, kv_pages, kv_lens.astype(jnp.int32),
             block_tables.astype(jnp.int32), cu_q_lens.astype(jnp.int32),
             num_seqs.astype(jnp.int32),
-            sm_scale=1.0 / math.sqrt(hd),
+            sm_scale=1.0 / math.sqrt(hd) if sm_scale is None else sm_scale,
             sliding_window=sliding_window,
+            soft_cap=soft_cap,
             k_scale=k_scale, v_scale=v_scale,
+            num_kv_pages_per_block=num_kv_pages_per_block,
+            num_queries_per_block=num_queries_per_block,
+            vmem_limit_bytes=vmem_limit_bytes,
         )
     return paged_ragged_attention_reference(
         q, kv_pages, kv_lens, block_tables, cu_q_lens, num_seqs,
-        sliding_window, k_scale, v_scale)
+        sliding_window, k_scale, v_scale, soft_cap, sm_scale)
 
 
 def paged_ragged_attention_reference(
@@ -109,6 +128,8 @@ def paged_ragged_attention_reference(
     sliding_window: int | None = None,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    soft_cap: float | None = None,
+    sm_scale: float | None = None,
 ) -> jax.Array:
     """jnp twin: per-token gather of its sequence's pages + masked GQA.
 
@@ -138,7 +159,10 @@ def paged_ragged_attention_reference(
     groups = hq // n_kv
     qg = q.reshape(t, n_kv, groups, hd)
     scores = jnp.einsum("tkgh,tskh->tkgs", qg, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(hd) if sm_scale is None else sm_scale)
+    if soft_cap is not None:
+        scores = jnp.tanh(scores / soft_cap) * soft_cap
     kj = jnp.arange(s_kv)[None, :]
     mask = (kj <= tok_pos[:, None]) & (kj < kv_lens[seg][:, None])
     if sliding_window is not None:
@@ -161,6 +185,8 @@ def paged_decode_attention_reference(
     sliding_window: int | None = None,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    soft_cap: float | None = None,
+    sm_scale: float | None = None,
 ) -> jax.Array:
     """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
     _, ps, n_comb, hd = kv_pages.shape
@@ -179,7 +205,9 @@ def paged_decode_attention_reference(
     qg = q.reshape(b, n_kv, groups, hd)
     scores = jnp.einsum("bkgh,bskh->bkgs", qg, k,
                         preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd)
+    scores = scores * (1.0 / math.sqrt(hd) if sm_scale is None else sm_scale)
+    if soft_cap is not None:
+        scores = jnp.tanh(scores / soft_cap) * soft_cap
     mask = jnp.arange(s)[None, :] < lengths[:, None]  # (B, S)
     if sliding_window is not None:
         mask &= jnp.arange(s)[None, :] > lengths[:, None] - 1 - sliding_window

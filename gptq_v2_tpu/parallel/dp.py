@@ -26,7 +26,7 @@ from gptq_v2_tpu.parallel.mesh import DATA_AXIS, dp_size
 
 
 def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
-                    use_kernel: bool = True):
+                    use_kernel: bool = True, window=L.AUTO_WINDOW):
     """Build ``(init, step, reduce)`` for data-parallel Hessian accumulation.
 
     * ``init(d_in) -> h_parts``: zero partials, ``(dp, D, D)`` sharded over
@@ -46,7 +46,8 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
         )
 
     def local(lp, xb, cs, hp):
-        _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=capture)
+        _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=capture,
+                                window=window)
         act = caps[capture[0]]
         st = hs.accumulate(
             hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
@@ -74,7 +75,7 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
 def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...],
                         inject_firsts: Tuple[str, ...], members_map: tuple,
                         want_capture: bool, donate_inj: Tuple[bool, ...],
-                        use_kernel: bool = True):
+                        use_kernel: bool = True, window=L.AUTO_WINDOW):
     """Data-parallel variant of the pipeline's incremental Hessian step
     (``pipeline._inc_hess_step_for``): injected stage activations are
     sharded over ``data`` like the batch; the per-device forward captures
@@ -97,7 +98,7 @@ def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...]
         injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                 for m in members[f]}
         _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=(first,),
-                                inject=injd)
+                                inject=injd, window=window)
         act = caps[first]
         st = hs.accumulate(
             hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
@@ -127,7 +128,7 @@ def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...]
 
 def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
                      members_map: tuple, uses_input: bool,
-                     donate_inj: Tuple[bool, ...]):
+                     donate_inj: Tuple[bool, ...], window=L.AUTO_WINDOW):
     """Data-parallel injected block-output forward
     (``pipeline._inc_final_for`` over the mesh)."""
     members = dict(members_map)
@@ -135,7 +136,8 @@ def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
     def local(lp, xb, cs, *inj):
         injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                 for m in members[f]}
-        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], inject=injd)
+        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], inject=injd,
+                               window=window)
         return out
 
     def fwd_impl(lp, xb, cos_sin, *inj):
@@ -152,13 +154,13 @@ def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
     return jax.jit(fwd_impl, donate_argnums=donate)
 
 
-def dp_block_forward(mesh, cfg: L.LlamaConfig):
+def dp_block_forward(mesh, cfg: L.LlamaConfig, window=L.AUTO_WINDOW):
     """Jitted data-parallel block forward: recompute next-block inputs with
     the batch sharded over ``data`` (pipeline HOT LOOP 4,
     reference ``llama.py:184-191``)."""
 
     def local(lp, xb, cs):
-        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1])
+        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], window=window)
         return out
 
     def fwd(lp, xb, cos_sin):

@@ -243,40 +243,43 @@ def _gather_cols(x: jax.Array) -> jax.Array:
     return jax.lax.all_gather(x, MODEL_AXIS, axis=x.ndim - 1, tiled=True)
 
 
-def _tp_block(cfg, tp, lp, x, cos, sin,
-              kv_override=None) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+def _tp_lin(lp):
+    """The TP linear-application strategy for ``models.llama.block_core``:
+    column-parallel projections run on replicated input; row-parallel ones
+    (o/down) first all-gather the locally sharded activation, then psum."""
+
+    def lin(name: str, h: jax.Array) -> jax.Array:
+        if name in ROW_PARALLEL:
+            return _row_lin(lp, name, _gather_cols(h))
+        return _col_lin(lp, name, h)
+
+    return lin
+
+
+def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
+              window=L.AUTO_WINDOW) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder block, device-local view.  Mirrors
     ``serving.model.packed_block_apply`` with TP collectives.
 
     Returns ``(hidden, (k_local, v_local))`` — the new rope'd K/V for the
     *local* KV heads.
     """
-    b, n, d = x.shape
-    hd = cfg.head_dim_
-    hq = cfg.num_attention_heads // tp
-    hkv = cfg.num_key_value_heads // tp
+    if window == L.AUTO_WINDOW:
+        window = cfg.sliding_window
 
-    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _col_lin(lp, "self_attn.q_proj", h).reshape(b, n, hq, hd)
-    k = _col_lin(lp, "self_attn.k_proj", h).reshape(b, n, hkv, hd)
-    v = _col_lin(lp, "self_attn.v_proj", h).reshape(b, n, hkv, hd)
-    q = L.apply_rope(q, cos, sin)
-    k = L.apply_rope(k, cos, sin)
+    def attn_fn(q, k, v):
+        if kv_override is not None:
+            k_all, v_all, key_mask = kv_override
+            attn = L.attention(q, k_all, v_all, causal_offset=None,
+                               key_mask=key_mask, sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+        else:
+            attn = L.attention(q, k, v, window=window,
+                               sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+        return attn, (k, v)
 
-    if kv_override is not None:
-        k_all, v_all, key_mask = kv_override
-        attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
-    else:
-        attn = L.attention(q, k, v, window=cfg.sliding_window)
-    attn = _gather_cols(attn.reshape(b, n, hq * hd))  # (b, n, hq_full*hd)
-    x = x + _row_lin(lp, "self_attn.o_proj", attn)
-
-    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _col_lin(lp, "mlp.gate_proj", h)
-    up = _col_lin(lp, "mlp.up_proj", h)
-    act = _gather_cols(jax.nn.silu(gate) * up)  # (b, n, I_full)
-    x = x + _row_lin(lp, "mlp.down_proj", act)
-    return x, (k, v)
+    return L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -323,11 +326,12 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
         b, lpad = tokens.shape
         positions = jnp.arange(lpad)
         cos, sin = L.rope_cos_sin(cfg, positions)
-        x = jnp.take(model.embed_tokens, tokens, axis=0)
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)
         pos_b = jnp.broadcast_to(positions[None], (b, lpad))
         pad_mask = pos_b >= lengths[:, None]
         for li, lp in enumerate(model.layers):
-            x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin)
+            x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin,
+                                  window=cfg.layer_window(li))
             if contiguous:
                 kq, vq = kvc.quantize_kv_write(cache, li, k, v)
                 wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
@@ -339,9 +343,10 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
             else:
                 cache, _ = _write_then_read_kv(cache, li, k, v, block_tables,
                                                pos_b, pad_mask)
-        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-        return _plain_linear(model.lm_head, last), cache
+        return L.soft_cap(_plain_linear(model.lm_head, last),
+                          cfg.final_logit_softcap), cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -370,68 +375,69 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
         b = tokens.shape[0]
         cos, sin = L.rope_cos_sin(cfg, positions)
         cos, sin = cos[:, None, :], sin[:, None, :]
-        x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
         if contiguous:
             s = cache.max_len
         else:
             s = block_tables.shape[1] * cache.page_size
         if s_bucket is not None:
             s = min(s, s_bucket)
-        key_mask = jnp.arange(s)[None, :] <= positions[:, None]
-        if cfg.sliding_window is not None:  # Mistral/Qwen2 local attention
-            key_mask &= (jnp.arange(s)[None, :]
-                         > positions[:, None] - cfg.sliding_window)
+        base_mask = jnp.arange(s)[None, :] <= positions[:, None]
+        masks = {None: base_mask}
+        for li in range(cfg.num_hidden_layers):
+            w = cfg.layer_window(li)
+            if w is not None and w not in masks:
+                masks[w] = base_mask & (jnp.arange(s)[None, :]
+                                        > positions[:, None] - w)
         for li, lp in enumerate(model.layers):
             # write the new token's local-head K/V, then attend over the cache
-            hd = cfg.head_dim_
-            hq = cfg.num_attention_heads // model.tp
-            hkv = cfg.num_key_value_heads // model.tp
-            h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-            q = _col_lin(lp, "self_attn.q_proj", h).reshape(b, 1, hq, hd)
-            k = _col_lin(lp, "self_attn.k_proj", h).reshape(b, 1, hkv, hd)
-            v = _col_lin(lp, "self_attn.v_proj", h).reshape(b, 1, hkv, hd)
-            q = L.apply_rope(q, cos, sin)
-            k = L.apply_rope(k, cos, sin)
-            if contiguous:
-                cache, (k_all, v_all) = _write_then_read_kv(
-                    cache, li, k, v, block_tables, positions[:, None], s=s)
-                qq = q
-                if cache.k_scales is not None:  # int8 KV (see serving.decode)
-                    qq = q * jnp.asarray(cache.k_scales[li],
-                                         jnp.float32).astype(q.dtype)
-                    k_all = k_all.astype(q.dtype)
-                    v_all = v_all.astype(q.dtype)
-                attn = L.attention(qq, k_all, v_all, causal_offset=None,
-                                   key_mask=key_mask)
-                if cache.v_scales is not None:
-                    attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
-            else:
-                from gptq_v2_tpu.ops.paged_attention import (
-                    paged_decode_attention,
-                )
+            win = cfg.layer_window(li)
+            key_mask = masks[win]
 
-                cache = kvc.write_kv(cache, li, k, v, block_tables,
-                                     positions[:, None])
-                n_pages = -(-s // cache.page_size)
-                # local KV heads stream their own pages in-kernel
-                attn = paged_decode_attention(
-                    q[:, 0], cache.kv[li], positions + 1,
-                    block_tables[:, :n_pages],
-                    sliding_window=cfg.sliding_window,
-                    k_scale=(None if cache.k_scales is None
-                             else cache.k_scales[li]),
-                    v_scale=(None if cache.v_scales is None
-                             else cache.v_scales[li]),
-                )[:, None]
-            attn = _gather_cols(attn.reshape(b, 1, hq * hd))
-            x = x + _row_lin(lp, "self_attn.o_proj", attn)
-            h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            gate = _col_lin(lp, "mlp.gate_proj", h)
-            up = _col_lin(lp, "mlp.up_proj", h)
-            act = _gather_cols(jax.nn.silu(gate) * up)
-            x = x + _row_lin(lp, "mlp.down_proj", act)
-        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-        return _plain_linear(model.lm_head, x[:, 0]), cache
+            def attn_fn(q, k, v, li=li, win=win, key_mask=key_mask):
+                nonlocal cache
+                if contiguous:
+                    cache, (k_all, v_all) = _write_then_read_kv(
+                        cache, li, k, v, block_tables, positions[:, None], s=s)
+                    qq = q
+                    if cache.k_scales is not None:  # int8 KV (serving.decode)
+                        qq = q * jnp.asarray(cache.k_scales[li],
+                                             jnp.float32).astype(q.dtype)
+                        k_all = k_all.astype(q.dtype)
+                        v_all = v_all.astype(q.dtype)
+                    attn = L.attention(qq, k_all, v_all, causal_offset=None,
+                                       key_mask=key_mask,
+                                       sm_scale=cfg.sm_scale_,
+                                       logit_cap=cfg.attn_logit_softcap)
+                    if cache.v_scales is not None:
+                        attn = attn * jnp.asarray(cache.v_scales[li],
+                                                  attn.dtype)
+                else:
+                    from gptq_v2_tpu.ops.paged_attention import (
+                        paged_decode_attention,
+                    )
+
+                    cache = kvc.write_kv(cache, li, k, v, block_tables,
+                                         positions[:, None])
+                    n_pages = -(-s // cache.page_size)
+                    # local KV heads stream their own pages in-kernel
+                    attn = paged_decode_attention(
+                        q[:, 0], cache.kv[li], positions + 1,
+                        block_tables[:, :n_pages],
+                        sliding_window=win,
+                        sm_scale=cfg.sm_scale_,
+                        soft_cap=cfg.attn_logit_softcap,
+                        k_scale=(None if cache.k_scales is None
+                                 else cache.k_scales[li]),
+                        v_scale=(None if cache.v_scales is None
+                                 else cache.v_scales[li]),
+                    )[:, None]
+                return attn, None
+
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        return L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
+                          cfg.final_logit_softcap), cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -455,11 +461,13 @@ def build_tp_forward_logits(mesh):
     def local_fwd(model: TPPackedLlama, tokens):
         cfg = model.cfg
         cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
-        x = jnp.take(model.embed_tokens, tokens, axis=0)
-        for lp in model.layers:
-            x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin)
-        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-        return _plain_linear(model.lm_head, x)
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+        for li, lp in enumerate(model.layers):
+            x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin,
+                             window=cfg.layer_window(li))
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        return L.soft_cap(_plain_linear(model.lm_head, x),
+                          cfg.final_logit_softcap)
 
     def sharded(model, tokens):
         return jax.shard_map(

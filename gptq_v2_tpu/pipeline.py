@@ -265,14 +265,15 @@ _inc_step_cache: Dict = {}
 
 def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
                        members_map: tuple, want_capture: bool,
-                       donate_inj: tuple, use_kernel: bool):
+                       donate_inj: tuple, use_kernel: bool,
+                       window=L.AUTO_WINDOW):
     """Jitted Hessian step with activation injection.
 
     Args at call time: ``(lp, xb, cos_sin, inj_tuple, h)``.  Donates the
     accumulator and any injected cache buffers at their last use.
     """
     key = ("hess", cfg, stage_linears, inject_firsts, members_map,
-           want_capture, donate_inj, use_kernel)
+           want_capture, donate_inj, use_kernel, window)
     if key not in _inc_step_cache:
         first = stage_linears[0]
         members = dict(members_map)
@@ -286,7 +287,8 @@ def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
             injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                     for m in members[f]}
             _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                    capture=(first,), inject=injd)
+                                    capture=(first,), inject=injd,
+                                    window=window)
             act = caps[first]
             st = hs.accumulate(
                 hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
@@ -298,8 +300,9 @@ def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
 
 
 def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
-                   uses_input: bool, donate_inj: tuple):
-    key = ("final", cfg, inject_firsts, members_map, uses_input, donate_inj)
+                   uses_input: bool, donate_inj: tuple, window=L.AUTO_WINDOW):
+    key = ("final", cfg, inject_firsts, members_map, uses_input, donate_inj,
+           window)
     if key not in _inc_step_cache:
         members = dict(members_map)
         donate = tuple(i + 3 for i, d in enumerate(donate_inj) if d)
@@ -311,7 +314,7 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
             injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                     for m in members[f]}
             out, _ = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                   inject=injd)
+                                   inject=injd, window=window)
             return out
 
         _inc_step_cache[key] = fwd
@@ -322,14 +325,16 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
 _hess_step_cache: Dict = {}
 
 
-def _hess_step_for(cfg, capture: tuple, use_kernel: bool):
-    key = (cfg, capture, use_kernel)
+def _hess_step_for(cfg, capture: tuple, use_kernel: bool,
+                   window=L.AUTO_WINDOW):
+    key = (cfg, capture, use_kernel, window)
     if key not in _hess_step_cache:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(lp, xb, cos_sin, h):
             cos, sin = cos_sin
-            _, caps = L.block_apply(cfg, lp, xb, cos, sin, capture=capture)
+            _, caps = L.block_apply(cfg, lp, xb, cos, sin, capture=capture,
+                                    window=window)
             act = caps[capture[0]]
             st = hs.accumulate(
                 hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
@@ -344,17 +349,18 @@ def _hess_step_for(cfg, capture: tuple, use_kernel: bool):
 _block_fwd_cache: Dict = {}
 
 
-def _block_fwd_for(cfg):
-    if cfg not in _block_fwd_cache:
+def _block_fwd_for(cfg, window=L.AUTO_WINDOW):
+    key = (cfg, window)
+    if key not in _block_fwd_cache:
 
         @jax.jit
         def fwd(lp, xb, cos_sin):
             cos, sin = cos_sin
-            out, _ = L.block_apply(cfg, lp, xb, cos, sin)
+            out, _ = L.block_apply(cfg, lp, xb, cos, sin, window=window)
             return out
 
-        _block_fwd_cache[cfg] = fwd
-    return _block_fwd_cache[cfg]
+        _block_fwd_cache[key] = fwd
+    return _block_fwd_cache[key]
 
 
 def _pack_meta_for_host(meta: Dict) -> Dict:
@@ -486,8 +492,13 @@ def quantize_model(
         assert batch_size % dp_size(mesh) == 0, (batch_size, dp_size(mesh))
         batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         replicated = NamedSharding(mesh, P())
-        dp_fwd = DP.dp_block_forward(mesh, cfg)
+        dp_fwd_cache: Dict = {}
         dp_hess_cache: Dict = {}
+
+        def dp_fwd_for(win):
+            if win not in dp_fwd_cache:
+                dp_fwd_cache[win] = DP.dp_block_forward(mesh, cfg, window=win)
+            return dp_fwd_cache[win]
 
         def shard_batch(a):
             return jax.device_put(a, batch_sharding)
@@ -504,7 +515,7 @@ def quantize_model(
     # Initial inputs: embedding of all calibration sequences (the functional
     # replacement for the reference's Catcher exception hack, llama.py:20-61).
     embed_w = _to_device(params["embed_tokens"])
-    embed_fn = jax.jit(lambda w, t: jnp.take(w, t, axis=0))
+    embed_fn = jax.jit(lambda w, t: L.embed_lookup(cfg, w, t))
     xs = []
     for b in range(0, n_seq, batch_size):
         xs.append(shard_batch(
@@ -523,7 +534,6 @@ def quantize_model(
     )
     stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
 
-    block_fwd = _block_fwd_for(cfg)
 
     plan = None
     if incremental and not qcfg.rtn:
@@ -611,6 +621,7 @@ def quantize_model(
     # the tunnel and starves the next block's dispatch stream).
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
+        win = cfg.layer_window(li)  # per-layer attention window (Gemma-2)
         lp = place_layer(_device_layer(params["layers"][li]))
         pending: list = []  # canonical names with device-resident quant_meta
 
@@ -624,7 +635,8 @@ def quantize_model(
         if plan is not None and not resumed_stages:
             xs = _quantize_block_incremental(
                 cfg, qcfg, lp, li, xs, cos_sin, stage_list, plan,
-                members_map, n_seq, solve_stage, pending, mesh=mesh)
+                members_map, n_seq, solve_stage, pending, mesh=mesh,
+                window=win)
             _finish_block(results, pending, save_path, qcfg, params, lp, li,
                           offload, dt)
             logger.info("finished block %d in %.2f s", li, time.time() - t0)
@@ -640,11 +652,11 @@ def quantize_model(
 
             if not qcfg.rtn:
                 if mesh is not None:
-                    key = (cfg, (first,), qcfg.use_hessian_kernel)
+                    key = (cfg, (first,), qcfg.use_hessian_kernel, win)
                     if key not in dp_hess_cache:
                         dp_hess_cache[key] = DP.dp_hessian_step(
                             mesh, cfg, (first,),
-                            use_kernel=qcfg.use_hessian_kernel)
+                            use_kernel=qcfg.use_hessian_kernel, window=win)
                     init, step, reduce = dp_hess_cache[key]
                     h_parts = init(d_in)
                     for xb in xs:
@@ -652,7 +664,8 @@ def quantize_model(
                     h = reduce(h_parts)
                     del h_parts
                 else:
-                    step = _hess_step_for(cfg, (first,), qcfg.use_hessian_kernel)
+                    step = _hess_step_for(cfg, (first,),
+                                          qcfg.use_hessian_kernel, window=win)
                     h = jnp.zeros((d_in, d_in), jnp.float32)
                     for xb in xs:
                         h = step(lp, xb, cos_sin, h)
@@ -668,7 +681,8 @@ def quantize_model(
 
         # Inputs of the next block, computed with fully quantized weights
         # (reference llama.py:184-191).
-        fwd = dp_fwd if mesh is not None else block_fwd
+        fwd = (dp_fwd_for(win) if mesh is not None
+               else _block_fwd_for(cfg, window=win))
         xs = [fwd(lp, xb, cos_sin) for xb in xs]
 
         _finish_block(results, pending, save_path, qcfg, params, lp, li,
@@ -681,7 +695,8 @@ def quantize_model(
 
 def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
                                 plan: _IncPlan, members_map, n_seq,
-                                solve_stage, pending, mesh=None) -> list:
+                                solve_stage, pending, mesh=None,
+                                window=L.AUTO_WINDOW) -> list:
     """One block under the incremental plan; returns the next block's inputs.
 
     Per stage: one injected forward per batch accumulates the Hessian and
@@ -702,19 +717,19 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
         if mesh is None:
             step = _inc_hess_step_for(cfg, stage.linears, inj_names,
                                       members_map, plan.cache[k], donate_inj,
-                                      qcfg.use_hessian_kernel)
+                                      qcfg.use_hessian_kernel, window=window)
             h = jnp.zeros((d_in, d_in), jnp.float32)
             reduce_h = lambda h: h
         else:
             key = ("dp-hess", mesh, cfg, stage.linears, inj_names,
-                   plan.cache[k], donate_inj, qcfg.use_hessian_kernel)
+                   plan.cache[k], donate_inj, qcfg.use_hessian_kernel, window)
             if key not in _inc_step_cache:
                 from gptq_v2_tpu.parallel import dp as DP
 
                 _inc_step_cache[key] = DP.dp_inc_hessian_step(
                     mesh, cfg, stage.linears, inj_names, members_map,
                     plan.cache[k], donate_inj,
-                    use_kernel=qcfg.use_hessian_kernel)
+                    use_kernel=qcfg.use_hessian_kernel, window=window)
             init, step, reduce_h = _inc_step_cache[key]
             h = init(d_in)
         if plan.cache[k]:
@@ -744,16 +759,17 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
     donate_inj = tuple(plan.last_use_of(c) == n_final for c in inj_names)
     if mesh is None:
         fwd = _inc_final_for(cfg, inj_names, members_map,
-                             plan.uses_input[n_final], donate_inj)
+                             plan.uses_input[n_final], donate_inj,
+                             window=window)
     else:
         key = ("dp-final", mesh, cfg, inj_names, plan.uses_input[n_final],
-               donate_inj)
+               donate_inj, window)
         if key not in _inc_step_cache:
             from gptq_v2_tpu.parallel import dp as DP
 
             _inc_step_cache[key] = DP.dp_inc_final_fwd(
                 mesh, cfg, inj_names, members_map,
-                plan.uses_input[n_final], donate_inj)
+                plan.uses_input[n_final], donate_inj, window=window)
         fwd = _inc_step_cache[key]
     new_xs = []
     for b, xb in enumerate(xs):

@@ -38,12 +38,13 @@ def prefill(
     b, lpad = tokens.shape
     positions = jnp.arange(lpad)
     cos, sin = L.rope_cos_sin(cfg, positions)
-    x = jnp.take(model.embed_tokens, tokens, axis=0)
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     pos_b = jnp.broadcast_to(positions[None], (b, lpad))
     pad_mask = pos_b >= lengths[:, None]
     contiguous = isinstance(cache, kvc.ContiguousKVCache)
     for li, lp in enumerate(model.layers):
-        x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin)
+        x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin,
+                                       window=cfg.layer_window(li))
         n_kv, hd = k.shape[2], k.shape[3]
         if contiguous:
             # pad writes clamp to the last position; any real token landing
@@ -59,11 +60,11 @@ def prefill(
             # pad-token writes steer into the trash page (page 0 is reserved)
             cache = kvc.write_kv(cache, li, k, v, block_tables, pos_b,
                                  pad_mask=pad_mask)
-    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
     last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-    from gptq_v2_tpu.serving.model import _linear
+    from gptq_v2_tpu.serving.model import head_logits
 
-    return _linear(model.lm_head, last), cache
+    return head_logits(cfg, model.lm_head, last), cache
 
 
 @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("s_bucket",))
@@ -92,7 +93,7 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
     b = tokens.shape[0]
     cos, sin = L.rope_cos_sin(cfg, positions)  # traced → on-device path, (B, hd)
     cos, sin = cos[:, None, :], sin[:, None, :]  # (B, 1, hd)
-    x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]  # (B, 1, D)
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (B,1,D)
 
     if isinstance(cache, kvc.ContiguousKVCache):
         s = cache.max_len
@@ -100,68 +101,73 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
         s = block_tables.shape[1] * cache.page_size
     if s_bucket is not None:
         s = min(s, s_bucket)
-    key_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
-    if cfg.sliding_window is not None:  # Mistral/Qwen2 local attention
-        key_mask &= jnp.arange(s)[None, :] > positions[:, None] - cfg.sliding_window
+    # valid-key masks per attention kind (Gemma-2 alternates sliding/global;
+    # each distinct window builds its mask once, shared by its layers)
+    base_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
+    masks = {None: base_mask}
+    for li in range(cfg.num_hidden_layers):
+        w = cfg.layer_window(li)
+        if w is not None and w not in masks:
+            masks[w] = base_mask & (jnp.arange(s)[None, :]
+                                    > positions[:, None] - w)
 
     for li, lp in enumerate(model.layers):
         # write this token's K/V first, then attend over the full cache
         # (the new token's slot is included and valid by the mask).
+        win = cfg.layer_window(li)
         x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
-                                 positions, key_mask, s)
-    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-    from gptq_v2_tpu.serving.model import _linear
+                                 positions, masks[win], s, win)
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+    from gptq_v2_tpu.serving.model import head_logits
 
-    return _linear(model.lm_head, x[:, 0]), cache
+    return head_logits(cfg, model.lm_head, x[:, 0]), cache
 
 
 def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
-                  key_mask, s):
+                  key_mask, s, window):
     from gptq_v2_tpu.serving.model import _lin
 
-    b = x.shape[0]
-    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
-    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _lin(lp, "self_attn.q_proj", h).reshape(b, 1, hq, hd)
-    k = _lin(lp, "self_attn.k_proj", h).reshape(b, 1, hkv, hd)
-    v = _lin(lp, "self_attn.v_proj", h).reshape(b, 1, hkv, hd)
-    q = L.apply_rope(q, cos, sin)
-    k = L.apply_rope(k, cos, sin)
-    if isinstance(cache, kvc.ContiguousKVCache):
-        # decode batch == slot order: write row b at its position, then
-        # attend over the slot's region in place — no gather
-        cache = kvc.write_kv_contiguous(cache, li, k, v, positions[:, None])
-        k_all, v_all = cache.k[li, :, :s], cache.v[li, :, :s]
-        qq = q
-        if cache.k_scales is not None:  # int8 KV: fold k_scale into q, cast
-            # inline (XLA fuses the convert into the attention dot — the
-            # int8 cache is what streams from HBM, halving decode traffic)
-            qq = q * jnp.asarray(cache.k_scales[li], jnp.float32).astype(q.dtype)
-            k_all = k_all.astype(q.dtype)
-            v_all = v_all.astype(q.dtype)
-        attn = L.attention(qq, k_all, v_all, causal_offset=None,
-                           key_mask=key_mask)
-        if cache.v_scales is not None:
-            attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
-    else:
-        from gptq_v2_tpu.ops.paged_attention import paged_decode_attention
+    def attn_fn(q, k, v):
+        new_cache = cache
+        if isinstance(cache, kvc.ContiguousKVCache):
+            # decode batch == slot order: write row b at its position, then
+            # attend over the slot's region in place — no gather
+            new_cache = kvc.write_kv_contiguous(new_cache, li, k, v,
+                                                positions[:, None])
+            k_all, v_all = new_cache.k[li, :, :s], new_cache.v[li, :, :s]
+            qq = q
+            if cache.k_scales is not None:  # int8 KV: fold k_scale into q,
+                # cast inline (XLA fuses the convert into the attention dot —
+                # the int8 cache is what streams from HBM, halving traffic)
+                qq = q * jnp.asarray(cache.k_scales[li],
+                                     jnp.float32).astype(q.dtype)
+                k_all = k_all.astype(q.dtype)
+                v_all = v_all.astype(q.dtype)
+            attn = L.attention(qq, k_all, v_all, causal_offset=None,
+                               key_mask=key_mask, sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+            if cache.v_scales is not None:
+                attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
+        else:
+            from gptq_v2_tpu.ops.paged_attention import paged_decode_attention
 
-        cache = kvc.write_kv(cache, li, k, v, block_tables, positions[:, None])
-        n_pages = -(-s // cache.page_size)
-        # in-kernel page streaming: reads only each sequence's valid pages
-        attn = paged_decode_attention(
-            q[:, 0], cache.kv[li], positions + 1,
-            block_tables[:, :n_pages],
-            sliding_window=cfg.sliding_window,
-            k_scale=None if cache.k_scales is None else cache.k_scales[li],
-            v_scale=None if cache.v_scales is None else cache.v_scales[li],
-        )[:, None]
-    x = x + _lin(lp, "self_attn.o_proj", attn.reshape(b, 1, hq * hd))
-    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _lin(lp, "mlp.gate_proj", h)
-    up = _lin(lp, "mlp.up_proj", h)
-    x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
-    return x, cache
+            new_cache = kvc.write_kv(new_cache, li, k, v, block_tables,
+                                     positions[:, None])
+            n_pages = -(-s // cache.page_size)
+            # in-kernel page streaming: reads only each seq's valid pages
+            attn = paged_decode_attention(
+                q[:, 0], new_cache.kv[li], positions + 1,
+                block_tables[:, :n_pages],
+                sliding_window=window,
+                sm_scale=cfg.sm_scale_,
+                soft_cap=cfg.attn_logit_softcap,
+                k_scale=None if cache.k_scales is None else cache.k_scales[li],
+                v_scale=None if cache.v_scales is None else cache.v_scales[li],
+            )[:, None]
+        return attn, new_cache
+
+    return L.block_core(cfg, lp, x, cos, sin,
+                        lambda name, h: _lin(lp, name, h), attn_fn)
 
 
 @functools.partial(jax.jit, static_argnames=("s_bucket",), donate_argnums=(2,))
@@ -251,41 +257,38 @@ def ragged_step(
     sequences whose ``sample_rows`` point at a prompt-complete token.
     """
     cfg = model.cfg
-    from gptq_v2_tpu.serving.model import _lin, _linear
+    from gptq_v2_tpu.serving.model import _lin, head_logits
 
     cos, sin = L.rope_cos_sin(cfg, positions)  # (T, hd) on-device path
     cos, sin = cos[:, None, :], sin[:, None, :]
-    x = jnp.take(model.embed_tokens, tokens, axis=0)[:, None, :]  # (T, 1, D)
-    t = tokens.shape[0]
-    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (T,1,D)
 
     for li, lp in enumerate(model.layers):
-        h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = _lin(lp, "self_attn.q_proj", h).reshape(t, 1, hq, hd)
-        k = _lin(lp, "self_attn.k_proj", h).reshape(t, 1, hkv, hd)
-        v = _lin(lp, "self_attn.v_proj", h).reshape(t, 1, hkv, hd)
-        q = L.apply_rope(q, cos, sin)
-        k = L.apply_rope(k, cos, sin)
-        cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0], tok_pages,
-                                  tok_offs)
-        from gptq_v2_tpu.ops.paged_attention import paged_ragged_attention
 
-        attn = paged_ragged_attention(
-            q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
-            num_seqs,
-            sliding_window=cfg.sliding_window,
-            k_scale=None if cache.k_scales is None else cache.k_scales[li],
-            v_scale=None if cache.v_scales is None else cache.v_scales[li],
-        )[:, None]
-        x = x + _lin(lp, "self_attn.o_proj", attn.reshape(t, 1, hq * hd))
-        h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = _lin(lp, "mlp.gate_proj", h)
-        up = _lin(lp, "mlp.up_proj", h)
-        x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
+        def attn_fn(q, k, v, li=li):
+            from gptq_v2_tpu.ops.paged_attention import paged_ragged_attention
 
-    x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps)  # (T, D)
+            nonlocal cache
+            cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0], tok_pages,
+                                      tok_offs)
+            attn = paged_ragged_attention(
+                q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
+                num_seqs,
+                sliding_window=cfg.layer_window(li),
+                sm_scale=cfg.sm_scale_,
+                soft_cap=cfg.attn_logit_softcap,
+                k_scale=None if cache.k_scales is None else cache.k_scales[li],
+                v_scale=None if cache.v_scales is None else cache.v_scales[li],
+            )[:, None]
+            return attn, None
+
+        x, _ = L.block_core(cfg, lp, x, cos, sin,
+                            lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
+
+    x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                   cfg.norm_unit_offset)  # (T, D)
     last = jnp.take(x, sample_rows, axis=0)  # (S, D)
-    logits = _linear(model.lm_head, last)
+    logits = head_logits(cfg, model.lm_head, last)
     key, sub = jax.random.split(key)
     toks = sample_per_row(logits, sub, temperatures)
     return toks, cache, key

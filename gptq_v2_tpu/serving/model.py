@@ -91,6 +91,11 @@ def _lin(lp: Dict[str, Any], name: str, x: jax.Array) -> jax.Array:
     return _linear(lp[name], x, lp.get(name + ".bias"))
 
 
+def head_logits(cfg: L.LlamaConfig, lm_head, hidden: jax.Array) -> jax.Array:
+    """lm_head projection + the family's final-logit softcap (Gemma-2)."""
+    return L.soft_cap(_linear(lm_head, hidden), cfg.final_logit_softcap)
+
+
 def packed_block_apply(
     cfg: L.LlamaConfig,
     lp: Dict[str, Any],
@@ -98,6 +103,7 @@ def packed_block_apply(
     cos: jax.Array,
     sin: jax.Array,
     kv_override: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    window: Optional[int] = L.AUTO_WINDOW,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder block on packed weights.
 
@@ -105,41 +111,38 @@ def packed_block_apply(
     ``kv_override = (k_all, v_all, key_mask)`` runs attention against an
     externally assembled K/V sequence (decode against the paged cache),
     masking invalid cache slots instead of causal masking.
+    ``window``: this layer's sliding window (``cfg.layer_window(li)`` for
+    per-layer families); default applies ``cfg.sliding_window`` uniformly.
     """
-    b, n, d = x.shape
-    hd, hq, hkv = cfg.head_dim_, cfg.num_attention_heads, cfg.num_key_value_heads
+    if window == L.AUTO_WINDOW:
+        window = cfg.sliding_window
 
-    h = L.rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = _lin(lp, "self_attn.q_proj", h).reshape(b, n, hq, hd)
-    k = _lin(lp, "self_attn.k_proj", h).reshape(b, n, hkv, hd)
-    v = _lin(lp, "self_attn.v_proj", h).reshape(b, n, hkv, hd)
-    q = L.apply_rope(q, cos, sin)
-    k = L.apply_rope(k, cos, sin)
+    def attn_fn(q, k, v):
+        if kv_override is not None:
+            k_all, v_all, key_mask = kv_override
+            attn = L.attention(q, k_all, v_all, causal_offset=None,
+                               key_mask=key_mask, sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+        else:
+            attn = L.attention(q, k, v, window=window,
+                               sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+        return attn, (k, v)
 
-    if kv_override is not None:
-        k_all, v_all, key_mask = kv_override
-        attn = L.attention(q, k_all, v_all, causal_offset=None, key_mask=key_mask)
-    else:
-        attn = L.attention(q, k, v, window=cfg.sliding_window)
-    attn = attn.reshape(b, n, hq * hd)
-    x = x + _lin(lp, "self_attn.o_proj", attn)
-
-    h = L.rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = _lin(lp, "mlp.gate_proj", h)
-    up = _lin(lp, "mlp.up_proj", h)
-    x = x + _lin(lp, "mlp.down_proj", jax.nn.silu(gate) * up)
-    return x, (k, v)
+    return L.block_core(cfg, lp, x, cos, sin,
+                        lambda name, h: _lin(lp, name, h), attn_fn)
 
 
 def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
     """Full-sequence forward (eval / tests). tokens: (B, N)."""
     cfg = model.cfg
     cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
-    x = jnp.take(model.embed_tokens, tokens, axis=0)
-    for lp in model.layers:
-        x, _ = packed_block_apply(cfg, lp, x, cos, sin)
-    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps)
-    return _linear(model.lm_head, x)
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+    for li, lp in enumerate(model.layers):
+        x, _ = packed_block_apply(cfg, lp, x, cos, sin,
+                                  window=cfg.layer_window(li))
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+    return head_logits(cfg, model.lm_head, x)
 
 
 def random_packed_llama(
@@ -187,12 +190,13 @@ def random_packed_llama(
         return (jax.random.normal(next(keys), shape, jnp.float32)
                 * scale).astype(compute_dtype)
 
+    norm_init = jnp.zeros if cfg.norm_unit_offset else jnp.ones
     layers = []
     for _ in range(cfg.num_hidden_layers):
         lp = {}
         for name, shape in shapes.items():
             if len(shape) == 1:
-                lp[name] = jnp.ones(shape, compute_dtype)
+                lp[name] = norm_init(shape, compute_dtype)
             else:
                 lp[name] = packed(*shape)
         layers.append(lp)
@@ -200,14 +204,14 @@ def random_packed_llama(
         cfg=cfg,
         embed_tokens=dense(cfg.vocab_size, cfg.hidden_size),
         layers=tuple(layers),
-        norm=jnp.ones((cfg.hidden_size,), compute_dtype),
+        norm=norm_init((cfg.hidden_size,), compute_dtype),
         lm_head=dense(cfg.hidden_size, cfg.vocab_size),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _block_kv_amax(cfg, lp, x, cos, sin):
-    x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin)
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _block_kv_amax(cfg, lp, x, cos, sin, window=L.AUTO_WINDOW):
+    x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin, window=window)
     return x, jnp.max(jnp.abs(k)), jnp.max(jnp.abs(v))
 
 
@@ -227,10 +231,11 @@ def calibrate_kv_scales(
             jax.random.key(0),
             (2, min(128, cfg.max_position_embeddings)), 0, cfg.vocab_size)
     cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
-    x = jnp.take(model.embed_tokens, tokens, axis=0)
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     k_scales, v_scales = [], []
-    for lp in model.layers:
-        x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin)
+    for li, lp in enumerate(model.layers):
+        x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin,
+                                   cfg.layer_window(li))
         k_scales.append(max(float(ka) * margin / 127.0, 1e-6))
         v_scales.append(max(float(va) * margin / 127.0, 1e-6))
     return tuple(k_scales), tuple(v_scales)

@@ -166,6 +166,32 @@ class TestModelFamilies:
         cfg, _ = self._parity(hf_model, hf_cfg.to_dict(), 48, 7)
         assert cfg.sliding_window == 16
 
+    def test_gemma2_logits_match_transformers(self):
+        """Gemma-2: sandwich norms, unit-offset RMSNorm, GeGLU, embedding
+        normalizer, query_pre_attn_scalar, attn+final softcapping, and
+        alternating sliding/global attention — all against HF eager."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+            sliding_window=16, query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(10)
+        hf_model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+        # seqlen 48 > window 16 exercises sliding layers 0/2 vs global 1/3
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 48, 11,
+                                   rtol=5e-4)
+        assert cfg.sandwich_norms and cfg.norm_unit_offset
+        assert cfg.embed_normalizer and cfg.tie_word_embeddings
+        assert cfg.attn_logit_softcap == 50.0
+        assert cfg.final_logit_softcap == 30.0
+        assert cfg.layer_window(0) == 16 and cfg.layer_window(1) is None
+        assert "pre_feedforward_layernorm" in params["layers"][0]
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -65,6 +65,32 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_gemma2_style(self):
+        """Gemma-2 family switches under TP: sandwich norms replicate,
+        softcaps/sm_scale apply identically, per-layer windows hold."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=16.0,
+            layer_types=("sliding_attention", "full_attention"))
+        model = random_packed_llama(cfg, group_size=16, seed=15,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(16)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp4_gqa(self):
         """tp=4 with 4 KV heads exercises 1-head shards + act-order rows."""
         from gptq_v2_tpu.serving.model import packed_forward_logits

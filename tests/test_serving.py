@@ -89,6 +89,34 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_gemma2_style_decode_matches_full_recompute(self, kind):
+        """Gemma-2 switches through the whole serving stack (sandwich norms,
+        softcaps, embed normalizer, alternating sliding/global layers):
+        cached decode — incl. the chunked-prefill ragged scheduler — must
+        equal the full recompute."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=16.0,
+            layer_types=("sliding_attention", "full_attention"))
+        model = random_packed_llama(cfg, group_size=16, seed=13,
+                                    compute_dtype=jnp.float32)
+        assert "pre_feedforward_layernorm" in model.layers[0]
+        rng = np.random.default_rng(14)
+        # prompt + generation crosses the window boundary (8)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged"])
     def test_int8_kv_cache_close_to_native(self, packed_model, kind):
         """int8 KV (per-layer calibrated scales) tracks the full-precision

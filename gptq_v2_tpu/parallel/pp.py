@@ -1,0 +1,386 @@
+"""Pipeline-parallel W4A16 serving over a mesh ``stage`` axis.
+
+GPipe-style layer pipelining: the decoder's blocks split into ``pp``
+contiguous stages (one per device along ``stage``), the serving batch
+splits into ``pp`` microbatches, and one jitted step rotates the
+microbatches through the stages with ``jax.lax.ppermute`` — each device
+runs only its own layers, holds only its layers' INT4 weights and KV-cache
+slice, and hidden states (a few KB at decode) are the only inter-stage
+traffic.  This is the low-bandwidth scale-out complement to tensor
+parallelism (``parallel/tp.py``): TP pays per-block all-gathers of
+activations and must ride ICI; PP sends one microbatch boundary per stage
+per step and tolerates DCN-class links, and it divides *weight + KV
+memory* by ``pp`` (a 70B INT4 model does not fit one v5e's 16 GB HBM).
+
+The reference has no distributed code at all; its only pipeline analogue
+is the *temporal* block-by-block schedule with CPU offload (reference
+``llama.py:89-202``; SURVEY.md §2 #24).  This is the spatial version the
+TPU north star mandates.
+
+Schedule: each call processes one decode token (or one prefill) for every
+microbatch in ``2*pp - 1`` ticks (fill + steady + drain).  The fill/drain
+bubble is ``(pp-1)/(2pp-1)`` of the call; inactive (bubble) ticks steer
+their KV writes to the cache's trash position (``max_len - 1``) — the same
+steering invariant the prefill pad path uses (``serving/decode.py``):
+a position is only ever attended after a real write lands on it.
+
+KV layout: the standard :class:`~gptq_v2_tpu.serving.kv_cache.ContiguousKVCache`
+with its *layer* axis sharded ``P('stage')`` — each stage owns exactly the
+cache rows of its own layers, so no KV ever moves between devices.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.ops.packing import PackedLinear
+from gptq_v2_tpu.parallel.tp import TPPacked, _stack_packed
+from gptq_v2_tpu.serving import kv_cache as kvc
+from gptq_v2_tpu.serving.model import _linear as _plain_linear
+
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(pp: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D ``('stage',)`` mesh of ``pp`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if pp is None:
+        pp = len(devices)
+    assert pp <= len(devices), (pp, len(devices))
+    return Mesh(np.asarray(devices[:pp]), (STAGE_AXIS,))
+
+
+def pp_size(mesh: Mesh) -> int:
+    return mesh.shape[STAGE_AXIS]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PPPackedLlama:
+    """Per-stage packed weights: ``layers[j]`` holds *local layer j of every
+    stage* stacked on a leading ``(pp,)`` axis (sharded ``P('stage')``), so
+    inside ``shard_map`` device ``s`` squeezes its ``(1, ...)`` block into
+    the params of global layer ``s * layers_per_stage + j``.  Embeddings,
+    final norm, and lm_head are replicated (stage 0 consumes the embedding,
+    the last stage the head; replication costs little and keeps specs
+    simple)."""
+
+    cfg: L.LlamaConfig  # static
+    pp: int  # static
+    embed_tokens: Any
+    layers: Tuple[Dict[str, Any], ...]  # length = layers_per_stage
+    norm: Any
+    lm_head: Any
+
+    def tree_flatten(self):
+        return ((self.embed_tokens, self.layers, self.norm, self.lm_head),
+                (self.cfg, self.pp))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+    @property
+    def layers_per_stage(self) -> int:
+        return len(self.layers)
+
+    def specs(self) -> "PPPackedLlama":
+        def leaf_spec(w):
+            if isinstance(w, TPPacked):
+                return w.spec_like(STAGE_AXIS)
+            return P(STAGE_AXIS)  # stacked dense weight / norm / bias
+        layer_specs = tuple(
+            {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers)
+        if isinstance(self.lm_head, PackedLinear):
+            lm_spec = PackedLinear(
+                P(), P(), P(), None if self.lm_head.perm is None else P(),
+                self.lm_head.group_size, self.lm_head.in_features,
+                self.lm_head.bits)
+        else:
+            lm_spec = P()
+        return PPPackedLlama(self.cfg, self.pp, P(), layer_specs, P(), lm_spec)
+
+
+def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
+    """The sliding window of local layer ``j`` — must be identical on every
+    stage (true for uniform windows and for alternating patterns when
+    ``layers_per_stage`` is even)."""
+    wins = {cfg.layer_window(s * l_loc + j)
+            for s in range(cfg.num_hidden_layers // l_loc)}
+    assert len(wins) == 1, (
+        f"per-layer windows are not stage-periodic (local layer {j}: {wins});"
+        " choose a stage count whose layers_per_stage matches the pattern")
+    return wins.pop()
+
+
+def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
+    """Split a :class:`~gptq_v2_tpu.serving.model.PackedLlama`'s layers into
+    ``pp`` contiguous stages and place each stage's stack on its device."""
+    cfg = model.cfg
+    pp = pp_size(mesh)
+    n = cfg.num_hidden_layers
+    assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
+    l_loc = n // pp
+
+    def stack(ws):
+        if isinstance(ws[0], PackedLinear):
+            return _stack_packed(ws)
+        return jnp.stack([jnp.asarray(w) for w in ws])
+
+    layers = []
+    for j in range(l_loc):
+        per_stage = [model.layers[s * l_loc + j] for s in range(pp)]
+        names = per_stage[0].keys()
+        layers.append({k: stack([lp[k] for lp in per_stage]) for k in names})
+    ppm = PPPackedLlama(cfg, pp, model.embed_tokens, tuple(layers),
+                        model.norm, model.lm_head)
+    specs = ppm.specs()
+    return jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), ppm, specs)
+
+
+def pp_cache_pspec(cache):
+    """Cache PartitionSpec: the *layer* axis shards over ``stage``."""
+    assert isinstance(cache, kvc.ContiguousKVCache), \
+        "PP serving uses the contiguous KV cache"
+    s = P(STAGE_AXIS)
+    return kvc.ContiguousKVCache(s, s)
+
+
+def shard_cache_pp(cache, mesh: Mesh):
+    assert cache.k_scales is None, "int8 KV + PP not supported yet"
+    spec = pp_cache_pspec(cache)
+    return jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), cache, spec)
+
+
+def _local_layer(lp_stacked: Dict[str, Any]) -> Dict[str, Any]:
+    """Squeeze the (1, ...) stage block into plain layer params."""
+    out = {}
+    for k, v in lp_stacked.items():
+        out[k] = v.local() if isinstance(v, TPPacked) else v[0]
+    return out
+
+
+def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
+                        rows, wpos, key_masks, s_len):
+    """Run this stage's layers on one microbatch, updating the local cache.
+
+    ``cache_kv = (k, v)`` local arrays ``(L_loc, n_slots, max_len, kv, hd)``;
+    ``rows`` (mb,) the microbatch's cache rows; ``wpos`` (mb,) write
+    positions (trash-steered when the tick is inactive); ``key_masks[j]``
+    the valid-key mask of local layer ``j``.  Returns ``(x, cache_kv)``."""
+    from gptq_v2_tpu.serving.model import _lin
+
+    ck, cv = cache_kv
+    l_loc = model.layers_per_stage
+    n = x.shape[1]
+    for j in range(l_loc):
+        lp = _local_layer(model.layers[j])
+
+        def attn_fn(q, k, v, j=j, lp=lp):
+            nonlocal ck, cv
+            # write this token's K/V at (rows, wpos), then attend the
+            # microbatch's rows over the first s_len positions
+            pos_b = jnp.broadcast_to(wpos[:, None], (wpos.shape[0], n))
+            rows_b = jnp.broadcast_to(rows[:, None], pos_b.shape)
+            ck = ck.at[j, rows_b, pos_b].set(k.astype(ck.dtype))
+            cv = cv.at[j, rows_b, pos_b].set(v.astype(cv.dtype))
+            k_all = jnp.take(ck[j], rows, axis=0)[:, :s_len]
+            v_all = jnp.take(cv[j], rows, axis=0)[:, :s_len]
+            attn = L.attention(q, k_all.astype(q.dtype),
+                               v_all.astype(q.dtype), causal_offset=None,
+                               key_mask=key_masks[j],
+                               sm_scale=cfg.sm_scale_,
+                               logit_cap=cfg.attn_logit_softcap)
+            return attn, None
+
+        x, _ = L.block_core(cfg, lp, x, cos, sin,
+                            lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
+    return x, (ck, cv)
+
+
+def build_pp_decode_step(mesh: Mesh, n_slots: int):
+    """Jitted pipelined decode: one new token for every slot per call.
+
+    Contract: ``step(model, tokens (B,), cache, positions (B,)) ->
+    (logits (B, V), cache)`` — the PP analogue of
+    ``serving.decode.decode_step`` (contiguous cache, batch == slot order).
+    ``B = n_slots`` must divide by the stage count; microbatch ``m`` is the
+    slot range ``[m*B/pp, (m+1)*B/pp)``.
+    """
+    pp = pp_size(mesh)
+    assert n_slots % pp == 0, (n_slots, pp)
+    mb = n_slots // pp
+
+    def local_step(model: PPPackedLlama, tokens, cache, positions):
+        cfg = model.cfg
+        l_loc = model.layers_per_stage
+        s_idx = jax.lax.axis_index(STAGE_AXIS)
+        s_len = cache.max_len
+        d = cfg.hidden_size
+        # the cache spec shards the *layer* axis: the local view is already
+        # (L_loc, n_slots, max_len, kv, hd)
+        ck, cv = cache.k, cache.v
+
+        windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
+        is_first = s_idx == 0
+        is_last = s_idx == pp - 1
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        x_recv = jnp.zeros((mb, 1, d), model.embed_tokens.dtype)
+        out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
+        logits_buf = None
+        for t in range(2 * pp - 1):
+            mbi = t - s_idx  # which microbatch this stage handles this tick
+            active = (mbi >= 0) & (mbi < pp)
+            mbi_c = jnp.clip(mbi, 0, pp - 1)
+            row0 = mbi_c * mb
+            rows = row0 + jnp.arange(mb)
+            tok = jax.lax.dynamic_slice(tokens, (row0,), (mb,))
+            pos = jax.lax.dynamic_slice(positions, (row0,), (mb,))
+            # bubble ticks write to the trash position (re-written before
+            # ever attended); real ticks write at the token's position
+            wpos = jnp.where(active, pos, s_len - 1)
+            cos, sin = L.rope_cos_sin(cfg, pos)  # (mb, hd) traced path
+            cos, sin = cos[:, None, :], sin[:, None, :]
+            x_first = L.embed_lookup(cfg, model.embed_tokens, tok)[:, None, :]
+            x = jnp.where(is_first, x_first, x_recv)
+            base = jnp.arange(s_len)[None, :] <= pos[:, None]
+            key_masks = []
+            for w in windows:
+                m = base
+                if w is not None:
+                    m = m & (jnp.arange(s_len)[None, :] > pos[:, None] - w)
+                key_masks.append(m)
+            x, (ck, cv) = _apply_local_layers(
+                cfg, model, x, cos, sin, (ck, cv), rows, wpos, key_masks,
+                s_len)
+            # the last stage finishes microbatch mbi: stash its hidden
+            h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
+                           cfg.norm_unit_offset)[:, 0]
+            contrib = jnp.where(is_last & active, h.astype(jnp.float32), 0.0)
+            out = jax.lax.dynamic_update_slice(
+                out, contrib + jax.lax.dynamic_slice(out, (row0, 0),
+                                                     (mb, out.shape[1])),
+                (row0, 0))
+            x_recv = jax.lax.ppermute(x, STAGE_AXIS, perm)
+        # every stage holds zeros except the last: one psum replicates the
+        # final hidden; the (cheap) head runs replicated
+        out = jax.lax.psum(out, STAGE_AXIS)
+        logits = _plain_linear(model.lm_head,
+                               out.astype(model.embed_tokens.dtype))
+        logits = L.soft_cap(logits, cfg.final_logit_softcap)
+        return logits, cache._replace(k=ck, v=cv)
+
+    cspec = kvc.ContiguousKVCache(P(STAGE_AXIS), P(STAGE_AXIS))
+
+    def sharded(model, tokens, cache, positions):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), P(), cspec, P()),
+            out_specs=(P(), cspec),
+            check_vma=False,
+        )(model, tokens, cache, positions)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
+def build_pp_prefill(mesh: Mesh, n_slots: int):
+    """Jitted pipelined prefill: pads-aware prompt ingestion for every slot.
+
+    Contract matches ``serving.decode.prefill`` (contiguous cache):
+    ``prefill(model, tokens (B, Lpad), cache, lengths (B,)) ->
+    (last-token logits (B, V), cache)``.
+    """
+    pp = pp_size(mesh)
+    assert n_slots % pp == 0, (n_slots, pp)
+    mb = n_slots // pp
+
+    def local_step(model: PPPackedLlama, tokens, cache, lengths):
+        cfg = model.cfg
+        l_loc = model.layers_per_stage
+        s_idx = jax.lax.axis_index(STAGE_AXIS)
+        s_len = cache.max_len
+        b, lpad = tokens.shape
+        d = cfg.hidden_size
+        ck, cv = cache.k, cache.v  # local view: (L_loc, ...)
+
+        windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
+        is_first = s_idx == 0
+        is_last = s_idx == pp - 1
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+        positions = jnp.arange(lpad)
+        cos, sin = L.rope_cos_sin(cfg, positions)
+
+        x_recv = jnp.zeros((mb, lpad, d), model.embed_tokens.dtype)
+        out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
+        for t in range(2 * pp - 1):
+            mbi = t - s_idx
+            active = (mbi >= 0) & (mbi < pp)
+            mbi_c = jnp.clip(mbi, 0, pp - 1)
+            row0 = mbi_c * mb
+            rows = row0 + jnp.arange(mb)
+            tok = jax.lax.dynamic_slice(tokens, (row0, 0), (mb, lpad))
+            lens = jax.lax.dynamic_slice(lengths, (row0,), (mb,))
+            pos_b = jnp.broadcast_to(positions[None], (mb, lpad))
+            # pad tokens and bubble ticks both steer to the trash position
+            pad = (pos_b >= lens[:, None]) | ~active
+            x_first = L.embed_lookup(cfg, model.embed_tokens, tok)
+            x = jnp.where(is_first, x_first, x_recv)
+
+            from gptq_v2_tpu.serving.model import _lin
+
+            for j in range(l_loc):
+                lp = _local_layer(model.layers[j])
+
+                def attn_fn(q, k, v, j=j, pad=pad):
+                    nonlocal ck, cv
+                    wp = jnp.where(pad, s_len - 1, pos_b)
+                    rows_b = jnp.broadcast_to(rows[:, None], wp.shape)
+                    ck = ck.at[j, rows_b, wp].set(k.astype(ck.dtype))
+                    cv = cv.at[j, rows_b, wp].set(v.astype(cv.dtype))
+                    attn = L.attention(q, k, v, window=windows[j],
+                                       sm_scale=cfg.sm_scale_,
+                                       logit_cap=cfg.attn_logit_softcap)
+                    return attn, None
+
+                x, _ = L.block_core(cfg, lp, x, cos, sin,
+                                    lambda n_, h, lp=lp: _lin(lp, n_, h),
+                                    attn_fn)
+
+            h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
+                           cfg.norm_unit_offset)
+            last = jnp.take_along_axis(
+                h, (lens - 1)[:, None, None], axis=1)[:, 0]
+            contrib = jnp.where(is_last & active,
+                                last.astype(jnp.float32), 0.0)
+            out = jax.lax.dynamic_update_slice(
+                out, contrib + jax.lax.dynamic_slice(out, (row0, 0),
+                                                     (mb, out.shape[1])),
+                (row0, 0))
+            x_recv = jax.lax.ppermute(x, STAGE_AXIS, perm)
+        out = jax.lax.psum(out, STAGE_AXIS)
+        logits = _plain_linear(model.lm_head,
+                               out.astype(model.embed_tokens.dtype))
+        logits = L.soft_cap(logits, cfg.final_logit_softcap)
+        return logits, cache._replace(k=ck, v=cv)
+
+    cspec = kvc.ContiguousKVCache(P(STAGE_AXIS), P(STAGE_AXIS))
+
+    def sharded(model, tokens, cache, lengths):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), P(), cspec, P()),
+            out_specs=(P(), cspec),
+            check_vma=False,
+        )(model, tokens, cache, lengths)
+
+    return jax.jit(sharded, donate_argnums=(2,))

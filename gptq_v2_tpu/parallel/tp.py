@@ -85,9 +85,9 @@ class TPPacked:
             bits=self.bits,
         )
 
-    def spec_like(self) -> "TPPacked":
-        return TPPacked(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS),
-                        None if self.perm is None else P(MODEL_AXIS),
+    def spec_like(self, axis: str = MODEL_AXIS) -> "TPPacked":
+        return TPPacked(P(axis), P(axis), P(axis),
+                        None if self.perm is None else P(axis),
                         self.group_size, self.in_features, self.bits)
 
 

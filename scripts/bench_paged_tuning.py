@@ -51,8 +51,8 @@ def build(batch, ctx, n_layers, n_kv, hq, hd, page_size, kv_dtype, seed=0):
     return q, cache, lengths, bt
 
 
-def step_fn(n_layers, kvpb, qpb):
-    def f(q, kv, lengths, bt, k_scales, v_scales):
+def step_fn(n_layers, kvpb, qpb, k_scales, v_scales):
+    def f(q, kv, lengths, bt):
         out = q
         for li in range(n_layers):
             a = paged_decode_attention(
@@ -96,18 +96,18 @@ def main():
     qb_opts = [None, 16, 64]
     results = []
     for kvpb, qpb in itertools.product([None] + kvp_opts, qb_opts):
-        f = jax.jit(step_fn(args.layers, kvpb, qpb))
+        f = jax.jit(step_fn(args.layers, kvpb, qpb,
+                            cache.k_scales, cache.v_scales))
         try:
-            out = f(q, cache.kv, lengths, bt, cache.k_scales, cache.v_scales)
+            out = f(q, cache.kv, lengths, bt)
             np.asarray(out.ravel()[:1])  # force (block_until_ready unreliable)
             t0 = time.time()
             for _ in range(args.reps):
-                out = f(q, cache.kv, lengths, bt, cache.k_scales,
-                        cache.v_scales)
+                out = f(q, cache.kv, lengths, bt)
             np.asarray(out.ravel()[:1])
             dt = (time.time() - t0) / args.reps
         except Exception as e:
-            print(f"kvpb={kvpb} qpb={qpb}: FAIL {str(e)[:100]}")
+            print(f"kvpb={kvpb} qpb={qpb}: FAIL {str(e)[:200]}")
             continue
         bw = kv_bytes / dt / 1e9
         results.append((dt, kvpb, qpb))

@@ -157,6 +157,78 @@ class TestTPServing:
                                    rtol=0, atol=2e-4 * scale)
 
 
+class TestPPServing:
+    """GPipe-style layer pipelining (``parallel/pp.py``): microbatches
+    rotate through layer stages via ppermute; weights + KV shard by layer."""
+
+    def _roundtrip(self, model, pp, n_steps=4, seed=8):
+        from gptq_v2_tpu.parallel.pp import (
+            build_pp_decode_step, build_pp_prefill, make_pp_mesh,
+            shard_cache_pp, shard_packed_llama_pp)
+
+        cfg = model.cfg
+        b, max_len = 4, 32
+        rng = np.random.default_rng(seed)
+        plen = rng.integers(3, 8, (b,)).astype(np.int32)
+        lpad = 8
+        tokens = np.zeros((b, lpad), np.int32)
+        for i in range(b):
+            tokens[i, :plen[i]] = rng.integers(0, cfg.vocab_size, (plen[i],))
+
+        def mk_cache():
+            return kvc.init_contiguous_cache(
+                cfg.num_hidden_layers, b, max_len, cfg.num_key_value_heads,
+                cfg.head_dim_, dtype=jnp.float32)
+
+        # single-device oracle
+        c1 = mk_cache()
+        log1, c1 = D.prefill(model, jnp.asarray(tokens), c1, None,
+                             jnp.asarray(plen), slot=jnp.arange(b))
+        # PP
+        mesh = make_pp_mesh(pp)
+        ppm = shard_packed_llama_pp(model, mesh)
+        c2 = shard_cache_pp(mk_cache(), mesh)
+        pf = build_pp_prefill(mesh, b)
+        dec = build_pp_decode_step(mesh, b)
+        log2, c2 = pf(ppm, jnp.asarray(tokens), c2, jnp.asarray(plen))
+        scale = float(jnp.abs(log1).max())
+        np.testing.assert_allclose(np.asarray(log2), np.asarray(log1),
+                                   rtol=0, atol=2e-4 * scale)
+        pos = jnp.asarray(plen)
+        tok1 = tok2 = jnp.argmax(log1, -1).astype(jnp.int32)
+        for _ in range(n_steps):
+            dlog1, c1 = D.decode_step(model, tok1, c1, None, pos)
+            dlog2, c2 = dec(ppm, tok2, c2, pos)
+            scale = float(jnp.abs(dlog1).max())
+            np.testing.assert_allclose(np.asarray(dlog2), np.asarray(dlog1),
+                                       rtol=0, atol=3e-4 * scale)
+            tok1 = jnp.argmax(dlog1, -1).astype(jnp.int32)
+            tok2 = jnp.argmax(dlog2, -1).astype(jnp.int32)
+            assert (np.asarray(tok1) == np.asarray(tok2)).all()
+            pos = pos + 1
+
+    def test_pp2_prefill_decode_matches_single_device(self, tiny_packed):
+        self._roundtrip(tiny_packed, pp=2)  # 2 layers -> 1 per stage
+
+    def test_pp4_gemma2_style(self):
+        """4 stages x 2 layers/stage with the Gemma-2 switches (alternating
+        windows are stage-periodic at an even layers_per_stage)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=8, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=16.0,
+            layer_types=tuple(
+                "sliding_attention" if i % 2 == 0 else "full_attention"
+                for i in range(8)))
+        model = random_packed_llama(cfg, group_size=16, seed=17,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=4, n_steps=3, seed=9)
+
+
 class TestTPEngine:
     @pytest.mark.parametrize("kind", ["contiguous", "paged"])
     def test_engine_over_mesh_matches_single_device(self, tiny_packed, kind):

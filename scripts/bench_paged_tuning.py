@@ -30,16 +30,17 @@ from gptq_v2_tpu.serving import kv_cache as kvc
 
 def build(batch, ctx, n_layers, n_kv, hq, hd, page_size, kv_dtype, seed=0):
     n_pages = 1 + batch * (ctx // page_size)  # page 0 = trash
-    # generate on-device (host gen + tunnel transfer would take many minutes)
-    kv = jax.random.normal(jax.random.key(seed),
-                           (n_layers, n_pages, page_size, 2 * n_kv, hd),
-                           jnp.bfloat16)
+    # generate on-device (host gen + tunnel transfer would take many
+    # minutes); int8 is drawn directly — eager bf16->f32->int8 conversion
+    # chains peak at ~4x the cache size and OOM 16 GB HBM
+    shape = (n_layers, n_pages, page_size, 2 * n_kv, hd)
     if kv_dtype == "int8":
-        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) * 40),
-                      -127, 127).astype(jnp.int8)
+        kv = jax.jit(lambda k: jax.random.randint(
+            k, shape, -127, 128, jnp.int8))(jax.random.key(seed))
         k_scales = tuple(1 / 40.0 for _ in range(n_layers))
         v_scales = k_scales
     else:
+        kv = jax.random.normal(jax.random.key(seed), shape, jnp.bfloat16)
         k_scales = v_scales = None
     cache = kvc.PagedKVCache(kv, page_size, k_scales, v_scales)
     bt = jnp.asarray(

@@ -1,0 +1,136 @@
+"""Generate a random sharded HF-format checkpoint on disk.
+
+Exercises the framework's real user-facing load path (``models/loader.py``:
+config.json + ``model-*-of-*.safetensors`` shards +
+``model.safetensors.index.json``) without network access — this
+environment has zero egress, so no real checkpoints can be downloaded
+(docs/STATUS.md "ppl parity").  Supports every model family the framework
+serves (llama / mistral / qwen2 / gemma2).
+
+Usage:
+  python scripts/make_synthetic_checkpoint.py --out /tmp/ckpt \
+      --model-type llama --hidden 4096 --intermediate 11008 --layers 8 \
+      --heads 32 --kv-heads 32 --vocab 32000 --shards 2 --dtype bfloat16
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def build_config(a) -> dict:
+    cfg = {
+        "model_type": a.model_type,
+        "vocab_size": a.vocab,
+        "hidden_size": a.hidden,
+        "intermediate_size": a.intermediate,
+        "num_hidden_layers": a.layers,
+        "num_attention_heads": a.heads,
+        "num_key_value_heads": a.kv_heads,
+        "max_position_embeddings": a.max_pos,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "torch_dtype": a.dtype,
+        "tie_word_embeddings": a.model_type == "gemma2",
+    }
+    if a.head_dim:
+        cfg["head_dim"] = a.head_dim
+    if a.model_type == "mistral":
+        cfg["sliding_window"] = a.sliding_window or 4096
+    if a.model_type == "gemma2":
+        cfg.update({
+            "rms_norm_eps": 1e-6,
+            "hidden_activation": "gelu_pytorch_tanh",
+            "query_pre_attn_scalar": a.head_dim or a.hidden // a.heads,
+            "attn_logit_softcapping": 50.0,
+            "final_logit_softcapping": 30.0,
+            "sliding_window": a.sliding_window or 4096,
+        })
+    return cfg
+
+
+def tensor_entries(cfg_dict):
+    """Yield (hf_key, shape) in HF layout ((out, in) for linears)."""
+    from gptq_v2_tpu.models.llama import LlamaConfig, layer_param_shapes
+
+    cfg = LlamaConfig.from_hf_dict(cfg_dict)
+    d, v = cfg.hidden_size, cfg.vocab_size
+    yield "model.embed_tokens.weight", (v, d)
+    for i in range(cfg.num_hidden_layers):
+        for name, shape in layer_param_shapes(cfg).items():
+            key = f"model.layers.{i}.{name}"
+            if not name.endswith(".bias"):
+                key += ".weight"
+            yield key, shape[::-1] if len(shape) == 2 else shape
+    yield "model.norm.weight", (d,)
+    if not cfg.tie_word_embeddings:
+        yield "lm_head.weight", (v, d)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--model-type", default="llama",
+                    choices=["llama", "mistral", "qwen2", "gemma2"])
+    ap.add_argument("--hidden", type=int, default=4096)
+    ap.add_argument("--intermediate", type=int, default=11008)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--kv-heads", type=int, default=32)
+    ap.add_argument("--head-dim", type=int, default=0)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--max-pos", type=int, default=4096)
+    ap.add_argument("--sliding-window", type=int, default=0)
+    ap.add_argument("--shards", type=int, default=2)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float16", "float32"])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    np_dtype = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16,
+                "float32": np.float32}[args.dtype]
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg_dict = build_config(args)
+    with open(out / "config.json", "w") as f:
+        json.dump(cfg_dict, f, indent=1)
+
+    entries = list(tensor_entries(cfg_dict))
+    rng = np.random.default_rng(args.seed)
+    per_shard = -(-len(entries) // args.shards)
+    weight_map, total = {}, 0
+    for s in range(args.shards):
+        chunk = entries[s * per_shard:(s + 1) * per_shard]
+        if not chunk:
+            continue
+        shard_name = f"model-{s + 1:05d}-of-{args.shards:05d}.safetensors"
+        flat = {}
+        for key, shape in chunk:
+            if len(shape) == 1:  # norms init at identity, biases at zero
+                w = (np.zeros(shape, np.float32)
+                     if key.endswith(".bias") or args.model_type == "gemma2"
+                     else np.ones(shape, np.float32))
+            else:
+                w = (rng.standard_normal(shape, dtype=np.float32)
+                     / np.sqrt(shape[-1]))
+            flat[key] = w.astype(np_dtype)
+            weight_map[key] = shard_name
+            total += flat[key].nbytes
+        save_file(flat, str(out / shard_name))
+        print(f"wrote {shard_name}: {len(flat)} tensors")
+    with open(out / "model.safetensors.index.json", "w") as f:
+        json.dump({"metadata": {"total_size": total},
+                   "weight_map": weight_map}, f)
+    print(f"checkpoint at {out}: {len(entries)} tensors, "
+          f"{total / 1e9:.2f} GB, {args.shards} shards")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,60 @@ class TestServeCLI:
             "--bench-tokens", "4", "--prompt-tokens", "5",
         ])
         assert stats["new_tokens"] == 8 and stats["tok_s"] > 0
+
+
+class TestSyntheticCheckpoints:
+    """The sharded-index load path + every family through the checkpoint
+    generator (``scripts/make_synthetic_checkpoint.py``) — the real
+    user-facing entry for environments with no HF network access."""
+
+    def _gen(self, tmp_path, **over):
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        script = Path(__file__).resolve().parent.parent / "scripts" / \
+            "make_synthetic_checkpoint.py"
+        args = {
+            "--out": str(tmp_path), "--hidden": "64", "--intermediate": "112",
+            "--layers": "2", "--heads": "4", "--kv-heads": "2",
+            "--vocab": "256", "--shards": "2", "--dtype": "float32",
+        }
+        args.update({k: str(v) for k, v in over.items()})
+        subprocess.run([sys.executable, str(script)]
+                       + [x for kv in args.items() for x in kv], check=True)
+
+    def test_sharded_index_load_matches_params(self, tmp_path):
+        """Multi-shard + index.json load produces a working model."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck")
+        assert (tmp_path / "ck" / "model.safetensors.index.json").exists()
+        assert len(list((tmp_path / "ck").glob("model-*.safetensors"))) == 2
+        cfg, params = load_hf_model(tmp_path / "ck")
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert logits.shape == (1, 12, cfg.vocab_size)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_gemma2_checkpoint_roundtrip(self, tmp_path):
+        """Gemma-2 checkpoint: tied head, 4 norms/block, softcap config."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck", **{"--model-type": "gemma2",
+                                      "--head-dim": "16",
+                                      "--sliding-window": "8"})
+        cfg, params = load_hf_model(tmp_path / "ck")
+        assert cfg.sandwich_norms and cfg.tie_word_embeddings
+        assert cfg.final_logit_softcap == 30.0
+        assert "post_feedforward_layernorm" in params["layers"][0]
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert bool(jnp.isfinite(logits).all())
+        assert float(jnp.abs(logits).max()) <= 30.0  # final softcap bound

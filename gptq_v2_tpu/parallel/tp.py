@@ -420,7 +420,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                     cache = kvc.write_kv(cache, li, k, v, block_tables,
                                          positions[:, None])
                     n_pages = -(-s // cache.page_size)
-                    # local KV heads stream their own pages in-kernel
+                    # local KV heads stream their own pages in-kernel;
+                    # tile override as in serving.decode._decode_block
                     attn = paged_decode_attention(
                         q[:, 0], cache.kv[li], positions + 1,
                         block_tables[:, :n_pages],
@@ -431,6 +432,12 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                                  else cache.k_scales[li]),
                         v_scale=(None if cache.v_scales is None
                                  else cache.v_scales[li]),
+                        num_kv_pages_per_block=(
+                            min(n_pages, 128)
+                            if win is None or win >= s else None),
+                        num_queries_per_block=(16 if q.shape[0] >= 16
+                                               else None),
+                        vmem_limit_bytes=100 * 1024 * 1024,
                     )[:, None]
                 return attn, None
 

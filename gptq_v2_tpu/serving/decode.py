@@ -154,7 +154,14 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             new_cache = kvc.write_kv(new_cache, li, k, v, block_tables,
                                      positions[:, None])
             n_pages = -(-s // cache.page_size)
-            # in-kernel page streaming: reads only each seq's valid pages
+            # in-kernel page streaming: reads only each seq's valid pages.
+            # Tile override: whole-sequence KV blocks + 16-query blocks beat
+            # the kernel's auto-tune table by 5-10% on v5e decode at every
+            # swept shape (scripts/bench_paged_tuning.py).  Effective
+            # sliding windows keep the kernel's own block size — small
+            # blocks are what let it skip out-of-window pages.
+            b = q.shape[0]
+            whole = window is None or window >= s
             attn = paged_decode_attention(
                 q[:, 0], new_cache.kv[li], positions + 1,
                 block_tables[:, :n_pages],
@@ -163,6 +170,9 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                 soft_cap=cfg.attn_logit_softcap,
                 k_scale=None if cache.k_scales is None else cache.k_scales[li],
                 v_scale=None if cache.v_scales is None else cache.v_scales[li],
+                num_kv_pages_per_block=min(n_pages, 128) if whole else None,
+                num_queries_per_block=16 if b >= 16 else None,
+                vmem_limit_bytes=100 * 1024 * 1024,
             )[:, None]
         return attn, new_cache
 

@@ -45,6 +45,21 @@ class TestHessianAccumulate:
         full = hp.symmetrize(h, block_d=16)
         np.testing.assert_allclose(np.asarray(full), x.T @ x, rtol=1e-4, atol=1e-3)
 
+    def test_pallas_kernel_pads_features(self):
+        """D not divisible by block_d (Llama's 11008 vs the 512 tile):
+        the feature axis pads with zero columns and slices back."""
+        d, t = 160, 64
+        x = rand((t, d), seed=5)
+        h0 = rand((d, d), seed=6)
+        h0 = h0 @ h0.T
+        ours = hp.accumulate_hessian(jnp.asarray(h0), jnp.asarray(x),
+                                     block_d=128, block_t=32, interpret=True)
+        # symmetrize at finer granularity than the kernel tiles (the
+        # production pairing: 256-granular repair of 512-tile accumulation)
+        full = hp.symmetrize(ours, block_d=32)
+        np.testing.assert_allclose(np.asarray(full), h0 + x.T @ x,
+                                   rtol=1e-4, atol=1e-3)
+
 
 class TestInvert:
     def _state(self, d=32, t=256, seed=0):

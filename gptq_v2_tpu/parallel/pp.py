@@ -294,17 +294,20 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
 
 
 def build_pp_prefill(mesh: Mesh, n_slots: int):
-    """Jitted pipelined prefill: pads-aware prompt ingestion for every slot.
+    """Jitted pipelined prefill: pads-aware prompt ingestion.
 
     Contract matches ``serving.decode.prefill`` (contiguous cache):
-    ``prefill(model, tokens (B, Lpad), cache, lengths (B,)) ->
-    (last-token logits (B, V), cache)``.
+    ``prefill(model, tokens (B, Lpad), cache, lengths (B,), slot (B,)) ->
+    (last-token logits (B, V), cache)`` — ``slot`` maps each prompt row to
+    its cache row (None = row order), so the engine can prefill an
+    admitted subset of slots.  ``B = n_slots`` here is the per-call prompt
+    batch (must divide by the stage count), not the cache's slot count.
     """
     pp = pp_size(mesh)
     assert n_slots % pp == 0, (n_slots, pp)
     mb = n_slots // pp
 
-    def local_step(model: PPPackedLlama, tokens, cache, lengths):
+    def local_step(model: PPPackedLlama, tokens, cache, lengths, slot):
         cfg = model.cfg
         l_loc = model.layers_per_stage
         s_idx = jax.lax.axis_index(STAGE_AXIS)
@@ -327,9 +330,9 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
             active = (mbi >= 0) & (mbi < pp)
             mbi_c = jnp.clip(mbi, 0, pp - 1)
             row0 = mbi_c * mb
-            rows = row0 + jnp.arange(mb)
             tok = jax.lax.dynamic_slice(tokens, (row0, 0), (mb, lpad))
             lens = jax.lax.dynamic_slice(lengths, (row0,), (mb,))
+            rows = jax.lax.dynamic_slice(slot, (row0,), (mb,))  # cache rows
             pos_b = jnp.broadcast_to(positions[None], (mb, lpad))
             # pad tokens and bubble ticks both steer to the trash position
             pad = (pos_b >= lens[:, None]) | ~active
@@ -375,12 +378,14 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
 
     cspec = kvc.ContiguousKVCache(P(STAGE_AXIS), P(STAGE_AXIS))
 
-    def sharded(model, tokens, cache, lengths):
+    def sharded(model, tokens, cache, lengths, slot=None):
+        if slot is None:
+            slot = jnp.arange(tokens.shape[0], dtype=jnp.int32)
         return jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(model.specs(), P(), cspec, P()),
+            in_specs=(model.specs(), P(), cspec, P(), P()),
             out_specs=(P(), cspec),
             check_vma=False,
-        )(model, tokens, cache, lengths)
+        )(model, tokens, cache, lengths, slot.astype(jnp.int32))
 
     return jax.jit(sharded, donate_argnums=(2,))

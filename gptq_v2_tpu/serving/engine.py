@@ -145,7 +145,32 @@ class Engine:
             raise ValueError(scheduler)
         self.token_budget = token_budget or max(2 * max_batch, 64)
         self.mesh = mesh
-        if mesh is not None:
+        self._min_prefill_batch = 1
+        if mesh is not None and "stage" in mesh.axis_names:
+            # pipeline-parallel serving: layer stages over the 'stage' axis
+            from gptq_v2_tpu.parallel import pp as PP
+
+            pp = PP.pp_size(mesh)
+            assert cache_kind == "contiguous", "PP serving uses contiguous KV"
+            assert scheduler == "phased", "PP serving uses phased scheduling"
+            assert kv_dtype == "native", "int8 KV + PP not supported yet"
+            assert max_batch % pp == 0, (max_batch, pp)
+            self.model = PP.shard_packed_llama_pp(model, mesh)
+            self.cache = PP.shard_cache_pp(self.cache, mesh)
+            self._min_prefill_batch = pp
+            pp_dec = PP.build_pp_decode_step(mesh, max_batch)
+            self._decode = (lambda m, t, c, bt, pos, s_bucket=None:
+                            pp_dec(m, t, c, pos))
+            prefills = {}
+
+            def _pp_prefill(m, tokens, cache, bt, lengths, slot):
+                nb = tokens.shape[0]
+                if nb not in prefills:
+                    prefills[nb] = PP.build_pp_prefill(mesh, nb)
+                return prefills[nb](m, tokens, cache, lengths, slot)
+
+            self._prefill = _pp_prefill
+        elif mesh is not None:
             from gptq_v2_tpu.parallel import tp as TP
 
             self.model = TP.shard_packed_llama(model, mesh)
@@ -221,7 +246,8 @@ class Engine:
         for item in admitted:
             by_bucket.setdefault(_bucket(item[2]), []).append(item)
         for lpad, group in by_bucket.items():
-            nb = _bucket(len(group), lo=1)
+            # PP prefill needs a stage-divisible batch; pad rows are benign
+            nb = max(_bucket(len(group), lo=1), self._min_prefill_batch)
             rows = group + [group[-1]] * (nb - len(group))
             tokens = np.zeros((nb, lpad), np.int32)
             lengths = np.zeros((nb,), np.int32)

@@ -250,6 +250,28 @@ class TestTPEngine:
         assert got == want
 
 
+class TestPPEngine:
+    def test_engine_over_pp_mesh_matches_single_device(self, tiny_packed):
+        """Continuous batching through the pipelined steps == single-device
+        engine (admission, slot reuse, subset prefill via slot mapping)."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving import Engine, Request
+
+        model = tiny_packed
+        rng = np.random.default_rng(23)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 3, 9)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=4, max_seq_len=32,
+                          cache_kind="contiguous", mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_pp_mesh(2)).run(reqs())
+        assert got == want
+
+
 class TestDPPipeline:
     def test_quantize_model_over_mesh_matches_single_device(self):
         """Full pipeline with calibration sharded over the data axis."""

@@ -6,7 +6,7 @@ at perplexity evaluation on dequantized fp16 linears, reference
 ``quant.py:262-279``).
 
 Run: ``python -m gptq_v2_tpu.serve --model-dir ... --results outputs/results.npz
-[--tp N] [--benchmark true]``
+[--tp N | --pp N] [--benchmark true]``
 """
 from __future__ import annotations
 
@@ -47,6 +47,9 @@ def parse_serve_args(argv=None):
                    help="ragged tick token budget (0 = auto)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways over a device mesh (0 = off)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel stages (layer pipelining over a "
+                        "'stage' mesh; contiguous cache only; 0 = off)")
     p.add_argument("--benchmark", type=str2bool, default=True,
                    help="run a synthetic decode-throughput benchmark")
     p.add_argument("--bench-tokens", type=int, default=64,
@@ -66,10 +69,17 @@ def build_engine(args):
     model = quantize_params_to_packed(cfg, params, results["data"],
                                       compute_dtype=jnp.bfloat16)
     mesh = None
+    if args.tp and args.pp:
+        raise SystemExit("--tp and --pp are mutually exclusive (TPxPP "
+                         "composition not implemented)")
     if args.tp:
         from gptq_v2_tpu.parallel import make_mesh
 
         mesh = make_mesh(tp=args.tp, dp=1)
+    elif args.pp:
+        from gptq_v2_tpu.parallel import make_pp_mesh
+
+        mesh = make_pp_mesh(args.pp)
     return Engine(model, max_batch=args.max_batch, page_size=args.page_size,
                   max_seq_len=args.max_seq_len, cache_kind=args.cache_kind,
                   mesh=mesh, kv_dtype=args.kv_dtype,

@@ -192,6 +192,37 @@ class TestModelFamilies:
         assert cfg.layer_window(0) == 16 and cfg.layer_window(1) is None
         assert "pre_feedforward_layernorm" in params["layers"][0]
 
+    def test_gemma2_quantize_pipeline(self):
+        """End-to-end GPTQ on a Gemma-2-style model: the jaxpr dependency
+        scheduler handles the 4-norm block, softcapped eval stays sane."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from gptq_v2_tpu.evaluate import evaluate_ppl
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        hf_cfg = transformers.Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+            sliding_window=16, query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(12)
+        hf_model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg.to_dict(),
+                                          "torch_dtype": "float32"})
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(0)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+        ppl_fp = evaluate_ppl(cfg, dict(params), calib, batch_size=4)
+        r = quantize_model(cfg, params, calib,
+                           QuantConfig(bits=8, group_size=16), batch_size=4)
+        assert "model.layers.0.mlp.down_proj" in r["data"]
+        ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
+        assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

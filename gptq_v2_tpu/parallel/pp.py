@@ -1,7 +1,8 @@
-"""Pipeline-parallel W4A16 serving over a mesh ``stage`` axis.
+"""Pipeline-parallel W4A16 serving over a mesh ``stage`` axis (optionally
+composed with tensor parallelism over ``model``).
 
 GPipe-style layer pipelining: the decoder's blocks split into ``pp``
-contiguous stages (one per device along ``stage``), the serving batch
+contiguous stages (one mesh row along ``stage``), the serving batch
 splits into ``pp`` microbatches, and one jitted step rotates the
 microbatches through the stages with ``jax.lax.ppermute`` — each device
 runs only its own layers, holds only its layers' INT4 weights and KV-cache
@@ -11,6 +12,13 @@ parallelism (``parallel/tp.py``): TP pays per-block all-gathers of
 activations and must ride ICI; PP sends one microbatch boundary per stage
 per step and tolerates DCN-class links, and it divides *weight + KV
 memory* by ``pp`` (a 70B INT4 model does not fit one v5e's 16 GB HBM).
+
+**TPxPP composition** (``make_pp_mesh(pp, tp)``): a ``('stage', 'model')``
+mesh — the canonical multi-host layout: PP across hosts (one hidden-state
+send per stage per microbatch rides DCN), TP within a host (per-block
+collectives ride ICI).  Weights shard over both axes (stage x Megatron
+column/row shards); the KV cache shards layers over ``stage`` and heads
+over ``model``.
 
 The reference has no distributed code at all; its only pipeline analogue
 is the *temporal* block-by-block schedule with CPU offload (reference
@@ -23,10 +31,6 @@ bubble is ``(pp-1)/(2pp-1)`` of the call; inactive (bubble) ticks steer
 their KV writes to the cache's trash position (``max_len - 1``) — the same
 steering invariant the prefill pad path uses (``serving/decode.py``):
 a position is only ever attended after a real write lands on it.
-
-KV layout: the standard :class:`~gptq_v2_tpu.serving.kv_cache.ContiguousKVCache`
-with its *layer* axis sharded ``P('stage')`` — each stage owns exactly the
-cache rows of its own layers, so no KV ever moves between devices.
 """
 from __future__ import annotations
 
@@ -40,40 +44,60 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gptq_v2_tpu.models import llama as L
 from gptq_v2_tpu.ops.packing import PackedLinear
-from gptq_v2_tpu.parallel.tp import TPPacked, _stack_packed
+from gptq_v2_tpu.ops.w4a16 import w4a16_matmul
+from gptq_v2_tpu.parallel.mesh import MODEL_AXIS
+from gptq_v2_tpu.parallel.tp import (
+    COLUMN_PARALLEL,
+    ROW_PARALLEL,
+    TPPacked,
+    _gather_cols,
+    _stack_packed,
+    split_packed_column,
+    split_packed_row,
+)
 from gptq_v2_tpu.serving import kv_cache as kvc
 from gptq_v2_tpu.serving.model import _linear as _plain_linear
 
 STAGE_AXIS = "stage"
 
 
-def make_pp_mesh(pp: Optional[int] = None, devices=None) -> Mesh:
-    """A 1-D ``('stage',)`` mesh of ``pp`` devices."""
+def make_pp_mesh(pp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    """A ``('stage',)`` mesh of ``pp`` devices, or a ``('stage', 'model')``
+    mesh of ``pp x tp`` when ``tp > 1`` (TP innermost → ICI-adjacent)."""
     if devices is None:
         devices = jax.devices()
     if pp is None:
-        pp = len(devices)
-    assert pp <= len(devices), (pp, len(devices))
-    return Mesh(np.asarray(devices[:pp]), (STAGE_AXIS,))
+        pp = len(devices) // tp
+    n = pp * tp
+    assert n <= len(devices), (pp, tp, len(devices))
+    if tp == 1:
+        return Mesh(np.asarray(devices[:n]), (STAGE_AXIS,))
+    grid = np.asarray(devices[:n]).reshape(pp, tp)
+    return Mesh(grid, (STAGE_AXIS, MODEL_AXIS))
 
 
 def pp_size(mesh: Mesh) -> int:
     return mesh.shape[STAGE_AXIS]
 
 
+def tp_of(mesh: Mesh) -> int:
+    return mesh.shape.get(MODEL_AXIS, 1)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PPPackedLlama:
     """Per-stage packed weights: ``layers[j]`` holds *local layer j of every
-    stage* stacked on a leading ``(pp,)`` axis (sharded ``P('stage')``), so
-    inside ``shard_map`` device ``s`` squeezes its ``(1, ...)`` block into
-    the params of global layer ``s * layers_per_stage + j``.  Embeddings,
-    final norm, and lm_head are replicated (stage 0 consumes the embedding,
-    the last stage the head; replication costs little and keeps specs
-    simple)."""
+    stage* stacked on a leading ``(pp,)`` axis — plus a ``(tp,)`` axis under
+    TPxPP — so inside ``shard_map`` each device squeezes its block into the
+    params of global layer ``s * layers_per_stage + j`` (its TP shard of
+    them, when composed).  Embeddings, final norm, and lm_head are
+    replicated (stage 0 consumes the embedding, the last stage the head;
+    replication costs little and keeps specs simple)."""
 
     cfg: L.LlamaConfig  # static
     pp: int  # static
+    tp: int  # static
     embed_tokens: Any
     layers: Tuple[Dict[str, Any], ...]  # length = layers_per_stage
     norm: Any
@@ -81,23 +105,27 @@ class PPPackedLlama:
 
     def tree_flatten(self):
         return ((self.embed_tokens, self.layers, self.norm, self.lm_head),
-                (self.cfg, self.pp))
+                (self.cfg, self.pp, self.tp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], aux[1], *children)
+        return cls(aux[0], aux[1], aux[2], *children)
 
     @property
     def layers_per_stage(self) -> int:
         return len(self.layers)
 
     def specs(self) -> "PPPackedLlama":
-        def leaf_spec(w):
+        def leaf_spec(name, w):
             if isinstance(w, TPPacked):
-                return w.spec_like(STAGE_AXIS)
-            return P(STAGE_AXIS)  # stacked dense weight / norm / bias
+                axes = ((STAGE_AXIS, MODEL_AXIS) if w.lead == 2
+                        else (STAGE_AXIS,))
+                return w.spec_like(*axes)
+            if self.tp > 1 and _is_tp_sharded(name):
+                return P(STAGE_AXIS, MODEL_AXIS)
+            return P(STAGE_AXIS)  # per-layer norm / replicated-on-model bias
         layer_specs = tuple(
-            {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers)
+            {k: leaf_spec(k, v) for k, v in lp.items()} for lp in self.layers)
         if isinstance(self.lm_head, PackedLinear):
             lm_spec = PackedLinear(
                 P(), P(), P(), None if self.lm_head.perm is None else P(),
@@ -105,7 +133,17 @@ class PPPackedLlama:
                 self.lm_head.bits)
         else:
             lm_spec = P()
-        return PPPackedLlama(self.cfg, self.pp, P(), layer_specs, P(), lm_spec)
+        return PPPackedLlama(self.cfg, self.pp, self.tp, P(), layer_specs,
+                             P(), lm_spec)
+
+
+def _is_tp_sharded(name: str) -> bool:
+    """Layer entries that carry a TP-shard axis under composition: the
+    column/row linears and column-parallel biases (row-parallel biases add
+    post-psum and stay replicated over ``model``)."""
+    if name.endswith(".bias"):
+        return name[:-5] in COLUMN_PARALLEL
+    return name in COLUMN_PARALLEL or name in ROW_PARALLEL
 
 
 def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
@@ -120,72 +158,148 @@ def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
     return wins.pop()
 
 
+def _tp_split_layer(lp: Dict[str, Any], tp: int) -> list:
+    """Megatron split of one layer into ``tp`` shard dicts (mirrors
+    ``tp.shard_packed_llama``'s per-name rules, unstacked)."""
+    shards = [dict() for _ in range(tp)]
+    for name, w in lp.items():
+        if name in COLUMN_PARALLEL and isinstance(w, PackedLinear):
+            parts = split_packed_column(w, tp)
+        elif name in ROW_PARALLEL and isinstance(w, PackedLinear):
+            parts = split_packed_row(w, tp)
+        elif name in COLUMN_PARALLEL:
+            parts = np.split(np.asarray(w), tp, axis=1)
+        elif name in ROW_PARALLEL:
+            parts = np.split(np.asarray(w), tp, axis=0)
+        elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
+            parts = np.split(np.asarray(w), tp, axis=0)
+        else:
+            parts = [w] * tp  # norms, row-parallel bias: replicated
+        for s, part in zip(shards, parts):
+            s[name] = part
+    return shards
+
+
 def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     """Split a :class:`~gptq_v2_tpu.serving.model.PackedLlama`'s layers into
-    ``pp`` contiguous stages and place each stage's stack on its device."""
+    ``pp`` contiguous stages (x ``tp`` Megatron shards under composition)
+    and place every stack on its mesh devices."""
     cfg = model.cfg
-    pp = pp_size(mesh)
+    pp, tp = pp_size(mesh), tp_of(mesh)
     n = cfg.num_hidden_layers
     assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
+    if tp > 1:
+        assert cfg.num_attention_heads % tp == 0
+        assert cfg.num_key_value_heads % tp == 0
     l_loc = n // pp
 
     def stack(ws):
-        if isinstance(ws[0], PackedLinear):
+        if isinstance(ws[0], (PackedLinear, TPPacked)):
             return _stack_packed(ws)
         return jnp.stack([jnp.asarray(w) for w in ws])
 
+    def prep(lp):
+        """One global layer → {name: TPPacked(lead=1) | (tp, ...) | leaf}."""
+        if tp == 1:
+            return dict(lp)
+        shards = _tp_split_layer(lp, tp)
+        out = {}
+        for name in lp:
+            parts = [s[name] for s in shards]
+            if isinstance(parts[0], PackedLinear):
+                out[name] = _stack_packed(parts)
+            elif _is_tp_sharded(name):
+                out[name] = jnp.stack([jnp.asarray(p) for p in parts])
+            else:
+                out[name] = parts[0]  # replicated over model
+        return out
+
+    prepped = [prep(lp) for lp in model.layers]
     layers = []
     for j in range(l_loc):
-        per_stage = [model.layers[s * l_loc + j] for s in range(pp)]
+        per_stage = [prepped[s * l_loc + j] for s in range(pp)]
         names = per_stage[0].keys()
         layers.append({k: stack([lp[k] for lp in per_stage]) for k in names})
-    ppm = PPPackedLlama(cfg, pp, model.embed_tokens, tuple(layers),
+    ppm = PPPackedLlama(cfg, pp, tp, model.embed_tokens, tuple(layers),
                         model.norm, model.lm_head)
     specs = ppm.specs()
     return jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), ppm, specs)
 
 
-def pp_cache_pspec(cache):
-    """Cache PartitionSpec: the *layer* axis shards over ``stage``."""
+def pp_cache_pspec(cache, tp: int = 1):
+    """Cache PartitionSpec: layers shard over ``stage``; KV heads over
+    ``model`` under TPxPP."""
     assert isinstance(cache, kvc.ContiguousKVCache), \
         "PP serving uses the contiguous KV cache"
-    s = P(STAGE_AXIS)
+    m = MODEL_AXIS if tp > 1 else None
+    s = P(STAGE_AXIS, None, None, m)
     return kvc.ContiguousKVCache(s, s)
 
 
 def shard_cache_pp(cache, mesh: Mesh):
     assert cache.k_scales is None, "int8 KV + PP not supported yet"
-    spec = pp_cache_pspec(cache)
+    spec = pp_cache_pspec(cache, tp_of(mesh))
     return jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), cache, spec)
 
 
-def _local_layer(lp_stacked: Dict[str, Any]) -> Dict[str, Any]:
-    """Squeeze the (1, ...) stage block into plain layer params."""
+def _local_layer(lp_stacked: Dict[str, Any], tp: int) -> Dict[str, Any]:
+    """Squeeze each entry's lead mesh axes into device-local params."""
     out = {}
     for k, v in lp_stacked.items():
-        out[k] = v.local() if isinstance(v, TPPacked) else v[0]
+        if isinstance(v, TPPacked):
+            out[k] = v.local()
+        elif tp > 1 and _is_tp_sharded(k):
+            out[k] = v[0][0]
+        else:
+            out[k] = v[0]
     return out
+
+
+def _make_lin(lp: Dict[str, Any], tp: int):
+    """The linear-application strategy for ``block_core`` on a device-local
+    PP(+TP) layer: column-parallel runs on the (replicated-over-model)
+    input; row-parallel all-gathers the locally sharded activation over
+    ``model`` and psums the partial output."""
+
+    def apply(w, h):
+        return w4a16_matmul(h, w) if isinstance(w, PackedLinear) else h @ w
+
+    def lin(name: str, h: jax.Array) -> jax.Array:
+        w = lp[name]
+        b = lp.get(name + ".bias")
+        if tp > 1 and name in ROW_PARALLEL:
+            hf = _gather_cols(h)
+            if not isinstance(w, PackedLinear):
+                # dense row shard contracts its own slice of the gathered
+                # activation (packed shards select theirs via their perm)
+                c_loc = w.shape[0]
+                idx = jax.lax.axis_index(MODEL_AXIS)
+                hf = jax.lax.dynamic_slice_in_dim(hf, idx * c_loc, c_loc, -1)
+            y = jax.lax.psum(apply(w, hf), MODEL_AXIS)
+        else:
+            y = apply(w, h)
+        return y if b is None else y + b
+
+    return lin
 
 
 def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
                         rows, wpos, key_masks, s_len):
     """Run this stage's layers on one microbatch, updating the local cache.
 
-    ``cache_kv = (k, v)`` local arrays ``(L_loc, n_slots, max_len, kv, hd)``;
-    ``rows`` (mb,) the microbatch's cache rows; ``wpos`` (mb,) write
+    ``cache_kv = (k, v)`` local arrays ``(L_loc, n_slots, max_len, kv_loc,
+    hd)``; ``rows`` (mb,) the microbatch's cache rows; ``wpos`` (mb,) write
     positions (trash-steered when the tick is inactive); ``key_masks[j]``
     the valid-key mask of local layer ``j``.  Returns ``(x, cache_kv)``."""
-    from gptq_v2_tpu.serving.model import _lin
-
     ck, cv = cache_kv
     l_loc = model.layers_per_stage
     n = x.shape[1]
     for j in range(l_loc):
-        lp = _local_layer(model.layers[j])
+        lp = _local_layer(model.layers[j], model.tp)
 
-        def attn_fn(q, k, v, j=j, lp=lp):
+        def attn_fn(q, k, v, j=j):
             nonlocal ck, cv
             # write this token's K/V at (rows, wpos), then attend the
             # microbatch's rows over the first s_len positions
@@ -202,8 +316,8 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
                                logit_cap=cfg.attn_logit_softcap)
             return attn, None
 
-        x, _ = L.block_core(cfg, lp, x, cos, sin,
-                            lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
+        x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, model.tp),
+                            attn_fn)
     return x, (ck, cv)
 
 
@@ -216,7 +330,7 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
     ``B = n_slots`` must divide by the stage count; microbatch ``m`` is the
     slot range ``[m*B/pp, (m+1)*B/pp)``.
     """
-    pp = pp_size(mesh)
+    pp, tp = pp_size(mesh), tp_of(mesh)
     assert n_slots % pp == 0, (n_slots, pp)
     mb = n_slots // pp
 
@@ -226,8 +340,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
         s_idx = jax.lax.axis_index(STAGE_AXIS)
         s_len = cache.max_len
         d = cfg.hidden_size
-        # the cache spec shards the *layer* axis: the local view is already
-        # (L_loc, n_slots, max_len, kv, hd)
+        # the cache spec shards layers over 'stage' (and heads over 'model'
+        # under TPxPP): the local view is (L_loc, n_slots, max_len, ...)
         ck, cv = cache.k, cache.v
 
         windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
@@ -237,7 +351,6 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
 
         x_recv = jnp.zeros((mb, 1, d), model.embed_tokens.dtype)
         out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
-        logits_buf = None
         for t in range(2 * pp - 1):
             mbi = t - s_idx  # which microbatch this stage handles this tick
             active = (mbi >= 0) & (mbi < pp)
@@ -280,7 +393,7 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
         return logits, cache._replace(k=ck, v=cv)
 
-    cspec = kvc.ContiguousKVCache(P(STAGE_AXIS), P(STAGE_AXIS))
+    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None), tp)
 
     def sharded(model, tokens, cache, positions):
         return jax.shard_map(
@@ -303,7 +416,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
     admitted subset of slots.  ``B = n_slots`` here is the per-call prompt
     batch (must divide by the stage count), not the cache's slot count.
     """
-    pp = pp_size(mesh)
+    pp, tp = pp_size(mesh), tp_of(mesh)
     assert n_slots % pp == 0, (n_slots, pp)
     mb = n_slots // pp
 
@@ -339,12 +452,10 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
             x_first = L.embed_lookup(cfg, model.embed_tokens, tok)
             x = jnp.where(is_first, x_first, x_recv)
 
-            from gptq_v2_tpu.serving.model import _lin
-
             for j in range(l_loc):
-                lp = _local_layer(model.layers[j])
+                lp = _local_layer(model.layers[j], tp)
 
-                def attn_fn(q, k, v, j=j, pad=pad):
+                def attn_fn(q, k, v, j=j, pad=pad, rows=rows):
                     nonlocal ck, cv
                     wp = jnp.where(pad, s_len - 1, pos_b)
                     rows_b = jnp.broadcast_to(rows[:, None], wp.shape)
@@ -355,8 +466,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
                                        logit_cap=cfg.attn_logit_softcap)
                     return attn, None
 
-                x, _ = L.block_core(cfg, lp, x, cos, sin,
-                                    lambda n_, h, lp=lp: _lin(lp, n_, h),
+                x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, tp),
                                     attn_fn)
 
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
@@ -376,7 +486,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
         return logits, cache._replace(k=ck, v=cv)
 
-    cspec = kvc.ContiguousKVCache(P(STAGE_AXIS), P(STAGE_AXIS))
+    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None), tp)
 
     def sharded(model, tokens, cache, lengths, slot=None):
         if slot is None:

@@ -50,24 +50,27 @@ ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj")
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TPPacked:
-    """Per-shard packed weights stacked on a leading ``tp`` axis.
+    """Per-shard packed weights stacked on ``lead`` leading mesh axes.
 
-    Sharded ``P('model')`` on axis 0, so inside ``shard_map`` each device
-    sees its ``(1, ...)`` block and squeezes it into a local
-    :class:`PackedLinear`.
+    The plain TP layout stacks shards on one ``(tp,)`` axis sharded
+    ``P('model')``; TPxPP composition (``parallel/pp.py``) stacks on
+    ``(pp, tp)`` sharded ``P('stage', 'model')`` with ``lead=2``.  Inside
+    ``shard_map`` each device sees its ``(1, ..., 1, ...)`` block and
+    :meth:`local` squeezes the lead axes into a :class:`PackedLinear`.
     """
 
-    qweight: Any  # (tp, C8_loc, R_loc) int32
-    scales: Any  # (tp, G_loc, R_loc)
-    zeros: Any  # (tp, G_loc, R_loc)
-    perm: Optional[Any]  # (tp, C_stored_loc) int32 or None
+    qweight: Any  # (*lead, C8_loc, R_loc) int32
+    scales: Any  # (*lead, G_loc, R_loc)
+    zeros: Any  # (*lead, G_loc, R_loc)
+    perm: Optional[Any]  # (*lead, C_stored_loc) int32 or None
     group_size: int
     in_features: int
     bits: int = 4
+    lead: int = 1
 
     def tree_flatten(self):
         return ((self.qweight, self.scales, self.zeros, self.perm),
-                (self.group_size, self.in_features, self.bits))
+                (self.group_size, self.in_features, self.bits, self.lead))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -75,20 +78,28 @@ class TPPacked:
 
     def local(self) -> PackedLinear:
         """The device-local shard (call inside shard_map)."""
+
+        def sq(a):
+            for _ in range(self.lead):
+                a = a[0]
+            return a
+
         return PackedLinear(
-            qweight=self.qweight[0],
-            scales=self.scales[0],
-            zeros=self.zeros[0],
-            perm=None if self.perm is None else self.perm[0],
+            qweight=sq(self.qweight),
+            scales=sq(self.scales),
+            zeros=sq(self.zeros),
+            perm=None if self.perm is None else sq(self.perm),
             group_size=self.group_size,
             in_features=self.in_features,
             bits=self.bits,
         )
 
-    def spec_like(self, axis: str = MODEL_AXIS) -> "TPPacked":
-        return TPPacked(P(axis), P(axis), P(axis),
-                        None if self.perm is None else P(axis),
-                        self.group_size, self.in_features, self.bits)
+    def spec_like(self, *axes: str) -> "TPPacked":
+        axes = axes or (MODEL_AXIS,)
+        s = P(*axes)
+        return TPPacked(s, s, s, None if self.perm is None else s,
+                        self.group_size, self.in_features, self.bits,
+                        len(axes))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -131,6 +142,8 @@ class TPPackedLlama:
 
 
 def _stack_packed(shards) -> TPPacked:
+    """Stack PackedLinear shards (→ lead=1) or TPPacked stacks (→ lead+1)."""
+    lead = 1 + (shards[0].lead if isinstance(shards[0], TPPacked) else 0)
     return TPPacked(
         qweight=jnp.stack([s.qweight for s in shards]),
         scales=jnp.stack([s.scales for s in shards]),
@@ -140,6 +153,7 @@ def _stack_packed(shards) -> TPPacked:
         group_size=shards[0].group_size,
         in_features=shards[0].in_features,
         bits=shards[0].bits,
+        lead=lead,
     )
 
 

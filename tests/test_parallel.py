@@ -161,7 +161,7 @@ class TestPPServing:
     """GPipe-style layer pipelining (``parallel/pp.py``): microbatches
     rotate through layer stages via ppermute; weights + KV shard by layer."""
 
-    def _roundtrip(self, model, pp, n_steps=4, seed=8):
+    def _roundtrip(self, model, pp, n_steps=4, seed=8, mesh=None):
         from gptq_v2_tpu.parallel.pp import (
             build_pp_decode_step, build_pp_prefill, make_pp_mesh,
             shard_cache_pp, shard_packed_llama_pp)
@@ -185,7 +185,8 @@ class TestPPServing:
         log1, c1 = D.prefill(model, jnp.asarray(tokens), c1, None,
                              jnp.asarray(plen), slot=jnp.arange(b))
         # PP
-        mesh = make_pp_mesh(pp)
+        if mesh is None:
+            mesh = make_pp_mesh(pp)
         ppm = shard_packed_llama_pp(model, mesh)
         c2 = shard_cache_pp(mk_cache(), mesh)
         pf = build_pp_prefill(mesh, b)
@@ -209,6 +210,20 @@ class TestPPServing:
 
     def test_pp2_prefill_decode_matches_single_device(self, tiny_packed):
         self._roundtrip(tiny_packed, pp=2)  # 2 layers -> 1 per stage
+
+    def test_pp2_tp2_composed_matches_single_device(self):
+        """TPxPP on a ('stage','model') mesh: PP across the outer axis,
+        Megatron shards within a stage, KV heads sharded over model."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=4, num_key_value_heads=2,
+                                 qkv_bias=True, dtype="float32")
+        model = random_packed_llama(cfg, group_size=16, seed=19,
+                                    compute_dtype=jnp.float32)
+        mesh = make_pp_mesh(pp=2, tp=2)
+        assert mesh.axis_names == ("stage", "model")
+        self._roundtrip(model, pp=2, n_steps=3, seed=11, mesh=mesh)
 
     def test_pp4_gemma2_style(self):
         """4 stages x 2 layers/stage with the Gemma-2 switches (alternating

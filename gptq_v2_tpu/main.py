@@ -32,13 +32,14 @@ def save_results(path: str, results: dict, qcfg: QuantConfig) -> None:
     """Single-file save of all quant_meta + metrics (reference
     ``main.py:37-38`` uses torch.save of a pickled dict; we use npz with
     ``{layer}::{field}`` keys plus a JSON sidecar for metrics/config)."""
+    from gptq_v2_tpu.pipeline import npz_payload
+
     out = Path(path)
     out.parent.mkdir(parents=True, exist_ok=True)
     flat = {}
     for name, meta in results["data"].items():
-        for field, v in meta.items():
-            if v is not None:
-                flat[f"{name}::{field}"] = np.asarray(v)
+        for field, v in npz_payload(meta).items():
+            flat[f"{name}::{field}"] = v
     np.savez(out, **flat)
     with open(out.with_suffix(".metrics.json"), "w") as f:
         json.dump({"metrics": results["metrics"],
@@ -47,16 +48,15 @@ def save_results(path: str, results: dict, qcfg: QuantConfig) -> None:
 
 def load_results(path: str) -> dict:
     """Inverse of :func:`save_results`: ``{'data': {name: quant_meta}}``."""
-    from gptq_v2_tpu.pipeline import ensure_optional_meta
+    from gptq_v2_tpu.pipeline import _unpack_meta, ensure_optional_meta
 
     z = np.load(path)
     data: dict = {}
     for key in z.files:
         name, field = key.split("::", 1)
         data.setdefault(name, {})[field] = z[key]
-    for meta in data.values():
-        ensure_optional_meta(meta)
-    return {"data": data}
+    return {"data": {name: ensure_optional_meta(_unpack_meta(meta))
+                     for name, meta in data.items()}}
 
 
 def main(argv=None) -> dict:

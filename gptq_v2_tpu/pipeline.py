@@ -395,6 +395,27 @@ def _unpack_meta(meta: Dict) -> Dict:
             out[k[:-len("__f16bits")]] = v.view(np.float16)
         elif k.endswith("__bf16bits"):
             out[k[:-len("__bf16bits")]] = v.view(ml_dtypes.bfloat16)
+        elif isinstance(v, np.ndarray) and v.dtype.kind == "V" \
+                and v.dtype.itemsize == 2:
+            # legacy files: np.savez writes ml_dtypes.bfloat16 as raw |V2
+            out[k] = v.view(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
+    return out
+
+
+def npz_payload(meta: Dict) -> Dict:
+    """quant_meta → npz-safe dict: numpy can't round-trip ml_dtypes
+    bfloat16 through ``.npz`` (it writes an opaque ``|V2`` void dtype), so
+    bf16 tensors store as ``{key}__bf16bits`` uint16; :func:`_unpack_meta`
+    restores them on load."""
+    out = {}
+    for k, v in meta.items():
+        if v is None:
+            continue
+        v = np.asarray(v)
+        if v.dtype == ml_dtypes.bfloat16:
+            out[f"{k}__bf16bits"] = v.view(np.uint16)
         else:
             out[k] = v
     return out
@@ -427,7 +448,7 @@ def _load_layer_npz(path: Path):
             metrics[k[len("metric_"):]] = float(z[k])
         else:
             meta[k] = z[k]
-    return ensure_optional_meta(meta), metrics, tag
+    return ensure_optional_meta(_unpack_meta(meta)), metrics, tag
 
 
 def quantize_model(
@@ -797,7 +818,7 @@ def _finish_block(results, pending, save_path, qcfg, params, lp, li,
         logger.debug("%s %s", canonical, results["metrics"][canonical])
         if save_path:
             np.savez(save_path / f"{canonical}.npz",
-                     **{k: v for k, v in meta.items() if v is not None},
+                     **npz_payload(meta),
                      config_tag=_config_tag(qcfg),
                      **{f"metric_{k}": v
                         for k, v in results["metrics"][canonical].items()})

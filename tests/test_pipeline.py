@@ -107,6 +107,33 @@ class TestQuantizeModel:
             cfg.hidden_size // 16)
         assert meta["qweight"].max() <= 15
 
+    def test_resume_bf16_model(self, tmp_path):
+        """bf16 scales round-trip the per-layer npz saves (numpy writes
+        ml_dtypes.bfloat16 as an opaque void dtype unless bit-cast) and the
+        resumed weights reconstruct identically."""
+        import jax
+
+        cfg = L.LlamaConfig.tiny(dtype="bfloat16", num_hidden_layers=1)
+        params = L.init_params(cfg, jax.random.key(3))
+        rng = np.random.default_rng(7)
+        calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+        qcfg = QuantConfig(bits=4, group_size=16)
+        r1 = quantize_model(cfg, clone_params(params), calib, qcfg,
+                            batch_size=4, save_dir=str(tmp_path))
+        m1 = r1["data"]["model.layers.0.self_attn.q_proj"]
+        assert m1["scale"].dtype == np.dtype("bfloat16")
+        # second run resumes every stage from disk
+        r2 = quantize_model(cfg, clone_params(params), calib, qcfg,
+                            batch_size=4, save_dir=str(tmp_path))
+        m2 = r2["data"]["model.layers.0.self_attn.q_proj"]
+        assert m2["scale"].dtype == np.dtype("bfloat16")
+        np.testing.assert_array_equal(m1["qweight"], m2["qweight"])
+        from gptq_v2_tpu.quant.quantizer import reconstruct_weight as rw
+
+        w1 = np.asarray(rw(m1), np.float32)
+        w2 = np.asarray(rw(m2), np.float32)
+        np.testing.assert_array_equal(w1, w2)
+
     def test_incremental_matches_legacy(self, tiny):
         """The injected incremental schedule must be numerically equivalent
         to the legacy per-stage full-prefix recompute (same math, different

@@ -64,6 +64,7 @@ class LlamaConfig:
     rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
     qkv_bias: bool = False  # Qwen2; HF llama `attention_bias` sets both
     o_bias: bool = False
+    qk_norm: bool = False  # Qwen3: head-dim RMSNorm on Q/K before rope
     sliding_window: Optional[int] = None  # Mistral/Qwen2 local attention
     # --- Gemma-2 switches ---------------------------------------------------
     hidden_act: str = "silu"  # "silu" | "gelu_pytorch_tanh"
@@ -104,7 +105,7 @@ class LlamaConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
-        if model_type not in ("llama", "mistral", "qwen2", "gemma2"):
+        if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2"):
             raise NotImplementedError(f"model_type {model_type!r}")
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
@@ -123,8 +124,9 @@ class LlamaConfig:
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
-        if model_type == "qwen2" and not d.get("use_sliding_window", False):
-            sliding = None  # HF Qwen2 gates the window behind this flag
+        if model_type in ("qwen2", "qwen3") and not d.get(
+                "use_sliding_window", False):
+            sliding = None  # HF Qwen2/3 gate the window behind this flag
         gemma2 = model_type == "gemma2"
         layer_types = d.get("layer_types")
         if layer_types is None and gemma2:
@@ -150,6 +152,7 @@ class LlamaConfig:
             rope_scaling=rope_scaling,
             qkv_bias=qkv_bias,
             o_bias=attention_bias,
+            qk_norm=model_type == "qwen3",
             sliding_window=sliding,
             hidden_act=d.get("hidden_activation" if gemma2 else "hidden_act",
                              "gelu_pytorch_tanh" if gemma2 else "silu"),
@@ -204,6 +207,9 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
     if cfg.sandwich_norms:  # Gemma-2: 4 norms per block (HF names)
         shapes["pre_feedforward_layernorm"] = (d,)
         shapes["post_feedforward_layernorm"] = (d,)
+    if cfg.qk_norm:  # Qwen3: per-head-dim norms, shared across heads
+        shapes["self_attn.q_norm"] = (hd,)
+        shapes["self_attn.k_norm"] = (hd,)
     if cfg.qkv_bias:
         for n in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
             shapes[n + ".bias"] = (shapes[n][1],)
@@ -447,11 +453,14 @@ def block_core(
     hd, eps, uo = cfg.head_dim_, cfg.rms_norm_eps, cfg.norm_unit_offset
 
     h = rms_norm(x, lp["input_layernorm"], eps, uo)
-    q = lin("self_attn.q_proj", h)
-    k = lin("self_attn.k_proj", h)
+    q = lin("self_attn.q_proj", h).reshape(b, n, -1, hd)
+    k = lin("self_attn.k_proj", h).reshape(b, n, -1, hd)
     v = lin("self_attn.v_proj", h)
-    q = apply_rope(q.reshape(b, n, -1, hd), cos, sin)
-    k = apply_rope(k.reshape(b, n, -1, hd), cos, sin)
+    if cfg.qk_norm:  # Qwen3: head-dim RMSNorm before rope (HF Qwen3Attention)
+        q = rms_norm(q, lp["self_attn.q_norm"], eps, uo)
+        k = rms_norm(k, lp["self_attn.k_norm"], eps, uo)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
     attn, aux = attn_fn(q, k, v.reshape(b, n, -1, hd))
     o = lin("self_attn.o_proj", attn.reshape(b, n, -1))
     if cfg.sandwich_norms:

@@ -5,7 +5,7 @@ config.json + ``model-*-of-*.safetensors`` shards +
 ``model.safetensors.index.json``) without network access — this
 environment has zero egress, so no real checkpoints can be downloaded
 (docs/STATUS.md "ppl parity").  Supports every model family the framework
-serves (llama / mistral / qwen2 / gemma2).
+serves (llama / mistral / qwen2 / qwen3 / gemma2).
 
 Usage:
   python scripts/make_synthetic_checkpoint.py --out /tmp/ckpt \
@@ -75,7 +75,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--model-type", default="llama",
-                    choices=["llama", "mistral", "qwen2", "gemma2"])
+                    choices=["llama", "mistral", "qwen2", "qwen3", "gemma2"])
     ap.add_argument("--hidden", type=int, default=4096)
     ap.add_argument("--intermediate", type=int, default=11008)
     ap.add_argument("--layers", type=int, default=8)

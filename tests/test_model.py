@@ -166,6 +166,23 @@ class TestModelFamilies:
         cfg, _ = self._parity(hf_model, hf_cfg.to_dict(), 48, 7)
         assert cfg.sliding_window == 16
 
+    def test_qwen3_logits_match_transformers(self):
+        """Qwen3: head-dim QK-RMSNorm before rope (no QKV biases)."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Qwen3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(14)
+        hf_model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 15)
+        assert cfg.qk_norm and not cfg.qkv_bias
+        assert "self_attn.q_norm" in params["layers"][0]
+        assert params["layers"][0]["self_attn.q_norm"].shape == (16,)
+
     def test_gemma2_logits_match_transformers(self):
         """Gemma-2: sandwich norms, unit-offset RMSNorm, GeGLU, embedding
         normalizer, query_pre_attn_scalar, attn+final softcapping, and

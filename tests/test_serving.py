@@ -89,6 +89,23 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_qwen3_style_decode_matches_full_recompute(self, kind):
+        """Qwen3 QK-norm through the serving stack."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, qk_norm=True)
+        model = random_packed_llama(cfg, group_size=16, seed=21,
+                                    compute_dtype=jnp.float32)
+        assert "self_attn.q_norm" in model.layers[0]
+        rng = np.random.default_rng(22)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_gemma2_style_decode_matches_full_recompute(self, kind):
         """Gemma-2 switches through the whole serving stack (sandwich norms,

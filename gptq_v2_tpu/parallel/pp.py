@@ -229,16 +229,16 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
 
 def pp_cache_pspec(cache, tp: int = 1):
     """Cache PartitionSpec: layers shard over ``stage``; KV heads over
-    ``model`` under TPxPP."""
+    ``model`` under TPxPP.  The spec pytree mirrors the cache's static
+    scale aux (int8 storage) so treedefs match."""
     assert isinstance(cache, kvc.ContiguousKVCache), \
         "PP serving uses the contiguous KV cache"
     m = MODEL_AXIS if tp > 1 else None
     s = P(STAGE_AXIS, None, None, m)
-    return kvc.ContiguousKVCache(s, s)
+    return kvc.ContiguousKVCache(s, s, cache.k_scales, cache.v_scales)
 
 
 def shard_cache_pp(cache, mesh: Mesh):
-    assert cache.k_scales is None, "int8 KV + PP not supported yet"
     spec = pp_cache_pspec(cache, tp_of(mesh))
     return jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)), cache, spec)
@@ -285,14 +285,35 @@ def _make_lin(lp: Dict[str, Any], tp: int):
     return lin
 
 
+def _local_scales(scales, s_idx, l_loc):
+    """Per-local-layer int8 scales: slice the static per-global-layer tuple
+    (a baked constant array) at this stage's offset.  Returns an (L_loc,)
+    traced vector or None."""
+    if scales is None:
+        return None
+    arr = jnp.asarray(scales, jnp.float32)
+    return jax.lax.dynamic_slice(arr, (s_idx * l_loc,), (l_loc,))
+
+
+def _store_kv(arr, j, rows_b, pos_b, val, scale_j):
+    """Write K or V rows, quantizing for int8 storage."""
+    if arr.dtype == jnp.int8:
+        val = jnp.clip(jnp.round(val.astype(jnp.float32) / scale_j),
+                       -127, 127)
+    return arr.at[j, rows_b, pos_b].set(val.astype(arr.dtype))
+
+
 def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
-                        rows, wpos, key_masks, s_len):
+                        rows, wpos, key_masks, s_len, ks_loc=None,
+                        vs_loc=None):
     """Run this stage's layers on one microbatch, updating the local cache.
 
     ``cache_kv = (k, v)`` local arrays ``(L_loc, n_slots, max_len, kv_loc,
     hd)``; ``rows`` (mb,) the microbatch's cache rows; ``wpos`` (mb,) write
     positions (trash-steered when the tick is inactive); ``key_masks[j]``
-    the valid-key mask of local layer ``j``.  Returns ``(x, cache_kv)``."""
+    the valid-key mask of local layer ``j``; ``ks_loc/vs_loc`` (L_loc,)
+    per-local-layer int8 scales (None = full precision).  Returns
+    ``(x, cache_kv)``."""
     ck, cv = cache_kv
     l_loc = model.layers_per_stage
     n = x.shape[1]
@@ -305,15 +326,22 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
             # microbatch's rows over the first s_len positions
             pos_b = jnp.broadcast_to(wpos[:, None], (wpos.shape[0], n))
             rows_b = jnp.broadcast_to(rows[:, None], pos_b.shape)
-            ck = ck.at[j, rows_b, pos_b].set(k.astype(ck.dtype))
-            cv = cv.at[j, rows_b, pos_b].set(v.astype(cv.dtype))
+            ks_j = None if ks_loc is None else ks_loc[j]
+            vs_j = None if vs_loc is None else vs_loc[j]
+            ck = _store_kv(ck, j, rows_b, pos_b, k, ks_j)
+            cv = _store_kv(cv, j, rows_b, pos_b, v, vs_j)
             k_all = jnp.take(ck[j], rows, axis=0)[:, :s_len]
             v_all = jnp.take(cv[j], rows, axis=0)[:, :s_len]
-            attn = L.attention(q, k_all.astype(q.dtype),
+            qq = q
+            if ck.dtype == jnp.int8:  # fold k-scale into q (serving.decode)
+                qq = q * ks_j.astype(q.dtype)
+            attn = L.attention(qq, k_all.astype(q.dtype),
                                v_all.astype(q.dtype), causal_offset=None,
                                key_mask=key_masks[j],
                                sm_scale=cfg.sm_scale_,
                                logit_cap=cfg.attn_logit_softcap)
+            if cv.dtype == jnp.int8:
+                attn = attn * vs_j.astype(attn.dtype)
             return attn, None
 
         x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, model.tp),
@@ -321,14 +349,16 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
     return x, (ck, cv)
 
 
-def build_pp_decode_step(mesh: Mesh, n_slots: int):
+def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
     """Jitted pipelined decode: one new token for every slot per call.
 
     Contract: ``step(model, tokens (B,), cache, positions (B,)) ->
     (logits (B, V), cache)`` — the PP analogue of
     ``serving.decode.decode_step`` (contiguous cache, batch == slot order).
     ``B = n_slots`` must divide by the stage count; microbatch ``m`` is the
-    slot range ``[m*B/pp, (m+1)*B/pp)``.
+    slot range ``[m*B/pp, (m+1)*B/pp)``.  ``kv_scales=(k_scales, v_scales)``
+    (per-global-layer tuples) enables int8 KV caches — must match the
+    cache's static scale aux.
     """
     pp, tp = pp_size(mesh), tp_of(mesh)
     assert n_slots % pp == 0, (n_slots, pp)
@@ -343,6 +373,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
         # the cache spec shards layers over 'stage' (and heads over 'model'
         # under TPxPP): the local view is (L_loc, n_slots, max_len, ...)
         ck, cv = cache.k, cache.v
+        ks_loc = _local_scales(cache.k_scales, s_idx, l_loc)
+        vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
 
         windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
         is_first = s_idx == 0
@@ -375,7 +407,7 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
                 key_masks.append(m)
             x, (ck, cv) = _apply_local_layers(
                 cfg, model, x, cos, sin, (ck, cv), rows, wpos, key_masks,
-                s_len)
+                s_len, ks_loc, vs_loc)
             # the last stage finishes microbatch mbi: stash its hidden
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
                            cfg.norm_unit_offset)[:, 0]
@@ -393,7 +425,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
         return logits, cache._replace(k=ck, v=cv)
 
-    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None), tp)
+    ks, vs = kv_scales if kv_scales is not None else (None, None)
+    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None, ks, vs), tp)
 
     def sharded(model, tokens, cache, positions):
         return jax.shard_map(
@@ -406,7 +439,7 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int):
     return jax.jit(sharded, donate_argnums=(2,))
 
 
-def build_pp_prefill(mesh: Mesh, n_slots: int):
+def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
     """Jitted pipelined prefill: pads-aware prompt ingestion.
 
     Contract matches ``serving.decode.prefill`` (contiguous cache):
@@ -428,6 +461,8 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
         b, lpad = tokens.shape
         d = cfg.hidden_size
         ck, cv = cache.k, cache.v  # local view: (L_loc, ...)
+        ks_loc = _local_scales(cache.k_scales, s_idx, l_loc)
+        vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
 
         windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
         is_first = s_idx == 0
@@ -459,8 +494,11 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
                     nonlocal ck, cv
                     wp = jnp.where(pad, s_len - 1, pos_b)
                     rows_b = jnp.broadcast_to(rows[:, None], wp.shape)
-                    ck = ck.at[j, rows_b, wp].set(k.astype(ck.dtype))
-                    cv = cv.at[j, rows_b, wp].set(v.astype(cv.dtype))
+                    ks_j = None if ks_loc is None else ks_loc[j]
+                    vs_j = None if vs_loc is None else vs_loc[j]
+                    ck = _store_kv(ck, j, rows_b, wp, k, ks_j)
+                    cv = _store_kv(cv, j, rows_b, wp, v, vs_j)
+                    # prompt attention runs on the fresh full-precision K/V
                     attn = L.attention(q, k, v, window=windows[j],
                                        sm_scale=cfg.sm_scale_,
                                        logit_cap=cfg.attn_logit_softcap)
@@ -486,7 +524,8 @@ def build_pp_prefill(mesh: Mesh, n_slots: int):
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
         return logits, cache._replace(k=ck, v=cv)
 
-    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None), tp)
+    ks, vs = kv_scales if kv_scales is not None else (None, None)
+    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None, ks, vs), tp)
 
     def sharded(model, tokens, cache, lengths, slot=None):
         if slot is None:

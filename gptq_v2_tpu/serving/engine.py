@@ -153,12 +153,13 @@ class Engine:
             pp = PP.pp_size(mesh)
             assert cache_kind == "contiguous", "PP serving uses contiguous KV"
             assert scheduler == "phased", "PP serving uses phased scheduling"
-            assert kv_dtype == "native", "int8 KV + PP not supported yet"
             assert max_batch % pp == 0, (max_batch, pp)
             self.model = PP.shard_packed_llama_pp(model, mesh)
             self.cache = PP.shard_cache_pp(self.cache, mesh)
             self._min_prefill_batch = pp
-            pp_dec = PP.build_pp_decode_step(mesh, max_batch)
+            scales = (None if k_scales is None else (k_scales, v_scales))
+            pp_dec = PP.build_pp_decode_step(mesh, max_batch,
+                                             kv_scales=scales)
             self._decode = (lambda m, t, c, bt, pos, s_bucket=None:
                             pp_dec(m, t, c, pos))
             prefills = {}
@@ -166,7 +167,8 @@ class Engine:
             def _pp_prefill(m, tokens, cache, bt, lengths, slot):
                 nb = tokens.shape[0]
                 if nb not in prefills:
-                    prefills[nb] = PP.build_pp_prefill(mesh, nb)
+                    prefills[nb] = PP.build_pp_prefill(mesh, nb,
+                                                       kv_scales=scales)
                 return prefills[nb](m, tokens, cache, lengths, slot)
 
             self._prefill = _pp_prefill

@@ -266,6 +266,28 @@ class TestTPEngine:
 
 
 class TestPPEngine:
+    def test_pp_engine_int8_kv_matches_single_device(self, tiny_packed):
+        """int8 KV under PP: per-layer scales slice stage-locally inside
+        shard_map; same quantization math as the single-device path."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model = tiny_packed
+        scales = calibrate_kv_scales(model)
+        rng = np.random.default_rng(29)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=4, max_seq_len=32,
+                          cache_kind="contiguous", kv_dtype="int8",
+                          kv_scales=scales, mesh=mesh)
+        want = mk().run([Request(uid=0, prompt=prompt, max_new_tokens=4)])
+        eng = mk(mesh=make_pp_mesh(2))
+        assert eng.cache.k.dtype == jnp.int8
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=4)])
+        assert got == want
+
     def test_engine_over_pp_mesh_matches_single_device(self, tiny_packed):
         """Continuous batching through the pipelined steps == single-device
         engine (admission, slot reuse, subset prefill via slot mapping)."""

@@ -476,6 +476,78 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                    static_argnames=("s_bucket",))
 
 
+def build_tp_ragged_step(mesh):
+    """Jitted TP mixed prefill+decode tick — the tensor-parallel variant of
+    ``serving.decode.ragged_step`` (vLLM-style chunked prefill): same
+    contract, with QKV/gate/up column-parallel, o/down row-parallel, and
+    the paged KV pool's combined-head axis sharded over ``model`` so each
+    device writes and streams only its own heads."""
+    from gptq_v2_tpu.serving.decode import sample_per_row
+
+    def local_step(model: TPPackedLlama, tokens, cache, positions, tok_pages,
+                   tok_offs, block_tables, kv_lens, cu_q_lens, num_seqs,
+                   sample_rows, temperatures, key):
+        cfg = model.cfg
+        cos, sin = L.rope_cos_sin(cfg, positions)
+        cos, sin = cos[:, None, :], sin[:, None, :]
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+
+        for li, lp in enumerate(model.layers):
+
+            def attn_fn(q, k, v, li=li):
+                from gptq_v2_tpu.ops.paged_attention import (
+                    paged_ragged_attention,
+                )
+
+                nonlocal cache
+                cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
+                                          tok_pages, tok_offs)
+                attn = paged_ragged_attention(
+                    q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
+                    num_seqs,
+                    sliding_window=cfg.layer_window(li),
+                    sm_scale=cfg.sm_scale_,
+                    soft_cap=cfg.attn_logit_softcap,
+                    k_scale=(None if cache.k_scales is None
+                             else cache.k_scales[li]),
+                    v_scale=(None if cache.v_scales is None
+                             else cache.v_scales[li]),
+                )[:, None]
+                return attn, None
+
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
+
+        x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                       cfg.norm_unit_offset)
+        last = jnp.take(x, sample_rows, axis=0)
+        logits = L.soft_cap(_plain_linear(model.lm_head, last),
+                            cfg.final_logit_softcap)
+        key, sub = jax.random.split(key)
+        toks = sample_per_row(logits, sub, temperatures)
+        return toks, cache, key
+
+    csp = P(None, None, None, MODEL_AXIS, None)
+
+    def sharded(model, tokens, cache, positions, tok_pages, tok_offs,
+                block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
+                temperatures, key):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), P(),
+                      kvc.PagedKVCache(csp, cache.page_size,
+                                       cache.k_scales, cache.v_scales),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(),
+                       kvc.PagedKVCache(csp, cache.page_size,
+                                        cache.k_scales, cache.v_scales),
+                       P()),
+            check_vma=False,
+        )(model, tokens, cache, positions, tok_pages, tok_offs, block_tables,
+          kv_lens, cu_q_lens, num_seqs, sample_rows, temperatures, key)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
 def build_tp_forward_logits(mesh):
     """Jitted TP full-sequence forward (eval / parity tests)."""
 

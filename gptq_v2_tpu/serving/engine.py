@@ -140,7 +140,8 @@ class Engine:
         self.scheduler = scheduler
         if scheduler == "ragged":
             assert cache_kind == "paged", "ragged scheduler needs paged cache"
-            assert mesh is None, "ragged scheduler is single-chip for now"
+            assert mesh is None or "stage" not in mesh.axis_names, \
+                "ragged scheduling composes with TP meshes, not PP"
         elif scheduler != "phased":
             raise ValueError(scheduler)
         self.token_budget = token_budget or max(2 * max_batch, 64)
@@ -179,9 +180,12 @@ class Engine:
             self.cache = TP.shard_cache(self.cache, mesh)
             self._prefill = TP.build_tp_prefill(mesh, self.cache)
             self._decode = TP.build_tp_decode_step(mesh, self.cache)
+            self._ragged = (TP.build_tp_ragged_step(mesh)
+                            if scheduler == "ragged" else None)
         else:
             self._prefill = D.prefill
             self._decode = D.decode_step
+            self._ragged = D.ragged_step
         self.slots: List[Optional[_Slot]] = [None] * max_batch
         self.last_tokens = np.zeros((max_batch,), np.int32)
         self.queue: List[Request] = []
@@ -369,7 +373,7 @@ class Engine:
             row += n_new
         cu[len(order) + 1:] = cu[len(order)]
 
-        toks_dev, self.cache, self.key = D.ragged_step(
+        toks_dev, self.cache, self.key = self._ragged(
             self.model, jnp.asarray(tokens), self.cache,
             jnp.asarray(positions), jnp.asarray(tok_pages),
             jnp.asarray(tok_offs), jnp.asarray(bt_rows),

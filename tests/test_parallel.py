@@ -309,6 +309,29 @@ class TestPPEngine:
         assert got == want
 
 
+class TestTPRagged:
+    def test_ragged_scheduler_over_tp_matches_single_device(self, tiny_packed):
+        """Chunked-prefill (ragged) scheduling through the TP mesh == the
+        single-chip ragged engine (mixed prefill+decode ticks, multi-tick
+        prompt chunking)."""
+        from gptq_v2_tpu.serving import Engine, Request
+
+        model = tiny_packed
+        rng = np.random.default_rng(31)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (13, 5)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                          cache_kind="paged", scheduler="ragged",
+                          token_budget=8, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+
 class TestDPPipeline:
     def test_quantize_model_over_mesh_matches_single_device(self):
         """Full pipeline with calibration sharded over the data axis."""

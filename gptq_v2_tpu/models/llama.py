@@ -65,6 +65,10 @@ class LlamaConfig:
     qkv_bias: bool = False  # Qwen2; HF llama `attention_bias` sets both
     o_bias: bool = False
     qk_norm: bool = False  # Qwen3: head-dim RMSNorm on Q/K before rope
+    # Phi-3: checkpoints store fused qkv_proj / gate_up_proj tensors; the
+    # loader splits them into the standard per-projection names (row-exact:
+    # GPTQ solves rows independently, so split == fused quantization)
+    fused_qkv_gate_up: bool = False
     sliding_window: Optional[int] = None  # Mistral/Qwen2 local attention
     # --- Gemma-2 switches ---------------------------------------------------
     hidden_act: str = "silu"  # "silu" | "gelu_pytorch_tanh"
@@ -105,7 +109,8 @@ class LlamaConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
-        if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2"):
+        if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
+                              "phi3"):
             raise NotImplementedError(f"model_type {model_type!r}")
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
@@ -153,6 +158,7 @@ class LlamaConfig:
             qkv_bias=qkv_bias,
             o_bias=attention_bias,
             qk_norm=model_type == "qwen3",
+            fused_qkv_gate_up=model_type == "phi3",
             sliding_window=sliding,
             hidden_act=d.get("hidden_activation" if gemma2 else "hidden_act",
                              "gelu_pytorch_tanh" if gemma2 else "silu"),

@@ -35,11 +35,41 @@ def params_from_flat(cfg: LlamaConfig, get) -> Params:
     """Build params from ``get(hf_key) -> array (HF layout)``.
 
     Linear weights are transposed to our ``(in, out)`` layout; embeddings
-    and norms pass through.
+    and norms pass through.  Phi-3's fused ``qkv_proj`` / ``gate_up_proj``
+    tensors are row-sliced into the standard per-projection names (HF
+    layout is (out, in), and HF slices the fused output as
+    ``[q | k | v]`` / ``[gate | up]``, Phi3Attention/Phi3MLP).
     """
+    import re
+
     from gptq_v2_tpu.models.llama import layer_param_shapes
 
     dt = cfg.jdtype
+
+    if cfg.fused_qkv_gate_up:
+        raw_get = get
+        hd = cfg.head_dim_
+        qp = cfg.num_attention_heads * hd
+        kp = qp + cfg.num_key_value_heads * hd
+        vp = kp + cfg.num_key_value_heads * hd
+        inter = cfg.intermediate_size  # NB: 'i' is the layer-loop var below
+
+        def get(key: str):
+            m = re.match(
+                r"(model\.layers\.\d+\.self_attn)\.([qkv])_proj\.weight",
+                key)
+            if m:
+                fused = np.asarray(raw_get(m.group(1) + ".qkv_proj.weight"))
+                lo, hi = {"q": (0, qp), "k": (qp, kp),
+                          "v": (kp, vp)}[m.group(2)]
+                return fused[lo:hi]
+            m = re.match(
+                r"(model\.layers\.\d+\.mlp)\.(gate|up)_proj\.weight", key)
+            if m:
+                fused = np.asarray(raw_get(m.group(1) + ".gate_up_proj.weight"))
+                return (fused[:inter] if m.group(2) == "gate"
+                        else fused[inter:])
+            return raw_get(key)
 
     def linear(hf_key):
         return jnp.asarray(get(hf_key)).T.astype(dt)

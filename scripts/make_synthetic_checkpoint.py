@@ -5,7 +5,8 @@ config.json + ``model-*-of-*.safetensors`` shards +
 ``model.safetensors.index.json``) without network access — this
 environment has zero egress, so no real checkpoints can be downloaded
 (docs/STATUS.md "ppl parity").  Supports every model family the framework
-serves (llama / mistral / qwen2 / qwen3 / gemma2).
+serves (llama / mistral / qwen2 / qwen3 / gemma2 / phi3 — phi3 writes the
+fused qkv_proj / gate_up_proj tensors its real checkpoints use).
 
 Usage:
   python scripts/make_synthetic_checkpoint.py --out /tmp/ckpt \
@@ -39,7 +40,7 @@ def build_config(a) -> dict:
     }
     if a.head_dim:
         cfg["head_dim"] = a.head_dim
-    if a.model_type == "mistral":
+    if a.model_type in ("mistral", "phi3"):
         cfg["sliding_window"] = a.sliding_window or 4096
     if a.model_type == "gemma2":
         cfg.update({
@@ -60,8 +61,25 @@ def tensor_entries(cfg_dict):
     cfg = LlamaConfig.from_hf_dict(cfg_dict)
     d, v = cfg.hidden_size, cfg.vocab_size
     yield "model.embed_tokens.weight", (v, d)
+    fused_of = {}
+    if cfg.fused_qkv_gate_up:  # phi3 stores fused projection tensors
+        hd = cfg.head_dim_
+        op = (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * hd
+        fused_of = {
+            "self_attn.q_proj": ("self_attn.qkv_proj", (op, d)),
+            "self_attn.k_proj": None, "self_attn.v_proj": None,
+            "mlp.gate_proj": ("mlp.gate_up_proj",
+                              (2 * cfg.intermediate_size, d)),
+            "mlp.up_proj": None,
+        }
     for i in range(cfg.num_hidden_layers):
         for name, shape in layer_param_shapes(cfg).items():
+            if name in fused_of:
+                if fused_of[name] is None:
+                    continue  # folded into the fused tensor
+                fname, fshape = fused_of[name]
+                yield f"model.layers.{i}.{fname}.weight", fshape
+                continue
             key = f"model.layers.{i}.{name}"
             if not name.endswith(".bias"):
                 key += ".weight"
@@ -75,7 +93,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--model-type", default="llama",
-                    choices=["llama", "mistral", "qwen2", "qwen3", "gemma2"])
+                    choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
+                             "phi3"])
     ap.add_argument("--hidden", type=int, default=4096)
     ap.add_argument("--intermediate", type=int, default=11008)
     ap.add_argument("--layers", type=int, default=8)

@@ -156,3 +156,22 @@ class TestSyntheticCheckpoints:
         logits = L.forward_logits(cfg, params, toks)
         assert bool(jnp.isfinite(logits).all())
         assert float(jnp.abs(logits).max()) <= 30.0  # final softcap bound
+
+    def test_phi3_fused_checkpoint_roundtrip(self, tmp_path):
+        """Phi-3 checkpoint: fused qkv/gate_up tensors split on load."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck", **{"--model-type": "phi3",
+                                      "--sliding-window": "16"})
+        cfg, params = load_hf_model(tmp_path / "ck")
+        assert cfg.fused_qkv_gate_up
+        lp = params["layers"][0]
+        assert lp["self_attn.q_proj"].shape == (64, 64)
+        assert lp["self_attn.k_proj"].shape == (64, 32)
+        assert lp["mlp.up_proj"].shape == (64, 112)
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert bool(jnp.isfinite(logits).all())

@@ -166,6 +166,25 @@ class TestModelFamilies:
         cfg, _ = self._parity(hf_model, hf_cfg.to_dict(), 48, 7)
         assert cfg.sliding_window == 16
 
+    def test_phi3_logits_match_transformers(self):
+        """Phi-3: fused qkv_proj / gate_up_proj checkpoints split row-exact
+        into the standard projections; sliding-window attention."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Phi3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            sliding_window=16, attn_implementation="eager",
+            pad_token_id=0,  # Phi3Config defaults to 32000 (> tiny vocab)
+        )
+        torch.manual_seed(16)
+        hf_model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 48, 17)
+        assert cfg.fused_qkv_gate_up
+        assert params["layers"][0]["self_attn.q_proj"].shape == (64, 64)
+        assert params["layers"][0]["mlp.gate_proj"].shape == (64, 112)
+
     def test_qwen3_logits_match_transformers(self):
         """Qwen3: head-dim QK-RMSNorm before rope (no QKV biases)."""
         torch = pytest.importorskip("torch")

@@ -88,12 +88,15 @@ def extract_dependencies(
     params,
     *example_args,
     input_arg_index: int = 0,
+    exclude: Sequence[str] = (),
 ) -> List[Stage]:
     """Discover the stage schedule of ``block_fn(params, *example_args)``.
 
     ``block_fn`` must return the block's output array (or a pytree whose
     first leaf is it).  ``input_arg_index`` names which of ``example_args``
-    is the block input activation.  Returns linear stages in topological
+    is the block input activation.  ``exclude`` names 2-D params that are
+    *not* quantization targets (e.g. the MoE router) — their dot_generals
+    are treated as ordinary dataflow.  Returns linear stages in topological
     order plus a final ``Stage((OUTPUT,), release)`` sentinel.
     """
     leaves_with_path, _ = tree_flatten_with_path(params)
@@ -104,7 +107,9 @@ def extract_dependencies(
     weight_name: Dict[int, str] = {}  # id(var) -> layer name
     for (path, leaf), var in zip(leaves_with_path, jaxpr.invars[:n_params]):
         if hasattr(leaf, "ndim") and leaf.ndim == 2:
-            weight_name[id(var)] = _leaf_name(path)
+            name = _leaf_name(path)
+            if name not in exclude:
+                weight_name[id(var)] = name
 
     arg_leaves = []
     pos = n_params

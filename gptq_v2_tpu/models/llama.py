@@ -37,6 +37,11 @@ ATTN_LINEARS = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
 MLP_LINEARS = ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
 BLOCK_LINEARS = ATTN_LINEARS + MLP_LINEARS
 
+# 2-D block params that are never quantized (the MoE router is a tiny
+# (D, E) classifier — quantizing it would perturb routing decisions for a
+# negligible memory win; HF GPTQ integrations skip it for the same reason).
+NON_QUANTIZED_LINEARS = ("mlp.router",)
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -81,10 +86,23 @@ class LlamaConfig:
     # per-layer attention kind ("sliding_attention" | "full_attention");
     # None = ``sliding_window`` (if set) applies to every layer (Mistral)
     layer_types: Optional[Tuple[str, ...]] = None
+    # --- Mixture-of-Experts (Mixtral / Qwen3-MoE) ---------------------------
+    moe_num_experts: int = 0  # 0 = dense MLP
+    moe_top_k: int = 2
+    moe_intermediate_size: Optional[int] = None  # None = intermediate_size
+    moe_renorm: bool = True  # renormalize top-k routing weights to sum 1
+    # HF checkpoint naming: Mixtral stores experts as
+    # ``block_sparse_moe.experts.{e}.w1|w3|w2`` + router ``.gate``;
+    # Qwen3-MoE uses ``mlp.experts.{e}.gate|up|down_proj`` + ``mlp.gate``
+    moe_mixtral_names: bool = False
 
     @property
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def moe_intermediate_(self) -> int:
+        return self.moe_intermediate_size or self.intermediate_size
 
     @property
     def jdtype(self):
@@ -110,8 +128,21 @@ class LlamaConfig:
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
-                              "phi3"):
+                              "phi3", "mixtral", "qwen3_moe"):
             raise NotImplementedError(f"model_type {model_type!r}")
+        # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
+        moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
+        if model_type == "mixtral":
+            moe_experts = d["num_local_experts"]
+            moe_top_k = d["num_experts_per_tok"]
+        elif model_type == "qwen3_moe":
+            if d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1:
+                raise NotImplementedError(
+                    "qwen3_moe with dense layers interleaved")
+            moe_experts = d["num_experts"]
+            moe_top_k = d["num_experts_per_tok"]
+            moe_inter = d.get("moe_intermediate_size")
+            moe_renorm = d.get("norm_topk_prob", True)
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
         rope_scaling = None
@@ -129,7 +160,7 @@ class LlamaConfig:
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
-        if model_type in ("qwen2", "qwen3") and not d.get(
+        if model_type in ("qwen2", "qwen3", "qwen3_moe") and not d.get(
                 "use_sliding_window", False):
             sliding = None  # HF Qwen2/3 gate the window behind this flag
         gemma2 = model_type == "gemma2"
@@ -157,7 +188,7 @@ class LlamaConfig:
             rope_scaling=rope_scaling,
             qkv_bias=qkv_bias,
             o_bias=attention_bias,
-            qk_norm=model_type == "qwen3",
+            qk_norm=model_type in ("qwen3", "qwen3_moe"),
             fused_qkv_gate_up=model_type == "phi3",
             sliding_window=sliding,
             hidden_act=d.get("hidden_activation" if gemma2 else "hidden_act",
@@ -172,6 +203,11 @@ class LlamaConfig:
             query_pre_attn_scalar=d.get("query_pre_attn_scalar")
             if gemma2 else None,
             layer_types=None if layer_types is None else tuple(layer_types),
+            moe_num_experts=moe_experts,
+            moe_top_k=moe_top_k,
+            moe_intermediate_size=moe_inter,
+            moe_renorm=moe_renorm,
+            moe_mixtral_names=model_type == "mixtral",
         )
 
     @classmethod
@@ -210,6 +246,15 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
         "mlp.up_proj": (d, i),
         "mlp.down_proj": (i, d),
     }
+    if cfg.moe_num_experts:  # MoE: router + per-expert MLPs replace the dense MLP
+        for n in MLP_LINEARS:
+            del shapes[n]
+        shapes["mlp.router"] = (d, cfg.moe_num_experts)
+        mi = cfg.moe_intermediate_
+        for e in range(cfg.moe_num_experts):
+            shapes[f"mlp.experts.{e}.gate_proj"] = (d, mi)
+            shapes[f"mlp.experts.{e}.up_proj"] = (d, mi)
+            shapes[f"mlp.experts.{e}.down_proj"] = (mi, d)
     if cfg.sandwich_norms:  # Gemma-2: 4 norms per block (HF names)
         shapes["pre_feedforward_layernorm"] = (d,)
         shapes["post_feedforward_layernorm"] = (d,)
@@ -227,7 +272,8 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
 def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     """Random-init parameters (tests / benchmarking without checkpoints)."""
     dt = cfg.jdtype
-    n_weights = cfg.num_hidden_layers * len(BLOCK_LINEARS) + 2
+    n_2d = sum(len(s) == 2 for s in layer_param_shapes(cfg).values())
+    n_weights = cfg.num_hidden_layers * n_2d + 2
     keys = iter(jax.random.split(key, n_weights))
 
     def w(shape):
@@ -438,6 +484,51 @@ def attention(
 AUTO_WINDOW = -1
 
 
+def moe_combine(cfg: LlamaConfig, router_w: jax.Array,
+                h: jax.Array) -> jax.Array:
+    """Per-token expert combine weights ``(B, N, E)`` — softmax over router
+    logits, top-k selection, optional renormalization (HF
+    MixtralSparseMoeBlock / Qwen3MoeSparseMoeBlock numerics: softmax in
+    fp32, top-k then ``/= sum``); zero for unselected experts."""
+    logits = h @ router_w
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    vals, idx = jax.lax.top_k(probs, cfg.moe_top_k)
+    if cfg.moe_renorm:
+        vals = vals / jnp.sum(vals, axis=-1, keepdims=True)
+    one_hot = jax.nn.one_hot(idx, cfg.moe_num_experts, dtype=vals.dtype)
+    return jnp.sum(one_hot * vals[..., None], axis=-2)
+
+
+def moe_apply_dense(cfg: LlamaConfig, lin, h: jax.Array,
+                    comb: jax.Array) -> jax.Array:
+    """Masked-dense MoE: every expert runs on the full token set with its
+    input *zero-masked* to the tokens routed to it, outputs combined by the
+    routing weights.
+
+    TPU-first rationale: at decode the step is weight-streaming-bound and
+    every expert's INT4 weights must be read from HBM regardless of which
+    tokens picked it, so dense compute costs no extra memory traffic — only
+    cheap VPU FLOPs (``E/top_k`` × the routed FLOPs) while keeping shapes
+    static for XLA.  The input mask also makes the capture semantics exact
+    for quantization: the captured input of expert ``e``'s gate/up (and the
+    derived down input) has zero rows for unrouted tokens, so its Hessian
+    ``XᵀX`` accumulates *only routed tokens* — the GPTQ-for-MoE analogue of
+    the reference's shared-input Hessians (``gptq_py.py:19-36``), and the
+    GPTQ solver is invariant to the resulting constant rescaling of H.
+    """
+    act = activation(cfg)
+    out = None
+    for e in range(cfg.moe_num_experts):
+        ce = comb[..., e:e + 1]
+        he = h * (ce > 0).astype(h.dtype)
+        g = lin(f"mlp.experts.{e}.gate_proj", he)
+        u = lin(f"mlp.experts.{e}.up_proj", he)
+        d = lin(f"mlp.experts.{e}.down_proj", act(g) * u)
+        d = ce.astype(d.dtype) * d
+        out = d if out is None else out + d
+    return out
+
+
 def block_core(
     cfg: LlamaConfig,
     lp: Params,
@@ -446,6 +537,7 @@ def block_core(
     sin: jax.Array,
     lin,  # lin(name, h) -> projection output (packing/TP/capture variants)
     attn_fn,  # attn_fn(q, k, v) -> (attn (B,N,H,hd), aux)
+    moe_fn=None,  # moe_fn(h, comb) -> mlp output (EP/sharded variants)
 ):
     """Family-generic decoder block skeleton shared by every forward path
     (dense, packed serving, cache decode, ragged, TP).  The caller supplies
@@ -476,9 +568,14 @@ def block_core(
     pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
                else "post_attention_layernorm")
     h = rms_norm(x, lp[pre_mlp], eps, uo)
-    gate = lin("mlp.gate_proj", h)
-    up = lin("mlp.up_proj", h)
-    mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
+    if cfg.moe_num_experts:
+        comb = moe_combine(cfg, lp["mlp.router"], h)
+        mlp = (moe_fn(h, comb) if moe_fn is not None
+               else moe_apply_dense(cfg, lin, h, comb))
+    else:
+        gate = lin("mlp.gate_proj", h)
+        up = lin("mlp.up_proj", h)
+        mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
     if cfg.sandwich_norms:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
     return x + mlp, aux

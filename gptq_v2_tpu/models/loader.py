@@ -46,6 +46,25 @@ def params_from_flat(cfg: LlamaConfig, get) -> Params:
 
     dt = cfg.jdtype
 
+    if cfg.moe_num_experts:
+        moe_get = get
+
+        def get(key: str):
+            m = re.match(r"(model\.layers\.\d+)\.mlp\.router\.weight", key)
+            if m:
+                gate = ("block_sparse_moe.gate" if cfg.moe_mixtral_names
+                        else "mlp.gate")
+                return moe_get(f"{m.group(1)}.{gate}.weight")
+            if cfg.moe_mixtral_names:
+                m = re.match(
+                    r"(model\.layers\.\d+)\.mlp\.experts\.(\d+)\."
+                    r"(gate|up|down)_proj\.weight", key)
+                if m:
+                    w = {"gate": "w1", "up": "w3", "down": "w2"}[m.group(3)]
+                    return moe_get(f"{m.group(1)}.block_sparse_moe."
+                                   f"experts.{m.group(2)}.{w}.weight")
+            return moe_get(key)
+
     if cfg.fused_qkv_gate_up:
         raw_get = get
         hd = cfg.head_dim_

@@ -552,6 +552,7 @@ def quantize_model(
         lp0, jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size), dt),
         (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
          jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype)),
+        exclude=L.NON_QUANTIZED_LINEARS,
     )
     stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
 

@@ -287,6 +287,79 @@ class TestModelFamilies:
         ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
         assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
 
+    def test_mixtral_logits_match_transformers(self):
+        """Mixtral MoE: softmax-top-2 routing, per-expert SwiGLU, w1/w3/w2
+        checkpoint names; masked-dense expert compute matches HF's
+        gather/scatter exactly."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.MixtralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=48,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(20)
+        hf_model = transformers.MixtralForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 21)
+        assert cfg.moe_num_experts == 4 and cfg.moe_top_k == 2
+        assert "mlp.router" in params["layers"][0]
+        assert params["layers"][0]["mlp.experts.3.down_proj"].shape == (48, 64)
+
+    def test_qwen3_moe_logits_match_transformers(self):
+        """Qwen3-MoE: QK-RMSNorm + separate moe_intermediate_size +
+        norm_topk_prob routing, gate/up/down checkpoint names."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Qwen3MoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, norm_topk_prob=True,
+            max_position_embeddings=128, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(22)
+        hf_model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 23)
+        assert cfg.qk_norm and cfg.moe_intermediate_ == 32
+        assert params["layers"][0]["mlp.experts.0.gate_proj"].shape == (64, 32)
+
+    def test_mixtral_quantize_pipeline(self):
+        """End-to-end GPTQ on a MoE model: the jaxpr scheduler discovers
+        per-expert Hessian stages (each expert's Hessian accumulates only
+        its routed tokens, via the masked capture), the router stays
+        unquantized, ppl stays sane."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from gptq_v2_tpu.evaluate import evaluate_ppl
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        hf_cfg = transformers.MixtralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=48,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(24)
+        hf_model = transformers.MixtralForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg.to_dict(),
+                                          "torch_dtype": "float32"})
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(1)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+        ppl_fp = evaluate_ppl(cfg, dict(params), calib, batch_size=4)
+        r = quantize_model(cfg, params, calib,
+                           QuantConfig(bits=8, group_size=16), batch_size=4)
+        for e in range(4):
+            assert f"model.layers.0.mlp.experts.{e}.down_proj" in r["data"]
+        assert "model.layers.0.mlp.router" not in r["data"]
+        ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
+        assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
+
 
 class TestDependencySchedule:
     def test_llama_schedule(self, tiny_cfg, tiny_params):

@@ -51,7 +51,9 @@ from gptq_v2_tpu.parallel.tp import (
     ROW_PARALLEL,
     TPPacked,
     _gather_cols,
+    _is_expert,
     _stack_packed,
+    make_ep_moe_fn,
     split_packed_column,
     split_packed_row,
 )
@@ -139,11 +141,13 @@ class PPPackedLlama:
 
 def _is_tp_sharded(name: str) -> bool:
     """Layer entries that carry a TP-shard axis under composition: the
-    column/row linears and column-parallel biases (row-parallel biases add
-    post-psum and stay replicated over ``model``)."""
+    column/row linears, column-parallel biases (row-parallel biases add
+    post-psum and stay replicated over ``model``), and expert-parallel
+    expert weights (whole experts per device; the router is replicated)."""
     if name.endswith(".bias"):
         return name[:-5] in COLUMN_PARALLEL
-    return name in COLUMN_PARALLEL or name in ROW_PARALLEL
+    return (name in COLUMN_PARALLEL or name in ROW_PARALLEL
+            or _is_expert(name))
 
 
 def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
@@ -158,11 +162,15 @@ def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
     return wins.pop()
 
 
-def _tp_split_layer(lp: Dict[str, Any], tp: int) -> list:
+def _tp_split_layer(cfg, lp: Dict[str, Any], tp: int) -> list:
     """Megatron split of one layer into ``tp`` shard dicts (mirrors
-    ``tp.shard_packed_llama``'s per-name rules, unstacked)."""
+    ``tp.shard_packed_llama``'s per-name rules, unstacked).  MoE experts are
+    expert-parallel: shard ``d`` gets whole experts ``[d*E/tp, (d+1)*E/tp)``
+    renamed to local slot indices; the router is replicated."""
     shards = [dict() for _ in range(tp)]
     for name, w in lp.items():
+        if _is_expert(name):
+            continue  # regrouped below
         if name in COLUMN_PARALLEL and isinstance(w, PackedLinear):
             parts = split_packed_column(w, tp)
         elif name in ROW_PARALLEL and isinstance(w, PackedLinear):
@@ -174,9 +182,17 @@ def _tp_split_layer(lp: Dict[str, Any], tp: int) -> list:
         elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
             parts = np.split(np.asarray(w), tp, axis=0)
         else:
-            parts = [w] * tp  # norms, row-parallel bias: replicated
+            parts = [w] * tp  # norms, router, row-parallel bias: replicated
         for s, part in zip(shards, parts):
             s[name] = part
+    if cfg.moe_num_experts:
+        assert cfg.moe_num_experts % tp == 0, (cfg.moe_num_experts, tp)
+        e_loc = cfg.moe_num_experts // tp
+        for d, s in enumerate(shards):
+            for j in range(e_loc):
+                for proj in ("gate_proj", "up_proj", "down_proj"):
+                    s[f"mlp.experts.{j}.{proj}"] = (
+                        lp[f"mlp.experts.{d * e_loc + j}.{proj}"])
     return shards
 
 
@@ -202,9 +218,9 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
         """One global layer → {name: TPPacked(lead=1) | (tp, ...) | leaf}."""
         if tp == 1:
             return dict(lp)
-        shards = _tp_split_layer(lp, tp)
+        shards = _tp_split_layer(cfg, lp, tp)
         out = {}
-        for name in lp:
+        for name in shards[0]:  # expert names are local slots under EP
             parts = [s[name] for s in shards]
             if isinstance(parts[0], PackedLinear):
                 out[name] = _stack_packed(parts)
@@ -285,6 +301,19 @@ def _make_lin(lp: Dict[str, Any], tp: int):
     return lin
 
 
+def _pp_moe_fn(cfg, tp: int, lp):
+    """MoE strategy for a device-local PP(+TP) layer: with ``tp == 1`` the
+    layer holds every expert and ``block_core`` falls back to
+    ``moe_apply_dense``; under TPxPP experts are expert-parallel over
+    ``model`` (local slot names, see ``tp.make_ep_moe_fn``)."""
+    if tp == 1 or not cfg.moe_num_experts:
+        return None
+    return make_ep_moe_fn(
+        cfg, tp, lp,
+        apply=lambda w, h: (w4a16_matmul(h, w)
+                            if isinstance(w, PackedLinear) else h @ w))
+
+
 def _local_scales(scales, s_idx, l_loc):
     """Per-local-layer int8 scales: slice the static per-global-layer tuple
     (a baked constant array) at this stage's offset.  Returns an (L_loc,)
@@ -345,7 +374,7 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
             return attn, None
 
         x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, model.tp),
-                            attn_fn)
+                            attn_fn, moe_fn=_pp_moe_fn(cfg, model.tp, lp))
     return x, (ck, cv)
 
 
@@ -505,7 +534,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
                     return attn, None
 
                 x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, tp),
-                                    attn_fn)
+                                    attn_fn, moe_fn=_pp_moe_fn(cfg, tp, lp))
 
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
                            cfg.norm_unit_offset)

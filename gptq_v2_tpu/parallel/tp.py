@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -45,6 +46,12 @@ from gptq_v2_tpu.serving import kv_cache as kvc
 COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
                    "mlp.gate_proj", "mlp.up_proj")
 ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj")
+
+_EXPERT_RE = re.compile(r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)$")
+
+
+def _is_expert(name: str) -> bool:
+    return _EXPERT_RE.match(name) is not None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -122,14 +129,16 @@ class TPPackedLlama:
 
     def specs(self) -> "TPPackedLlama":
         """PartitionSpec pytree matching this model (for shard_map in_specs)."""
-        def leaf_spec(w):
+        def leaf_spec(k, w):
             if isinstance(w, TPPacked):
                 return w.spec_like()
+            if k == "mlp.router":
+                return P()  # replicated: every device routes identically
             if hasattr(w, "ndim") and w.ndim >= 2:  # stacked dense/bias shard
                 return P(MODEL_AXIS)
             return P()  # replicated (norms, row-parallel bias)
         layer_specs = tuple(
-            {k: leaf_spec(v) for k, v in lp.items()} for lp in self.layers
+            {k: leaf_spec(k, v) for k, v in lp.items()} for lp in self.layers
         )
         if isinstance(self.lm_head, PackedLinear):  # replicated packed lm_head
             lm_spec = PackedLinear(
@@ -164,6 +173,8 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
     tp = tp_size(mesh)
     assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
     assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
+    if cfg.moe_num_experts:
+        assert cfg.moe_num_experts % tp == 0, (cfg.moe_num_experts, tp)
 
     def shard_dense(w, axis):
         parts = np.split(np.asarray(w), tp, axis=axis)
@@ -173,6 +184,8 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
     for lp in model.layers:
         out: Dict[str, Any] = {}
         for name, w in lp.items():
+            if _is_expert(name):
+                continue  # regrouped below (expert parallelism)
             if name in COLUMN_PARALLEL:
                 out[name] = (_stack_packed(split_packed_column(w, tp))
                              if isinstance(w, PackedLinear) else shard_dense(w, 1))
@@ -182,7 +195,22 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
             elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
                 out[name] = shard_dense(w, 0)  # shards with the out features
             else:
-                out[name] = w  # norms + row-parallel bias: replicated
+                out[name] = w  # norms + router + row-parallel bias: replicated
+        # Expert parallelism: device d owns experts [d*e_loc, (d+1)*e_loc) —
+        # whole experts, no intra-expert split, no per-expert all-gather.
+        # Local names are slot indices; the combine weights are sliced by
+        # axis_index inside make_ep_moe_fn.
+        if cfg.moe_num_experts:
+            e_loc = cfg.moe_num_experts // tp
+            for j in range(e_loc):
+                for proj in ("gate_proj", "up_proj", "down_proj"):
+                    shards = [lp[f"mlp.experts.{d * e_loc + j}.{proj}"]
+                              for d in range(tp)]
+                    key = f"mlp.experts.{j}.{proj}"
+                    out[key] = (_stack_packed(shards)
+                                if isinstance(shards[0], PackedLinear)
+                                else jnp.stack([jnp.asarray(s)
+                                                for s in shards]))
         layers.append(out)
     tpm = TPPackedLlama(cfg, tp, model.embed_tokens, tuple(layers),
                         model.norm, model.lm_head)
@@ -270,6 +298,46 @@ def _tp_lin(lp):
     return lin
 
 
+def make_ep_moe_fn(cfg: L.LlamaConfig, tp: int, lp, apply=None):
+    """Expert-parallel MoE combine for ``block_core``'s ``moe_fn`` hook.
+
+    Each device runs its ``E/tp`` *whole* local experts (masked-dense, as in
+    ``models.llama.moe_apply_dense``) on the replicated MLP input and the
+    partial weighted outputs ``psum`` over ``model``.  Versus
+    Megatron-splitting every expert this reads the same total HBM bytes per
+    step but needs ZERO all-gathers in the MLP (each expert's contraction is
+    fully local) and one psum instead of one per expert.  The router runs
+    replicated (it is a tiny (D, E) bf16 matmul); ``comb`` is identical on
+    every device, and each device slices its expert columns by
+    ``axis_index``.  ``apply(w, h)`` applies one local weight entry —
+    default handles the TPPacked / lead-stacked-dense layout of
+    :func:`shard_packed_llama`.  Returns ``None`` for dense (non-MoE)
+    configs so call sites can pass the result straight through."""
+    if not cfg.moe_num_experts:
+        return None
+    if apply is None:
+        apply = _col_linear
+    e_loc = cfg.moe_num_experts // tp
+    act = L.activation(cfg)
+
+    def moe_fn(h: jax.Array, comb: jax.Array) -> jax.Array:
+        idx = jax.lax.axis_index(MODEL_AXIS)
+        comb_loc = jax.lax.dynamic_slice_in_dim(comb, idx * e_loc, e_loc,
+                                                axis=-1)
+        out = None
+        for j in range(e_loc):
+            ce = comb_loc[..., j:j + 1]
+            he = h * (ce > 0).astype(h.dtype)
+            g = apply(lp[f"mlp.experts.{j}.gate_proj"], he)
+            u = apply(lp[f"mlp.experts.{j}.up_proj"], he)
+            d = apply(lp[f"mlp.experts.{j}.down_proj"], act(g) * u)
+            d = ce.astype(d.dtype) * d
+            out = d if out is None else out + d
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return moe_fn
+
+
 def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
               window=L.AUTO_WINDOW) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder block, device-local view.  Mirrors
@@ -293,7 +361,8 @@ def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
                                logit_cap=cfg.attn_logit_softcap)
         return attn, (k, v)
 
-    return L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
+    return L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                        moe_fn=make_ep_moe_fn(cfg, tp, lp))
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +524,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                     )[:, None]
                 return attn, None
 
-            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         return L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
                           cfg.final_logit_softcap), cache
@@ -515,7 +585,8 @@ def build_tp_ragged_step(mesh):
                 )[:, None]
                 return attn, None
 
-            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn)
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
 
         x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
                        cfg.norm_unit_offset)

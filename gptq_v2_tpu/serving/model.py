@@ -197,6 +197,8 @@ def random_packed_llama(
         for name, shape in shapes.items():
             if len(shape) == 1:
                 lp[name] = norm_init(shape, compute_dtype)
+            elif name in L.NON_QUANTIZED_LINEARS:
+                lp[name] = dense(*shape)  # MoE router stays bf16
             else:
                 lp[name] = packed(*shape)
         layers.append(lp)

@@ -91,6 +91,34 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_moe_expert_parallel(self):
+        """MoE under TP is expert-parallel: each device holds E/tp WHOLE
+        experts (no intra-expert split), the router replicates, and the
+        masked-dense partial sums psum over ``model`` — must match the
+        single-device masked-dense forward."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32)
+        model = random_packed_llama(cfg, group_size=16, seed=35,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        lp0 = tpm.layers[0]
+        # local slot names only: 2 experts per device out of 4
+        assert "mlp.experts.1.gate_proj" in lp0
+        assert "mlp.experts.2.gate_proj" not in lp0
+        assert lp0["mlp.router"].ndim == 2  # replicated, unstacked
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(36)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp4_gqa(self):
         """tp=4 with 4 KV heads exercises 1-head shards + act-order rows."""
         from gptq_v2_tpu.serving.model import packed_forward_logits
@@ -224,6 +252,32 @@ class TestPPServing:
         mesh = make_pp_mesh(pp=2, tp=2)
         assert mesh.axis_names == ("stage", "model")
         self._roundtrip(model, pp=2, n_steps=3, seed=11, mesh=mesh)
+
+    def test_pp2_tp2_moe_composed(self):
+        """MoE under TPxPP: layers shard over ``stage``, whole experts over
+        ``model`` (expert parallelism), router replicated everywhere."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=4, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32,
+                                 dtype="float32")
+        model = random_packed_llama(cfg, group_size=16, seed=37,
+                                    compute_dtype=jnp.float32)
+        mesh = make_pp_mesh(pp=2, tp=2)
+        self._roundtrip(model, pp=2, n_steps=3, seed=13, mesh=mesh)
+
+    def test_pp2_moe_matches_single_device(self):
+        """MoE under pure PP (tp=1): every stage holds its layers' full
+        expert set and block_core's masked-dense fallback runs unchanged."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32,
+                                 dtype="float32")
+        model = random_packed_llama(cfg, group_size=16, seed=38,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=14)
 
     def test_pp4_gemma2_style(self):
         """4 stages x 2 layers/stage with the Gemma-2 switches (alternating

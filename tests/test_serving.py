@@ -134,6 +134,28 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_moe_decode_matches_full_recompute(self, kind):
+        """Mixtral-style MoE through the whole serving stack: masked-dense
+        experts on packed INT4 weights, bf16 router, all three schedulers."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32)
+        model = random_packed_llama(cfg, group_size=16, seed=33,
+                                    compute_dtype=jnp.float32)
+        lp0 = model.layers[0]
+        assert not hasattr(lp0["mlp.router"], "qweight")  # router stays dense
+        assert hasattr(lp0["mlp.experts.3.down_proj"], "qweight")
+        rng = np.random.default_rng(34)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged"])
     def test_int8_kv_cache_close_to_native(self, packed_model, kind):
         """int8 KV (per-layer calibrated scales) tracks the full-precision

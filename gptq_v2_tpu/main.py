@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import logging
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -69,17 +68,21 @@ def main(argv=None) -> dict:
     args = parse_args(argv)
     logging.info(args)
 
-    from gptq_v2_tpu.utils import enable_compilation_cache
+    from gptq_v2_tpu.utils import PhaseTimer, enable_compilation_cache, \
+        profile_trace
 
     enable_compilation_cache()
+    timer = PhaseTimer()
 
-    cfg, params = load_hf_model(args.model_dir)
+    with timer("load"):
+        cfg, params = load_hf_model(args.model_dir)
 
-    encodings_train = get_dataloader(
-        name=args.data_train_set, split="train", seqlen=args.seqlen,
-        n_samples=args.data_train_n_samples, model_path=args.model_dir,
-        seed=args.data_seed, cache_dir=args.data_cache_dir,
-    )
+    with timer("data"):
+        encodings_train = get_dataloader(
+            name=args.data_train_set, split="train", seqlen=args.seqlen,
+            n_samples=args.data_train_n_samples, model_path=args.model_dir,
+            seed=args.data_seed, cache_dir=args.data_cache_dir,
+        )
 
     results = None
     if args.do_quant:
@@ -88,23 +91,17 @@ def main(argv=None) -> dict:
             act_order=args.act_order, damp_ratio=args.damp_ratio,
             mse=args.mse, scale_bit_width=args.scale_bit_width, rtn=args.rtn,
         )
-        import contextlib
-
-        import jax
-
-        profile_cm = (jax.profiler.trace(args.profile_dir)
-                      if args.profile_dir else contextlib.nullcontext())
-        tick = time.time()
-        with profile_cm:
+        with profile_trace(args.profile_dir), timer("quantize"):
             results = quantize_model(
                 cfg, params, encodings_train, qcfg,
                 batch_size=args.batch_size,
                 save_dir=args.save_dir or None, resume=args.resume,
             )
-        quant_s = time.time() - tick
-        logging.info("finished quantizing in %.2f s", quant_s)
+        logging.info("finished quantizing in %.2f s",
+                     timer.seconds["quantize"])
         if args.save_model_path:
-            save_results(args.save_model_path, results, qcfg)
+            with timer("save"):
+                save_results(args.save_model_path, results, qcfg)
 
     ppls = {}
     for dataset_name in [s.strip() for s in args.eval_sets.split(",") if s.strip()]:
@@ -113,17 +110,22 @@ def main(argv=None) -> dict:
         else:
             if dataset_name == "c4" and args.data_new_eval:
                 dataset_name = "c4-new"
-            encodings = get_dataloader(
-                name=dataset_name, split="test", seqlen=args.seqlen,
-                n_samples=args.eval_n_samples, model_path=args.model_dir,
-                seed=args.data_seed, cache_dir=args.data_cache_dir,
-            )
+            with timer("data"):
+                encodings = get_dataloader(
+                    name=dataset_name, split="test", seqlen=args.seqlen,
+                    n_samples=args.eval_n_samples, model_path=args.model_dir,
+                    seed=args.data_seed, cache_dir=args.data_cache_dir,
+                )
         logging.info("evaluating %s", dataset_name)
-        ppl = evaluate_ppl(cfg, params, encodings, batch_size=args.batch_size)
+        with timer("eval"):
+            ppl = evaluate_ppl(cfg, params, encodings,
+                               batch_size=args.batch_size)
         ppls[dataset_name] = ppl
         logging.info("ppl: %.4f", ppl)
+    logging.info("phase timings: %s", timer.summary())
     return {"results": results, "ppls": ppls,
-            "quant_s": quant_s if args.do_quant else None}
+            "quant_s": timer.seconds.get("quantize"),
+            "phases": timer.summary()}
 
 
 if __name__ == "__main__":

@@ -448,14 +448,16 @@ def attention(
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
 
     ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
-    S - N for decode with a prefix); ``None`` disables causal masking.
+    S - N for decode with a prefix); ``None`` disables causal masking; a
+    ``(B,)`` array applies a per-row offset (speculative-decoding chunk
+    verification, where each sequence's chunk starts at its own position).
     ``key_mask`` additionally masks invalid keys (paged-cache decode).
     ``window``: query i additionally attends only the last ``window`` keys
     (``i + offset - window < j``, HF sliding-window semantics).
     Long causal self-attention dispatches to the Pallas flash kernel.
     """
-    if (causal_offset == 0 and key_mask is None
-            and _use_flash(q, k, window, logit_cap)):
+    if (isinstance(causal_offset, int) and causal_offset == 0
+            and key_mask is None and _use_flash(q, k, window, logit_cap)):
         return _flash_attention(q, k, v, sm_scale)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
@@ -466,12 +468,15 @@ def attention(
     scores = soft_cap(scores, logit_cap)
     neg = jnp.finfo(jnp.float32).min
     if causal_offset is not None:
+        per_row = getattr(causal_offset, "ndim", 0) == 1
         qi = jnp.arange(n)[:, None]
         kj = jnp.arange(s)[None, :]
-        mask = kj <= qi + causal_offset
+        off = causal_offset[:, None, None] if per_row else causal_offset
+        mask = kj <= qi + off  # (n, s) or (B, n, s)
         if window is not None:
-            mask &= kj > qi + causal_offset - window
-        scores = jnp.where(mask[None, None, None], scores, neg)
+            mask &= kj > qi + off - window
+        scores = jnp.where(mask[:, None, None] if per_row
+                           else mask[None, None, None], scores, neg)
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, None, :], scores, neg)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)

@@ -55,31 +55,45 @@ def parse_serve_args(argv=None):
     p.add_argument("--bench-tokens", type=int, default=64,
                    help="new tokens per request in the benchmark")
     p.add_argument("--prompt-tokens", type=int, default=64)
+    p.add_argument("--draft-dir", type=str, default="",
+                   help="draft model checkpoint dir: enables speculative "
+                        "decoding (small-batch latency mode; contiguous "
+                        "cache, single chip)")
+    p.add_argument("--draft-results", type=str, default="",
+                   help="optional quantization results for the draft "
+                        "(default: serve the draft in bf16)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="speculative proposal length")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="capture a jax.profiler trace of the timed "
+                        "benchmark run (TensorBoard/Perfetto)")
     return p.parse_args(argv)
 
 
-def build_engine(args):
+def _load_packed(model_dir: str, results_path: str):
     from gptq_v2_tpu.main import load_results
     from gptq_v2_tpu.models.loader import load_hf_model
-    from gptq_v2_tpu.serving import Engine
     from gptq_v2_tpu.serving.model import quantize_params_to_packed
 
-    cfg, params = load_hf_model(args.model_dir)
-    results = load_results(args.results)
-    model = quantize_params_to_packed(cfg, params, results["data"],
-                                      compute_dtype=jnp.bfloat16)
+    cfg, params = load_hf_model(model_dir)
+    data = load_results(results_path)["data"] if results_path else {}
+    return quantize_params_to_packed(cfg, params, data,
+                                     compute_dtype=jnp.bfloat16)
+
+
+def build_engine(args):
+    from gptq_v2_tpu.serving import Engine
+
+    model = _load_packed(args.model_dir, args.results)
     mesh = None
-    if args.tp and args.pp:
-        raise SystemExit("--tp and --pp are mutually exclusive (TPxPP "
-                         "composition not implemented)")
-    if args.tp:
+    if args.pp:  # PP, optionally composed with TP on ('stage','model')
+        from gptq_v2_tpu.parallel import make_pp_mesh
+
+        mesh = make_pp_mesh(args.pp, tp=args.tp or 1)
+    elif args.tp:
         from gptq_v2_tpu.parallel import make_mesh
 
         mesh = make_mesh(tp=args.tp, dp=1)
-    elif args.pp:
-        from gptq_v2_tpu.parallel import make_pp_mesh
-
-        mesh = make_pp_mesh(args.pp)
     return Engine(model, max_batch=args.max_batch, page_size=args.page_size,
                   max_seq_len=args.max_seq_len, cache_kind=args.cache_kind,
                   mesh=mesh, kv_dtype=args.kv_dtype,
@@ -95,6 +109,8 @@ def main(argv=None) -> dict:
 
     enable_compilation_cache()
     args = parse_serve_args(argv)
+    if args.draft_dir:
+        return _speculative_main(args)
     eng = build_engine(args)
     stats = {}
     if args.benchmark:
@@ -110,13 +126,50 @@ def main(argv=None) -> dict:
         # decode context bucket the timed run will cross is compiled here
         eng.run([Request(uid=-1, prompt=reqs[0].prompt[:],
                          max_new_tokens=args.bench_tokens)])
+        from gptq_v2_tpu.utils import profile_trace
+
         t0 = time.time()
-        eng.run(reqs)
+        with profile_trace(args.profile_dir):
+            eng.run(reqs)
         dt = time.time() - t0
         total = args.max_batch * args.bench_tokens
         stats = {"requests": args.max_batch, "new_tokens": total,
                  "wall_s": round(dt, 2), "tok_s": round(total / dt, 1)}
         logging.info("benchmark: %s", stats)
+    return stats
+
+
+def _speculative_main(args) -> dict:
+    """Speculative-decoding benchmark: target + draft, greedy, small batch."""
+    from gptq_v2_tpu.serving.speculative import speculative_generate
+
+    target = _load_packed(args.model_dir, args.results)
+    draft = _load_packed(args.draft_dir, args.draft_results)
+    kv = jnp.int8 if args.kv_dtype == "int8" else None
+    rng = np.random.default_rng(0)
+    vocab = target.cfg.vocab_size
+    b = min(args.max_batch, 8)  # speculation targets small-batch latency
+    prompts = [rng.integers(0, vocab, (args.prompt_tokens,)).tolist()
+               for _ in range(b)]
+    # warmup compiles every step shape
+    speculative_generate(target, draft, prompts, max_new_tokens=2,
+                         k=args.spec_k, kv_dtype=kv,
+                         max_seq_len=args.max_seq_len)
+    from gptq_v2_tpu.utils import profile_trace
+
+    t0 = time.time()
+    with profile_trace(args.profile_dir):
+        _, st = speculative_generate(target, draft, prompts,
+                                     max_new_tokens=args.bench_tokens,
+                                     k=args.spec_k, kv_dtype=kv,
+                                     max_seq_len=args.max_seq_len)
+    dt = time.time() - t0
+    stats = {"requests": b, "new_tokens": b * args.bench_tokens,
+             "wall_s": round(dt, 2),
+             "tok_s": round(b * args.bench_tokens / dt, 1),
+             "accept_rate": round(st.accept_rate, 3),
+             "tokens_per_round": round(st.tokens_per_round, 2)}
+    logging.info("speculative benchmark: %s", stats)
     return stats
 
 

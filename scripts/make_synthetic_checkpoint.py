@@ -5,8 +5,11 @@ config.json + ``model-*-of-*.safetensors`` shards +
 ``model.safetensors.index.json``) without network access — this
 environment has zero egress, so no real checkpoints can be downloaded
 (docs/STATUS.md "ppl parity").  Supports every model family the framework
-serves (llama / mistral / qwen2 / qwen3 / gemma2 / phi3 — phi3 writes the
-fused qkv_proj / gate_up_proj tensors its real checkpoints use).
+serves (llama / mistral / qwen2 / qwen3 / gemma2 / phi3 / mixtral /
+qwen3_moe — phi3 writes the fused qkv_proj / gate_up_proj tensors its
+real checkpoints use; the MoE families write their real router + expert
+names: ``block_sparse_moe.gate`` + ``experts.N.w1|w3|w2`` for Mixtral,
+``mlp.gate`` + ``experts.N.{gate,up,down}_proj`` for Qwen3-MoE).
 
 Usage:
   python scripts/make_synthetic_checkpoint.py --out /tmp/ckpt \
@@ -15,6 +18,7 @@ Usage:
 """
 import argparse
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -42,6 +46,15 @@ def build_config(a) -> dict:
         cfg["head_dim"] = a.head_dim
     if a.model_type in ("mistral", "phi3"):
         cfg["sliding_window"] = a.sliding_window or 4096
+    if a.model_type == "mixtral":
+        cfg.update({"num_local_experts": a.experts,
+                    "num_experts_per_tok": a.top_k})
+    if a.model_type == "qwen3_moe":
+        cfg.update({"num_experts": a.experts,
+                    "num_experts_per_tok": a.top_k,
+                    "moe_intermediate_size": a.moe_intermediate
+                    or a.intermediate,
+                    "norm_topk_prob": True})
     if a.model_type == "gemma2":
         cfg.update({
             "rms_norm_eps": 1e-6,
@@ -72,6 +85,18 @@ def tensor_entries(cfg_dict):
                               (2 * cfg.intermediate_size, d)),
             "mlp.up_proj": None,
         }
+    def hf_name(name):
+        """Framework layer-param name → the family's checkpoint name."""
+        if cfg.moe_num_experts:
+            if name == "mlp.router":
+                return ("block_sparse_moe.gate" if cfg.moe_mixtral_names
+                        else "mlp.gate")
+            m = re.match(r"mlp\.experts\.(\d+)\.(gate|up|down)_proj$", name)
+            if m and cfg.moe_mixtral_names:
+                w = {"gate": "w1", "up": "w3", "down": "w2"}[m.group(2)]
+                return f"block_sparse_moe.experts.{m.group(1)}.{w}"
+        return name
+
     for i in range(cfg.num_hidden_layers):
         for name, shape in layer_param_shapes(cfg).items():
             if name in fused_of:
@@ -80,7 +105,7 @@ def tensor_entries(cfg_dict):
                 fname, fshape = fused_of[name]
                 yield f"model.layers.{i}.{fname}.weight", fshape
                 continue
-            key = f"model.layers.{i}.{name}"
+            key = f"model.layers.{i}.{hf_name(name)}"
             if not name.endswith(".bias"):
                 key += ".weight"
             yield key, shape[::-1] if len(shape) == 2 else shape
@@ -94,7 +119,11 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--model-type", default="llama",
                     choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
-                             "phi3"])
+                             "phi3", "mixtral", "qwen3_moe"])
+    ap.add_argument("--experts", type=int, default=8)
+    ap.add_argument("--top-k", type=int, default=2)
+    ap.add_argument("--moe-intermediate", type=int, default=0,
+                    help="qwen3_moe per-expert width (0 = --intermediate)")
     ap.add_argument("--hidden", type=int, default=4096)
     ap.add_argument("--intermediate", type=int, default=11008)
     ap.add_argument("--layers", type=int, default=8)

@@ -100,6 +100,55 @@ class TestServeCLI:
         ])
         assert stats["new_tokens"] == 8 and stats["tok_s"] > 0
 
+    def test_serve_speculative(self, tiny_checkpoint):
+        """--draft-dir switches the CLI into speculative decoding: INT4
+        target + bf16 draft (no --draft-results), greedy benchmark."""
+        from gptq_v2_tpu.main import main as quant_main
+        from gptq_v2_tpu.serve import main as serve_main
+
+        tc = tiny_checkpoint
+        results_path = str(tc["root"] / "spec_results.npz")
+        quant_main(_argv(tc, **{"--eval-sets": "train",
+                                "--save-model-path": results_path,
+                                "--save-dir": ""}))
+        stats = serve_main([
+            "--model-dir", tc["model_dir"],
+            "--results", results_path,
+            "--draft-dir", tc["model_dir"],  # self-draft in bf16
+            "--max-batch", "2", "--max-seq-len", "64",
+            "--bench-tokens", "4", "--prompt-tokens", "5", "--spec-k", "2",
+        ])
+        assert stats["new_tokens"] == 8 and stats["tok_s"] > 0
+        assert 0.0 <= stats["accept_rate"] <= 1.0
+        assert 1.0 <= stats["tokens_per_round"] <= 3.0
+
+
+class TestObservability:
+    def test_phase_timer_and_profile_trace(self, tmp_path):
+        """The CLI's observability plumbing: named phase wall-clocks plus a
+        jax.profiler device trace written under the requested directory."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.utils import PhaseTimer, profile_trace
+
+        t = PhaseTimer()
+        with profile_trace(str(tmp_path / "tr")):
+            with t("work"):
+                jnp.ones((8, 8)).sum().block_until_ready()
+            with t("work"):  # accumulates
+                pass
+        assert t.summary()["work"] > 0
+        assert list((tmp_path / "tr").rglob("*.xplane.pb"))
+        with profile_trace(""):  # falsy = no-op, no directory created
+            pass
+
+    def test_main_reports_phases(self, tiny_checkpoint):
+        from gptq_v2_tpu.main import main
+
+        out = main(_argv(tiny_checkpoint, **{"--eval-sets": "train"}))
+        assert {"load", "data", "quantize", "eval"} <= set(out["phases"])
+        assert out["phases"]["quantize"] > 0
+
 
 class TestSyntheticCheckpoints:
     """The sharded-index load path + every family through the checkpoint
@@ -156,6 +205,47 @@ class TestSyntheticCheckpoints:
         logits = L.forward_logits(cfg, params, toks)
         assert bool(jnp.isfinite(logits).all())
         assert float(jnp.abs(logits).max()) <= 30.0  # final softcap bound
+
+    def test_mixtral_checkpoint_roundtrip(self, tmp_path):
+        """Mixtral checkpoint: block_sparse_moe.gate router + w1/w3/w2
+        expert tensors load into the framework's router/expert names."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck", **{"--model-type": "mixtral",
+                                      "--experts": "4", "--top-k": "2",
+                                      "--intermediate": "48"})
+        cfg, params = load_hf_model(tmp_path / "ck")
+        assert cfg.moe_num_experts == 4 and cfg.moe_mixtral_names
+        lp = params["layers"][0]
+        assert lp["mlp.router"].shape == (64, 4)
+        assert lp["mlp.experts.3.down_proj"].shape == (48, 64)
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_qwen3_moe_checkpoint_roundtrip(self, tmp_path):
+        """Qwen3-MoE checkpoint: mlp.gate router, per-expert gate/up/down
+        at moe_intermediate_size, QK-norm weights present."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck", **{"--model-type": "qwen3_moe",
+                                      "--experts": "4", "--top-k": "2",
+                                      "--moe-intermediate": "32",
+                                      "--head-dim": "16"})
+        cfg, params = load_hf_model(tmp_path / "ck")
+        assert cfg.moe_num_experts == 4 and not cfg.moe_mixtral_names
+        assert cfg.qk_norm and cfg.moe_intermediate_ == 32
+        lp = params["layers"][0]
+        assert lp["mlp.experts.0.gate_proj"].shape == (64, 32)
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert bool(jnp.isfinite(logits).all())
 
     def test_phi3_fused_checkpoint_roundtrip(self, tmp_path):
         """Phi-3 checkpoint: fused qkv/gate_up tensors split on load."""

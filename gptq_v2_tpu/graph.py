@@ -40,10 +40,16 @@ _PASSTHROUGH = {"convert_element_type", "transpose", "reshape", "copy",
 
 class Stage(NamedTuple):
     """One quantization stage: linears sharing a Hessian + entities whose
-    cached outputs become dead once this stage's Hessian is computed."""
+    cached outputs become dead once this stage's Hessian is computed.
+    ``parents`` are the nearest upstream linears of the stage's shared
+    input (``INPUT`` for block-entry stages) — the quantization-order
+    constraint: a stage's Hessian must be captured only after every parent
+    is quantized (the v2 error propagation), and stages whose parents are
+    all already solved are mutually independent (see :func:`stage_waves`)."""
 
     linears: Tuple[str, ...]
     release: Tuple[str, ...]
+    parents: Tuple[str, ...] = ()
 
 
 def _leaf_name(path) -> str:
@@ -190,12 +196,45 @@ def extract_dependencies(
                and all(c in quantized for c in children[e] if c != OUTPUT)
                and OUTPUT not in children[e]]
         released.update(rel)
-        out.append(Stage(tuple(stage), tuple(rel)))
+        out.append(Stage(tuple(stage), tuple(rel),
+                         tuple(sorted(direct_parents[stage[0]]))))
     final_rel = [e for e in all_entities if e not in released]
-    out.append(Stage((OUTPUT,), tuple(final_rel)))
+    out.append(Stage((OUTPUT,), tuple(final_rel),
+                     tuple(sorted(direct_parents[OUTPUT]))))
 
     # Sanity: every linear reachable from the input (reference
     # model_utils.py:216-225 asserts the same).
     for name in linear_order:
         assert direct_parents[name], f"linear {name} unreachable from input"
     return out
+
+
+def stage_waves(stage_list: Sequence[Stage]) -> List[List[Stage]]:
+    """Group stages into **waves** of mutually independent stages.
+
+    Every wave member's parents are quantized before the wave begins, so
+    one block forward can capture every member's Hessian input at once and
+    the per-stage solves within a wave commute (bit-identical to solving
+    them one forward at a time).  Dense decoder blocks degenerate to
+    singleton waves (``[q,k,v] → [o] → [gate,up] → [down]``); MoE blocks
+    collapse their ``2E`` per-expert stages into two waves (all expert
+    gate/up, then all expert down) — per-block forwards drop from
+    ``2E + 2`` to 4.
+
+    Waves are dependency levels: ``level(stage) = 1 + max(level of each
+    parent's stage)`` (``INPUT`` at -1).  Level scheduling, not greedy
+    adjacency — the jaxpr emits MoE stages interleaved per expert
+    (gate/up₀, down₀, gate/up₁, ...), and reordering across levels is safe
+    because every parent sits at a strictly lower level.
+    """
+    level_of: Dict[str, int] = {INPUT: -1}
+    levels: List[int] = []
+    for st in stage_list:
+        lv = 1 + max(level_of[p] for p in st.parents)
+        levels.append(lv)
+        for name in st.linears:
+            level_of[name] = lv
+    waves: List[List[Stage]] = [[] for _ in range(max(levels) + 1)] if levels else []
+    for st, lv in zip(stage_list, levels):
+        waves[lv].append(st)
+    return waves

@@ -72,6 +72,48 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
     return init, step, reduce
 
 
+def dp_wave_hessian_step(mesh, cfg: L.LlamaConfig, firsts: Tuple[str, ...],
+                         use_kernel: bool = True, window=L.AUTO_WINDOW):
+    """Data-parallel variant of the pipeline's wave-fused Hessian step
+    (``pipeline._wave_hess_step_for``): one shard_map'd block forward per
+    batch captures EVERY wave member's input and accumulates all their
+    partial Hessians; one reduction per stage merges them."""
+    dp = dp_size(mesh)
+
+    def init(d_ins: Tuple[int, ...]):
+        return tuple(
+            jax.device_put(jnp.zeros((dp, d, d), jnp.float32),
+                           NamedSharding(mesh, P(DATA_AXIS)))
+            for d in d_ins)
+
+    def local(lp, xb, cs, hps):
+        _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=firsts,
+                                window=window)
+        out = []
+        for f, hp in zip(firsts, hps):
+            st = hs.accumulate(
+                hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), caps[f],
+                use_kernel=use_kernel)
+            out.append(st.hessian[None])
+        return tuple(out)
+
+    def step_impl(lp, xb, cos_sin, hps):
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(lp, xb, cos_sin, hps)
+
+    step = jax.jit(step_impl, donate_argnums=(3,))
+
+    @jax.jit
+    def reduce(h_parts):
+        return h_parts.sum(axis=0)
+
+    return init, step, reduce
+
+
 def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...],
                         inject_firsts: Tuple[str, ...], members_map: tuple,
                         want_capture: bool, donate_inj: Tuple[bool, ...],

@@ -110,9 +110,11 @@ def _to_device(v) -> jax.Array:
         return v.materialize()
     if getattr(v, "dtype", None) == ml_dtypes.bfloat16 and not isinstance(v, jax.Array):
         # ship as uint16 bits: bf16 host<->device copies take a slow
-        # conversion path (~3x) on the tunneled runtime
+        # conversion path (~3x) on the tunneled runtime.  (Loader output
+        # may be a transposed mmap view — make it contiguous for .view.)
+        host = np.ascontiguousarray(np.asarray(v))
         return jax.lax.bitcast_convert_type(
-            jnp.asarray(np.asarray(v).view(np.uint16)), jnp.bfloat16)
+            jnp.asarray(host.view(np.uint16)), jnp.bfloat16)
     return jnp.asarray(v)
 
 
@@ -319,6 +321,106 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
 
         _inc_step_cache[key] = fwd
     return _inc_step_cache[key]
+
+
+def _wave_hess_step_for(cfg, firsts: tuple, use_kernel: bool,
+                        window=L.AUTO_WINDOW):
+    """Jitted multi-stage Hessian step: ONE block forward captures every
+    wave member's input and accumulates all their Hessians (independent
+    stages — ``graph.stage_waves``).  Collapses a MoE block's ``2E``
+    per-expert stage forwards into two."""
+    key = ("wave", cfg, firsts, use_kernel, window)
+    if key not in _inc_step_cache:
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def step(lp, xb, cos_sin, hs_t):
+            _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                    capture=firsts, window=window)
+            out = []
+            for f, h in zip(firsts, hs_t):
+                st = hs.accumulate(
+                    hs.HessianState(h, jnp.zeros((), jnp.int32)), caps[f],
+                    use_kernel=use_kernel)
+                out.append(st.hessian)
+            return tuple(out)
+
+        _inc_step_cache[key] = step
+    return _inc_step_cache[key]
+
+
+def _split_wave_by_budget(wave, d_ins, budget_bytes: int):
+    """Split a wave so concurrent fp32 Hessians stay under ``budget_bytes``
+    (a 70B-class MoE down-wave would otherwise hold E x d_ff² fp32 at
+    once).  Splitting preserves correctness — sub-waves of an independent
+    set are still independent."""
+    chunks, cur, cur_bytes = [], [], 0
+    for st, d in zip(wave, d_ins):
+        b = 4 * d * d
+        if cur and cur_bytes + b > budget_bytes:
+            chunks.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(st)
+        cur_bytes += b
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
+                          solve_stage, pending, mesh=None,
+                          window=L.AUTO_WINDOW,
+                          hessian_budget: int = 4 << 30) -> list:
+    """One block via wave-fused Hessian passes; returns next-block inputs.
+
+    Numerically identical to the per-stage loop: every wave member's
+    parents are quantized before the wave's forward runs, and members are
+    mutually independent, so capturing them from one forward observes
+    exactly the activations the per-stage loop would."""
+    for wave in waves:
+        d_ins = [lp[st.linears[0]].shape[0] for st in wave]
+        for chunk in _split_wave_by_budget(wave, d_ins, hessian_budget):
+            firsts = tuple(st.linears[0] for st in chunk)
+            if mesh is None:
+                step = _wave_hess_step_for(cfg, firsts,
+                                           qcfg.use_hessian_kernel, window)
+                hs_t = tuple(
+                    jnp.zeros((lp[f].shape[0],) * 2, jnp.float32)
+                    for f in firsts)
+                reduce_h = lambda h: h
+            else:
+                from gptq_v2_tpu.parallel import dp as DP
+
+                key = ("dp-wave", mesh, cfg, firsts,
+                       qcfg.use_hessian_kernel, window)
+                if key not in _inc_step_cache:
+                    _inc_step_cache[key] = DP.dp_wave_hessian_step(
+                        mesh, cfg, firsts,
+                        use_kernel=qcfg.use_hessian_kernel, window=window)
+                init, step, reduce_h = _inc_step_cache[key]
+                hs_t = init(tuple(lp[f].shape[0] for f in firsts))
+            for xb in xs:
+                hs_t = step(lp, xb, cos_sin, hs_t)
+            for st_, h in zip(chunk, hs_t):
+                state = hs.HessianState(reduce_h(h),
+                                        jnp.asarray(n_seq, jnp.int32))
+                inv = hs.invert(state, damp_ratio=qcfg.damp_ratio,
+                                act_order=qcfg.act_order)
+                del state
+                solve_stage(lp, li, st_, inv, pending)
+                del inv
+            del hs_t
+
+    if mesh is None:
+        fwd = _block_fwd_for(cfg, window=window)
+    else:
+        from gptq_v2_tpu.parallel import dp as DP
+
+        key = ("dp-fwd", mesh, cfg, window)
+        if key not in _inc_step_cache:
+            _inc_step_cache[key] = DP.dp_block_forward(mesh, cfg,
+                                                       window=window)
+        fwd = _inc_step_cache[key]
+    return [fwd(lp, xb, cos_sin) for xb in xs]
 
 
 # One jitted hessian step per (config, stage) — reused across layers/batches.
@@ -556,9 +658,18 @@ def quantize_model(
     )
     stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
 
+    # Wave fusion: mutually independent stages (MoE experts) capture their
+    # Hessians from ONE shared forward per wave.  Dense blocks have only
+    # singleton waves and keep the incremental-injection path instead.
+    waves = graph.stage_waves(stage_list)
+    use_waves = (incremental and not qcfg.rtn
+                 and any(len(w) > 1 for w in waves))
+    if use_waves:
+        logger.info("wave fusion: %d stages in %d waves",
+                    len(stage_list), len(waves))
 
     plan = None
-    if incremental and not qcfg.rtn:
+    if incremental and not qcfg.rtn and not use_waves:
         cs_struct = (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
                      jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype))
         plan = _plan_incremental(
@@ -653,6 +764,15 @@ def quantize_model(
                 r = try_resume_stage(li, st)
                 if r is not None:
                     resumed_stages[st.linears[0]] = r
+
+        if use_waves and not resumed_stages:
+            xs = _quantize_block_waves(
+                cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq, solve_stage,
+                pending, mesh=mesh, window=win)
+            _finish_block(results, pending, save_path, qcfg, params, lp, li,
+                          offload, dt)
+            logger.info("finished block %d in %.2f s", li, time.time() - t0)
+            continue
 
         if plan is not None and not resumed_stages:
             xs = _quantize_block_incremental(

@@ -360,6 +360,37 @@ class TestModelFamilies:
         ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
         assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
 
+    def test_moe_wave_fusion_bit_identical(self):
+        """The wave-fused MoE pipeline (one forward captures all expert
+        stages of a level) produces byte-identical quantization to the
+        per-stage loop — wave members are mutually independent, so neither
+        order can observe the other's quantization."""
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, moe_num_experts=3,
+                                 moe_top_k=2, moe_intermediate_size=32)
+        rng = np.random.default_rng(61)
+        calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+        qc = QuantConfig(bits=4, group_size=16)
+
+        def run(incremental):
+            params = L.init_params(cfg, jax.random.key(7))
+            params = {"embed_tokens": params["embed_tokens"],
+                      "layers": [dict(lp) for lp in params["layers"]],
+                      "norm": params["norm"], "lm_head": params["lm_head"]}
+            return quantize_model(cfg, params, calib, qc, batch_size=4,
+                                  incremental=incremental)
+
+        waved, legacy = run(True), run(False)
+        assert set(waved["data"]) == set(legacy["data"])
+        for k in waved["data"]:
+            np.testing.assert_array_equal(
+                np.asarray(waved["data"][k]["qweight"]),
+                np.asarray(legacy["data"][k]["qweight"]), err_msg=k)
+            np.testing.assert_array_equal(
+                np.asarray(waved["data"][k]["scale"]),
+                np.asarray(legacy["data"][k]["scale"]), err_msg=k)
+
 
 class TestDependencySchedule:
     def test_llama_schedule(self, tiny_cfg, tiny_params):
@@ -383,3 +414,36 @@ class TestDependencySchedule:
             "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"
         }
         assert "input" in sched[-1].release
+        # dense blocks: every wave is a singleton (no fusion opportunity)
+        from gptq_v2_tpu.graph import stage_waves
+
+        waves = stage_waves(sched[:-1])
+        assert [len(w) for w in waves] == [1, 1, 1, 1]
+        assert sched[1].parents == ("self_attn.k_proj", "self_attn.q_proj",
+                                    "self_attn.v_proj")
+
+    def test_moe_waves_collapse_expert_stages(self):
+        """MoE: the 2E per-expert stages are mutually independent — the
+        wave grouping collapses them into one gate/up wave and one down
+        wave, so a block quantizes in 4 forwards instead of 2E + 2."""
+        from gptq_v2_tpu.graph import stage_waves
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=1, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32)
+        params = L.init_params(cfg, jax.random.key(3))
+        lp = params["layers"][0]
+        cos, sin = L.rope_cos_sin(cfg, jnp.arange(8))
+        x = jax.ShapeDtypeStruct((2, 8, cfg.hidden_size), cfg.jdtype)
+        sched = extract_dependencies(
+            lambda p, xb, c, s: L.block_apply(cfg, p, xb, c, s)[0],
+            lp, x, cos, sin, exclude=L.NON_QUANTIZED_LINEARS,
+        )
+        waves = stage_waves(sched[:-1])
+        assert [len(w) for w in waves] == [1, 1, 4, 4]
+        gate_wave = waves[2]
+        assert all(st.linears[0].endswith("gate_proj") for st in gate_wave)
+        assert all(st.parents == ("input", "self_attn.o_proj")
+                   for st in gate_wave)  # residual carries 'input' through
+        down_wave = waves[3]
+        assert all(st.linears == (f"mlp.experts.{e}.down_proj",)
+                   for e, st in enumerate(down_wave))

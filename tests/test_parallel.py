@@ -418,6 +418,38 @@ class TestDPPipeline:
         # boundary code; anything beyond that is a sharding bug
         assert same / total > 0.999
 
+    def test_moe_wave_quantize_over_mesh(self):
+        """MoE wave-fused quantization over the mesh data axis: one
+        shard_map'd forward per wave accumulates every expert's partial
+        Hessian; result tracks the single-device wave path."""
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=1, moe_num_experts=3,
+                                 moe_top_k=2, moe_intermediate_size=32,
+                                 dtype="float32")
+        params = L.init_params(cfg, jax.random.key(33))
+        rng = np.random.default_rng(34)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+
+        def clone():
+            return {"embed_tokens": params["embed_tokens"],
+                    "layers": [dict(lp) for lp in params["layers"]],
+                    "norm": params["norm"], "lm_head": params["lm_head"]}
+
+        qc = QuantConfig(bits=4, group_size=16)
+        r1 = quantize_model(cfg, clone(), calib, qc, batch_size=4)
+        mesh = make_mesh(tp=1, dp=4)
+        r2 = quantize_model(cfg, clone(), calib, qc, batch_size=4, mesh=mesh)
+        assert set(r1["data"]) == set(r2["data"])
+        assert any("experts.2" in k for k in r2["data"])
+        total = same = 0
+        for name in r1["data"]:
+            a = np.asarray(r1["data"][name]["qweight"])
+            b = np.asarray(r2["data"][name]["qweight"])
+            total += a.size
+            same += int((a == b).sum())
+        assert same / total > 0.999
+
 
 class TestDPHessian:
     def test_partials_sum_to_single_device(self):

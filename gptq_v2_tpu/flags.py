@@ -44,6 +44,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--data-seed", type=int, default=0)
     p.add_argument("--data-cache-dir", type=str, default="./cache/datasets")
     p.add_argument("--do-quant", type=str2bool, default=True)
+    p.add_argument("--lazy-load", type=str2bool, default=False,
+                   help="stream the checkpoint block-by-block from disk "
+                        "(mmap) instead of loading it all into host RAM — "
+                        "the 70B-class path")
     p.add_argument("--save-model-path", type=str, default="./outputs/results.npz",
                    help="final collated results file ('' disables)")
     p.add_argument("--batch-size", type=int, default=16)

@@ -75,7 +75,7 @@ def main(argv=None) -> dict:
     timer = PhaseTimer()
 
     with timer("load"):
-        cfg, params = load_hf_model(args.model_dir)
+        cfg, params = load_hf_model(args.model_dir, lazy=args.lazy_load)
 
     with timer("data"):
         encodings_train = get_dataloader(

@@ -3,20 +3,49 @@
 Replaces the reference's ``LlamaForCausalLM.from_pretrained`` + init
 monkey-patching (reference: ``llama.py:14-17``) with a direct safetensors
 read — no torch, no module tree, no init cost to skip.  Weights land as
-host numpy/jax arrays; the pipeline/evaluator stream them to device
-layer-by-layer (the TPU analogue of the reference's CPU-offload strategy,
-``llama.py:104-105,220-224``).
+**host** numpy arrays; the pipeline/evaluator stream them to device
+layer-by-layer through ``pipeline._to_device`` (the TPU analogue of the
+reference's CPU-offload strategy, ``llama.py:104-105,220-224``) — device
+HBM holds one block at a time, never the whole model.
+
+``lazy=True`` defers even the host read: each block linear becomes a
+:class:`LazyTensor` that mmap-reads its shard bytes on first use and holds
+nothing afterwards — host RSS stays bounded by the active block, which is
+what makes 70B-class quantization feasible on ordinary hosts (a 70B bf16
+checkpoint is ~140 GB; one block is ~2 GB).
 """
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from gptq_v2_tpu.models.llama import LlamaConfig, Params
+
+
+class LazyTensor:
+    """Deferred checkpoint read with array protocol.
+
+    Exposes ``shape``/``dtype``/``ndim`` (enough for ``jax.eval_shape`` /
+    ``ShapeDtypeStruct`` tree-maps) and materializes through ``__array__``
+    — so ``np.asarray`` / ``jnp.asarray`` / ``pipeline._to_device`` all
+    work unchanged.  The fetch re-reads from the (mmap'd) shard on every
+    materialization and caches nothing.
+    """
+
+    def __init__(self, fetch: Callable[[], np.ndarray], shape, dtype):
+        self._fetch = fetch
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.ndim = len(self.shape)
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._fetch())
+        assert a.shape == self.shape, (a.shape, self.shape)
+        return a.astype(dtype) if dtype is not None else a
 
 
 def _hf_key(our_layer_key: str, layer_idx: int | None) -> str:
@@ -31,7 +60,7 @@ def _hf_key(our_layer_key: str, layer_idx: int | None) -> str:
     return f"model.layers.{layer_idx}.{our_layer_key}.weight"
 
 
-def params_from_flat(cfg: LlamaConfig, get) -> Params:
+def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
     """Build params from ``get(hf_key) -> array (HF layout)``.
 
     Linear weights are transposed to our ``(in, out)`` layout; embeddings
@@ -39,12 +68,15 @@ def params_from_flat(cfg: LlamaConfig, get) -> Params:
     tensors are row-sliced into the standard per-projection names (HF
     layout is (out, in), and HF slices the fused output as
     ``[q | k | v]`` / ``[gate | up]``, Phi3Attention/Phi3MLP).
+
+    Everything stays on the host (numpy).  ``lazy=True`` wraps block
+    params in :class:`LazyTensor` so the checkpoint is read block-by-block
+    as the pipeline touches it (embeddings / final norm / lm_head stay
+    eager — they are needed up front and at the end).
     """
     import re
 
     from gptq_v2_tpu.models.llama import layer_param_shapes
-
-    dt = cfg.jdtype
 
     if cfg.moe_num_experts:
         moe_get = get
@@ -90,35 +122,50 @@ def params_from_flat(cfg: LlamaConfig, get) -> Params:
                         else fused[inter:])
             return raw_get(key)
 
-    def linear(hf_key):
-        return jnp.asarray(get(hf_key)).T.astype(dt)
+    np_dt = np.dtype(cfg.dtype)  # ml_dtypes registers 'bfloat16' with numpy
+
+    def fetch_linear(hf_key):
+        # host transpose to our (in, out) layout; copy=False keeps the
+        # mmap'd view when dtypes already match
+        return np.asarray(get(hf_key)).T.astype(np_dt, copy=False)
+
+    def fetch_vector(hf_key):
+        return np.asarray(get(hf_key)).astype(np_dt, copy=False)
 
     layers = []
     for i in range(cfg.num_hidden_layers):
         lp = {}
         for name, shape in layer_param_shapes(cfg).items():
             key = _hf_key(name, i)
-            if len(shape) == 1:
-                lp[name] = jnp.asarray(get(key)).astype(dt)
+            fetch = (fetch_vector if len(shape) == 1
+                     else fetch_linear)
+            if lazy:
+                lp[name] = LazyTensor(
+                    lambda key=key, fetch=fetch: fetch(key), shape, np_dt)
             else:
-                lp[name] = linear(key)
+                lp[name] = fetch(key)
         layers.append(lp)
 
-    embed = jnp.asarray(get(_hf_key("embed_tokens", None))).astype(dt)
+    embed = fetch_vector(_hf_key("embed_tokens", None))
     if cfg.tie_word_embeddings:
         lm_head = embed.T
     else:
-        lm_head = linear(_hf_key("lm_head", None))
+        lm_head = fetch_linear(_hf_key("lm_head", None))
     return {
         "embed_tokens": embed,
         "layers": layers,
-        "norm": jnp.asarray(get(_hf_key("norm", None))).astype(dt),
+        "norm": fetch_vector(_hf_key("norm", None)),
         "lm_head": lm_head,
     }
 
 
-def load_hf_model(model_dir) -> Tuple[LlamaConfig, Params]:
-    """Load config + weights from a HF model directory (safetensors shards)."""
+def load_hf_model(model_dir, lazy: bool = False) -> Tuple[LlamaConfig, Params]:
+    """Load config + weights from a HF model directory (safetensors shards).
+
+    ``lazy=True`` streams the checkpoint: block weights become
+    :class:`LazyTensor` views read from the shard files on first use
+    (the 70B path — peak host RSS stays ~one block, not the model).
+    """
     model_dir = Path(model_dir)
     cfg = LlamaConfig.from_hf_dir(model_dir)
 
@@ -141,13 +188,13 @@ def load_hf_model(model_dir) -> Tuple[LlamaConfig, Params]:
         candidates = [shard] if shard else shards
         for path in candidates:
             if path not in handles:
-                handles[path] = safe_open(str(path), framework="flax")
+                handles[path] = safe_open(str(path), framework="numpy")
             h = handles[path]
             if key in h.keys():
                 return h.get_tensor(key)
         raise KeyError(key)
 
-    return cfg, params_from_flat(cfg, get)
+    return cfg, params_from_flat(cfg, get, lazy=lazy)
 
 
 def params_from_torch_state_dict(cfg: LlamaConfig, state_dict) -> Params:

@@ -187,6 +187,35 @@ class TestSyntheticCheckpoints:
         assert logits.shape == (1, 12, cfg.vocab_size)
         assert bool(jnp.isfinite(logits).all())
 
+    def test_lazy_streaming_load_quantizes(self, tmp_path):
+        """``lazy=True`` (the 70B-class path): block weights are deferred
+        mmap reads, host RSS stays ~one block; the pipeline quantizes
+        through them unchanged (incl. the bf16 transposed-view transfer
+        path) and matches the eager load bit-for-bit."""
+        import numpy as np
+
+        from gptq_v2_tpu.models.loader import LazyTensor, load_hf_model
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        self._gen(tmp_path / "ck", **{"--dtype": "bfloat16"})
+        cfg, lazy_params = load_hf_model(tmp_path / "ck", lazy=True)
+        lp0 = lazy_params["layers"][0]
+        assert isinstance(lp0["self_attn.q_proj"], LazyTensor)
+        assert lp0["self_attn.q_proj"].shape == (64, 64)
+        assert not isinstance(lazy_params["embed_tokens"], LazyTensor)
+
+        rng = np.random.default_rng(5)
+        calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+        qc = QuantConfig(bits=4, group_size=16)
+        r_lazy = quantize_model(cfg, lazy_params, calib, qc, batch_size=4)
+        _, eager_params = load_hf_model(tmp_path / "ck")
+        r_eager = quantize_model(cfg, eager_params, calib, qc, batch_size=4)
+        assert set(r_lazy["data"]) == set(r_eager["data"])
+        for k in r_lazy["data"]:
+            np.testing.assert_array_equal(
+                np.asarray(r_lazy["data"][k]["qweight"]),
+                np.asarray(r_eager["data"][k]["qweight"]), err_msg=k)
+
     def test_gemma2_checkpoint_roundtrip(self, tmp_path):
         """Gemma-2 checkpoint: tied head, 4 norms/block, softcap config."""
         import jax.numpy as jnp

@@ -619,6 +619,67 @@ def build_tp_ragged_step(mesh):
     return jax.jit(sharded, donate_argnums=(2,))
 
 
+def build_tp_verify_chunk(mesh, cache_template):
+    """Jitted TP chunk-verification step for speculative decoding — the
+    tensor-parallel variant of ``serving.speculative.verify_chunk``: same
+    contract (``(model, tokens (B,Q), cache, positions (B,)) -> (logits
+    (B,Q,V), cache)``), with projections column/row-parallel, MoE experts
+    expert-parallel, and the contiguous KV cache's head axis sharded over
+    ``model`` (each device writes and attends only its own heads).  This
+    is what lets a multi-chip target (70B INT4 across a mesh) verify a
+    draft's proposals in one dispatch."""
+    assert isinstance(cache_template, kvc.ContiguousKVCache), \
+        "speculative decoding uses the contiguous KV cache"
+
+    def local_step(model: TPPackedLlama, tokens, cache, positions):
+        cfg = model.cfg
+        b, qn = tokens.shape
+        pos_b = positions[:, None] + jnp.arange(qn)[None]
+        cos, sin = L.rope_cos_sin(cfg, pos_b.reshape(-1))
+        cos = cos.reshape(b, qn, -1)
+        sin = sin.reshape(b, qn, -1)
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+        s = cache.max_len
+
+        for li, lp in enumerate(model.layers):
+            win = cfg.layer_window(li)
+
+            def attn_fn(q, k, v, li=li, win=win):
+                nonlocal cache
+                cache = kvc.write_kv_contiguous(cache, li, k, v, pos_b)
+                k_all, v_all = cache.k[li, :, :s], cache.v[li, :, :s]
+                qq = q
+                if cache.k_scales is not None:
+                    qq = q * jnp.asarray(cache.k_scales[li],
+                                         jnp.float32).astype(q.dtype)
+                    k_all = k_all.astype(q.dtype)
+                    v_all = v_all.astype(q.dtype)
+                attn = L.attention(qq, k_all, v_all, causal_offset=positions,
+                                   window=win, sm_scale=cfg.sm_scale_,
+                                   logit_cap=cfg.attn_logit_softcap)
+                if cache.v_scales is not None:
+                    attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
+                return attn, None
+
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        return L.soft_cap(_plain_linear(model.lm_head, x),
+                          cfg.final_logit_softcap), cache
+
+    csp = cache_pspec(cache_template)
+
+    def sharded(model, tokens, cache, positions):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), P(), csp, P()),
+            out_specs=(P(), csp),
+            check_vma=False,
+        )(model, tokens, cache, positions)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
 def build_tp_forward_logits(mesh):
     """Jitted TP full-sequence forward (eval / parity tests)."""
 

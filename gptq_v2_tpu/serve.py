@@ -146,6 +146,11 @@ def _speculative_main(args) -> dict:
     target = _load_packed(args.model_dir, args.results)
     draft = _load_packed(args.draft_dir, args.draft_results)
     kv = jnp.int8 if args.kv_dtype == "int8" else None
+    mesh = None
+    if args.tp:  # TP-sharded target, single-device draft
+        from gptq_v2_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp, dp=1)
     rng = np.random.default_rng(0)
     vocab = target.cfg.vocab_size
     b = min(args.max_batch, 8)  # speculation targets small-batch latency
@@ -154,7 +159,7 @@ def _speculative_main(args) -> dict:
     # warmup compiles every step shape
     speculative_generate(target, draft, prompts, max_new_tokens=2,
                          k=args.spec_k, kv_dtype=kv,
-                         max_seq_len=args.max_seq_len)
+                         max_seq_len=args.max_seq_len, mesh=mesh)
     from gptq_v2_tpu.utils import profile_trace
 
     t0 = time.time()
@@ -162,7 +167,7 @@ def _speculative_main(args) -> dict:
         _, st = speculative_generate(target, draft, prompts,
                                      max_new_tokens=args.bench_tokens,
                                      k=args.spec_k, kv_dtype=kv,
-                                     max_seq_len=args.max_seq_len)
+                                     max_seq_len=args.max_seq_len, mesh=mesh)
     dt = time.time() - t0
     stats = {"requests": b, "new_tokens": b * args.bench_tokens,
              "wall_s": round(dt, 2),

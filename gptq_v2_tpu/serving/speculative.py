@@ -182,6 +182,7 @@ def speculative_generate(
     seed: int = 0,
     max_seq_len: Optional[int] = None,
     kv_dtype=None,
+    mesh=None,
 ) -> Tuple[List[List[int]], SpecStats]:
     """Generate ``max_new_tokens`` per prompt with draft-model speculation.
 
@@ -189,6 +190,14 @@ def speculative_generate(
     0``) output is token-identical to plain greedy decoding of ``target``
     for ANY draft; the draft only changes how many dispatches it takes.
     Returns ``(token_lists, stats)``.
+
+    With ``mesh`` the TARGET runs tensor-parallel over the mesh's
+    ``model`` axis (weights Megatron-sharded, KV heads sharded, MoE
+    experts expert-parallel — ``parallel.tp.build_tp_verify_chunk``)
+    while the draft stays single-device: the draft is small and its
+    ``k``-step proposal loop is latency-bound, so replicating it buys
+    nothing, whereas the target's chunk verification is exactly the
+    weight-streaming-bound dispatch TP accelerates.
     """
     assert k >= 1
     cfg = target.cfg
@@ -220,8 +229,28 @@ def speculative_generate(
 
     t_cache = mk_cache(target)
     d_cache = mk_cache(draft)
-    t_lg, t_cache = D.prefill(target, jnp.asarray(toks), t_cache, None,
-                              jnp.asarray(lengths), slot=slot)
+    if mesh is not None:
+        from gptq_v2_tpu.parallel import tp as TP
+
+        tpm = TP.shard_packed_llama(target, mesh)
+        tp_prefill = TP.build_tp_prefill(mesh, t_cache)
+        tp_verify = TP.build_tp_verify_chunk(mesh, t_cache)
+        t_cache = TP.shard_cache(t_cache, mesh)
+
+        def t_prefill(tk, cache, lens, slot):
+            return tp_prefill(tpm, tk, cache, None, lens, slot)
+
+        def t_verify(chunk, cache, pos):
+            return tp_verify(tpm, chunk, cache, pos)
+    else:
+        def t_prefill(tk, cache, lens, slot):
+            return D.prefill(target, tk, cache, None, lens, slot=slot)
+
+        def t_verify(chunk, cache, pos):
+            return verify_chunk(target, chunk, cache, pos)
+
+    t_lg, t_cache = t_prefill(jnp.asarray(toks), t_cache,
+                              jnp.asarray(lengths), slot)
     _, d_cache = D.prefill(draft, jnp.asarray(toks), d_cache, None,
                            jnp.asarray(lengths), slot=slot)
     key, sub = jax.random.split(key)
@@ -251,7 +280,7 @@ def speculative_generate(
         d_logits = jnp.stack(d_lgs, axis=1)  # (B, k, V)
         d_toks = jnp.stack(d_tks, axis=1)  # (B, k)
         chunk = jnp.concatenate([cur_tok[:, None], d_toks], axis=1)
-        t_logits, t_cache = verify_chunk(target, chunk, t_cache, cur_pos)
+        t_logits, t_cache = t_verify(chunk, t_cache, cur_pos)
         key, sub = jax.random.split(key)
         out, counts, key = acceptance_step(t_logits, d_logits, d_toks, sub,
                                            temps)

@@ -386,6 +386,95 @@ class TestTPRagged:
         assert got == want
 
 
+class TestTPVerifyChunk:
+    """Speculative-decoding chunk verification over a TP mesh must equal
+    the single-device ``serving.speculative.verify_chunk`` (logits AND
+    cache contents), so a multi-chip target can verify a draft's chunk."""
+
+    def _roundtrip(self, model, tp):
+        from gptq_v2_tpu.parallel.tp import build_tp_verify_chunk
+        from gptq_v2_tpu.serving.speculative import verify_chunk
+
+        cfg = model.cfg
+        rng = np.random.default_rng(61)
+        b, q, max_len = 2, 3, 32
+        plens = np.asarray([5, 7], np.int32)
+        lpad = int(plens.max())
+        prompts = np.zeros((b, lpad), np.int32)
+        for i in range(b):
+            prompts[i, :plens[i]] = rng.integers(0, cfg.vocab_size,
+                                                 (plens[i],))
+        chunk = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (b, q)).astype(np.int32))
+
+        def mk():
+            return kvc.init_contiguous_cache(
+                cfg.num_hidden_layers, b, max_len, cfg.num_key_value_heads,
+                cfg.head_dim_, dtype=jnp.float32)
+
+        lens = jnp.asarray(plens)
+        slot = jnp.arange(b)
+        _, c1 = D.prefill(model, jnp.asarray(prompts), mk(), None, lens,
+                          slot=slot)
+        _, c2 = D.prefill(model, jnp.asarray(prompts), mk(), None, lens,
+                          slot=slot)
+        want, c1 = verify_chunk(model, chunk, c1, lens)
+
+        mesh = make_mesh(tp=tp, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        c2 = shard_cache(c2, mesh)
+        tp_verify = build_tp_verify_chunk(mesh, c2)
+        got, c2 = tp_verify(tpm, chunk, c2, lens)
+
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(c2.k), np.asarray(c1.k),
+                                   rtol=0, atol=1e-5)
+
+    def test_tp2_matches_single_device(self, tiny_packed):
+        self._roundtrip(tiny_packed, tp=2)
+
+    def test_tp2_moe_matches_single_device(self):
+        """Expert-parallel MoE target through the TP verify path."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, moe_num_experts=4,
+                                 moe_top_k=2, moe_intermediate_size=32)
+        model = random_packed_llama(cfg, group_size=16, seed=63,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, tp=2)
+
+    def test_tp_speculative_greedy_matches_oracle(self, tiny_packed):
+        """End-to-end: TP-sharded target + single-device draft, greedy
+        speculative output == plain greedy decode of the target (the
+        Leviathan invariant must survive sharding)."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+        from gptq_v2_tpu.serving.speculative import speculative_generate
+
+        target = tiny_packed
+        cfg = target.cfg
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        draft = random_packed_llama(dcfg, group_size=16, seed=65,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(66)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 3)]
+        mesh = make_mesh(tp=2, dp=1)
+        out, stats = speculative_generate(target, draft, prompts, 6, k=2,
+                                          mesh=mesh)
+        for p, o in zip(prompts, out):
+            toks = list(p)
+            for _ in range(6):
+                logits = packed_forward_logits(target, jnp.asarray([toks]))
+                toks.append(int(jnp.argmax(logits[0, -1])))
+            assert o == toks[len(p):]
+        assert stats.rounds >= 2
+
+
 class TestDPPipeline:
     def test_quantize_model_over_mesh_matches_single_device(self):
         """Full pipeline with calibration sharded over the data axis."""

@@ -64,6 +64,11 @@ def parse_serve_args(argv=None):
                         "(default: serve the draft in bf16)")
     p.add_argument("--spec-k", type=int, default=4,
                    help="speculative proposal length")
+    p.add_argument("--spec-mode", type=str, default="generate",
+                   choices=["generate", "engine"],
+                   help="generate = fixed-batch speculative_generate loop; "
+                        "engine = speculation inside the continuous-"
+                        "batching engine (per-request admission/EOS)")
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax.profiler trace of the timed "
                         "benchmark run (TensorBoard/Perfetto)")
@@ -156,6 +161,8 @@ def _speculative_main(args) -> dict:
     b = min(args.max_batch, 8)  # speculation targets small-batch latency
     prompts = [rng.integers(0, vocab, (args.prompt_tokens,)).tolist()
                for _ in range(b)]
+    if args.spec_mode == "engine":
+        return _speculative_engine_bench(args, target, draft, prompts, mesh)
     # warmup compiles every step shape
     speculative_generate(target, draft, prompts, max_new_tokens=2,
                          k=args.spec_k, kv_dtype=kv,
@@ -175,6 +182,37 @@ def _speculative_main(args) -> dict:
              "accept_rate": round(st.accept_rate, 3),
              "tokens_per_round": round(st.tokens_per_round, 2)}
     logging.info("speculative benchmark: %s", stats)
+    return stats
+
+
+def _speculative_engine_bench(args, target, draft, prompts, mesh) -> dict:
+    """Speculation inside the continuous-batching engine (Engine(draft=))."""
+    from gptq_v2_tpu.serving import Engine, Request
+
+    def mk_engine():
+        return Engine(target, max_batch=len(prompts),
+                      max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
+                      draft=draft, spec_k=args.spec_k, mesh=mesh)
+
+    def reqs():
+        return [Request(uid=i, prompt=p, max_new_tokens=args.bench_tokens)
+                for i, p in enumerate(prompts)]
+
+    mk_engine().run(reqs())  # warmup: compiles every step shape
+    from gptq_v2_tpu.utils import profile_trace
+
+    eng = mk_engine()
+    t0 = time.time()
+    with profile_trace(args.profile_dir):
+        eng.run(reqs())
+    dt = time.time() - t0
+    total = len(prompts) * args.bench_tokens
+    stats = {"requests": len(prompts), "new_tokens": total,
+             "wall_s": round(dt, 2), "tok_s": round(total / dt, 1),
+             "accept_rate": round(
+                 eng.spec_accepted / max(eng.spec_proposed, 1), 3),
+             "ticks": eng.steps}
+    logging.info("speculative engine benchmark: %s", stats)
     return stats
 
 

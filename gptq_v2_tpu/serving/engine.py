@@ -75,6 +75,8 @@ class Engine:
         kv_scales=None,
         scheduler: str = "phased",
         token_budget: Optional[int] = None,
+        draft: Optional[PackedLlama] = None,
+        spec_k: int = 4,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -96,7 +98,18 @@ class Engine:
         longer stalls decode, and the prefill-bucket x decode-bucket
         compile matrix collapses to two programs (decode-only tick and
         mixed tick).  ``scheduler="phased"`` is the classic
-        prefill-then-decode loop."""
+        prefill-then-decode loop.
+
+        ``draft``: engine-integrated speculative decoding (contiguous
+        cache, phased scheduling).  Every decode tick proposes ``spec_k``
+        tokens per active slot with the draft model, verifies all slots'
+        chunks in ONE target dispatch (``speculative.verify_chunk``), and
+        emits 1..``spec_k + 1`` tokens per request via the standard
+        accept/reject rule — continuous batching (per-slot admission /
+        completion / EOS) composes with speculation.  Greedy requests'
+        outputs are token-identical to the non-speculative engine.  With
+        ``mesh`` the target verifies tensor-parallel while the small
+        draft stays single-device."""
         self.model = model
         cfg = model.cfg
         self.max_batch = max_batch
@@ -145,6 +158,25 @@ class Engine:
         elif scheduler != "phased":
             raise ValueError(scheduler)
         self.token_budget = token_budget or max(2 * max_batch, 64)
+        self.draft = draft
+        self.spec_k = spec_k
+        self.spec_rounds = self.spec_proposed = self.spec_accepted = 0
+        self._tp_verify = None
+        if draft is not None:
+            assert cache_kind == "contiguous", \
+                "speculative serving uses the contiguous KV cache"
+            assert scheduler == "phased", \
+                "speculative serving uses phased scheduling"
+            assert mesh is None or "stage" not in mesh.axis_names, \
+                "speculative serving composes with TP meshes, not PP"
+            assert draft.cfg.vocab_size == cfg.vocab_size, "vocab mismatch"
+            assert spec_k >= 1
+            dcfg = draft.cfg
+            self.draft_cache = kvc.init_contiguous_cache(
+                dcfg.num_hidden_layers, max_batch, self.max_seq_len,
+                dcfg.num_key_value_heads, dcfg.head_dim_,
+                dtype=draft.embed_tokens.dtype)
+            self.prev_tokens = np.zeros((max_batch,), np.int32)
         self.mesh = mesh
         self._min_prefill_batch = 1
         if mesh is not None and "stage" in mesh.axis_names:
@@ -182,6 +214,8 @@ class Engine:
             self._decode = TP.build_tp_decode_step(mesh, self.cache)
             self._ragged = (TP.build_tp_ragged_step(mesh)
                             if scheduler == "ragged" else None)
+            if draft is not None:
+                self._tp_verify = TP.build_tp_verify_chunk(mesh, self.cache)
         else:
             self._prefill = D.prefill
             self._decode = D.decode_step
@@ -198,7 +232,10 @@ class Engine:
 
     # ------------------------------------------------------------------ admin
     def add_request(self, req: Request) -> None:
-        assert len(req.prompt) + req.max_new_tokens <= self.max_seq_len, (
+        # speculative chunks write up to spec_k positions past the last
+        # emitted token; reserve that headroom in the cache
+        pad = self.spec_k if self.draft is not None else 0
+        assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
         self.queue.append(req)
 
@@ -269,6 +306,12 @@ class Engine:
                 self.model, jnp.asarray(tokens), self.cache, bt,
                 jnp.asarray(lengths), jnp.asarray(slot_ids),
             )
+            if self.draft is not None:  # mirror the prompt into draft KV
+                _, self.draft_cache = D.prefill(
+                    self.draft, jnp.asarray(tokens), self.draft_cache, None,
+                    jnp.asarray(lengths), slot=jnp.asarray(slot_ids))
+                for si, req, _ in group:
+                    self.prev_tokens[si] = req.prompt[-1]
             temps = np.zeros((nb,), np.float32)
             for i, (_, req, _) in enumerate(group):
                 temps[i] = req.temperature
@@ -395,6 +438,84 @@ class Engine:
                 if completes:  # prompt done: first generated token
                     self._emit(si, int(toks[i]))
 
+    # ------------------------------------------------------------ speculative
+    def _verify(self, chunk, positions):
+        if self._tp_verify is not None:
+            return self._tp_verify(self.model, chunk, self.cache, positions)
+        from gptq_v2_tpu.serving.speculative import verify_chunk
+
+        return verify_chunk(self.model, chunk, self.cache, positions)
+
+    def _step_speculative(self) -> None:
+        """One continuous-batching tick with draft speculation: k draft
+        proposals per slot, ONE (B, k+1) target verify over every slot,
+        accept/reject on device, 1..k+1 emits per active request.
+
+        Inactive slots ride along at position 1 with token 0 — their
+        junk KV is never attended (every position is rewritten before any
+        query can reach it, the same trash-steering invariant as prefill
+        padding) and their sampled tokens are dropped.  A request
+        finishing mid-chunk (EOS / max_new_tokens) stops emitting there;
+        the tail of its chunk is discarded and the slot frees this tick.
+        """
+        from gptq_v2_tpu.serving.speculative import acceptance_step
+
+        self._admit()
+        active = [si for si in range(self.max_batch)
+                  if self.slots[si] is not None]
+        if not active:
+            return
+        k = self.spec_k
+        positions = np.ones((self.max_batch,), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        for si in active:
+            positions[si] = self.slots[si].length
+            temps[si] = self.slots[si].request.temperature
+        pos_dev = jnp.asarray(positions)
+        temps_dev = jnp.asarray(temps)
+        cur = jnp.asarray(self.last_tokens)
+
+        # draft proposal: 2-token catch-up chunk (rewrites position - 1,
+        # filling the draft KV gap after a fully-accepted round), then
+        # k - 1 plain decode steps
+        from gptq_v2_tpu.serving.speculative import verify_chunk
+
+        pair = jnp.stack([jnp.asarray(self.prev_tokens), cur], axis=1)
+        lg2, self.draft_cache = verify_chunk(self.draft, pair,
+                                             self.draft_cache, pos_dev - 1)
+        self.key, sub = jax.random.split(self.key)
+        d_in = D.sample_per_row(lg2[:, 1], sub, temps_dev)
+        d_lgs, d_tks = [lg2[:, 1]], [d_in]
+        for i in range(1, k):
+            lg, self.draft_cache = D.decode_step(
+                self.draft, d_in, self.draft_cache, None, pos_dev + i)
+            self.key, sub = jax.random.split(self.key)
+            d_in = D.sample_per_row(lg, sub, temps_dev)
+            d_lgs.append(lg)
+            d_tks.append(d_in)
+        d_logits = jnp.stack(d_lgs, axis=1)  # (B, k, V)
+        d_toks = jnp.stack(d_tks, axis=1)  # (B, k)
+
+        chunk = jnp.concatenate([cur[:, None], d_toks], axis=1)
+        t_logits, self.cache = self._verify(chunk, pos_dev)
+        self.key, sub = jax.random.split(self.key)
+        out, counts, self.key = acceptance_step(t_logits, d_logits, d_toks,
+                                                sub, temps_dev)
+        out_np = np.asarray(out)
+        counts_np = np.asarray(counts)  # the one host sync per tick
+        self.steps += 1
+        self.spec_rounds += len(active)
+        self.spec_proposed += k * len(active)
+        for si in active:
+            self.spec_accepted += int(counts_np[si]) - 1
+            for j in range(int(counts_np[si])):
+                if self.slots[si] is None:
+                    break  # finished mid-chunk; drop the rest
+                self.slots[si].length += 1
+                self.decode_tokens += 1
+                self.prev_tokens[si] = self.last_tokens[si]
+                self._emit(si, int(out_np[si, j]))
+
     def step(self) -> None:
         """One scheduler tick: admit new work, then one decode step.
 
@@ -406,6 +527,8 @@ class Engine:
         """
         if self.scheduler == "ragged":
             return self._step_ragged()
+        if self.draft is not None:
+            return self._step_speculative()
         self._admit()
         active = [si for si in range(self.max_batch) if self.slots[si] is not None]
         if not active:

@@ -122,6 +122,24 @@ class TestServeCLI:
         assert 0.0 <= stats["accept_rate"] <= 1.0
         assert 1.0 <= stats["tokens_per_round"] <= 3.0
 
+    def test_serve_speculative_engine_mode(self, tiny_checkpoint):
+        """--spec-mode engine routes speculation through the continuous-
+        batching engine; self-draft greedy accepts everything, so the tick
+        count stays far below bench-tokens."""
+        from gptq_v2_tpu.serve import main as serve_main
+
+        tc = tiny_checkpoint
+        stats = serve_main([
+            "--model-dir", tc["model_dir"], "--results", "",
+            "--draft-dir", tc["model_dir"],  # self-draft in bf16
+            "--spec-mode", "engine",
+            "--max-batch", "2", "--max-seq-len", "64",
+            "--bench-tokens", "6", "--prompt-tokens", "5", "--spec-k", "2",
+        ])
+        assert stats["new_tokens"] == 12 and stats["tok_s"] > 0
+        assert stats["accept_rate"] == 1.0  # self-draft greedy
+        assert stats["ticks"] <= 4  # ceil((6-1)/3) ticks + prefill slack
+
 
 class TestObservability:
     def test_phase_timer_and_profile_trace(self, tmp_path):

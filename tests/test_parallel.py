@@ -319,6 +319,35 @@ class TestTPEngine:
         assert got == want
 
 
+class TestTPSpecEngine:
+    def test_speculative_engine_over_mesh_matches_single_device(
+            self, tiny_packed):
+        """Engine(mesh=..., draft=...): TP target verification inside
+        continuous batching == the single-device speculative engine."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        model = tiny_packed
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        draft = random_packed_llama(dcfg, group_size=16, seed=81,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(82)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 4, 9)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, max_seq_len=64, draft=draft,
+                          spec_k=2, mesh=mesh)
+
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+
 class TestPPEngine:
     def test_pp_engine_int8_kv_matches_single_device(self, tiny_packed):
         """int8 KV under PP: per-layer scales slice stage-locally inside

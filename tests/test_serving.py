@@ -296,6 +296,91 @@ class TestEngine:
         out = eng.run([Request(uid=1, prompt=p2, max_new_tokens=5)])
         assert out[1] == greedy_full_recompute(model, p2, 5)
 
+    def test_speculative_engine_matches_plain_engine(self, packed_model):
+        """Engine(draft=...) — speculation inside continuous batching.
+        Greedy outputs must be token-identical to the non-speculative
+        engine for every request, across slot reuse (5 requests through 2
+        slots, mixed prompt/output lengths)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        model, _ = packed_model
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        draft = random_packed_llama(dcfg, group_size=16, seed=71,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(72)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (5, 9, 3, 7, 4)]
+        lens = [6, 3, 5, 4, 6]
+
+        def reqs():
+            return [Request(uid=i, prompt=p, max_new_tokens=n)
+                    for i, (p, n) in enumerate(zip(prompts, lens))]
+
+        want = Engine(model, max_batch=2, max_seq_len=64).run(reqs())
+        eng = Engine(model, max_batch=2, max_seq_len=64, draft=draft,
+                     spec_k=3)
+        got = eng.run(reqs())
+        assert got == want
+        assert eng.spec_proposed > 0
+        assert 0 <= eng.spec_accepted <= eng.spec_proposed
+
+    def test_speculative_engine_self_draft_fewer_steps(self, packed_model):
+        """draft == target accepts every greedy proposal: the engine must
+        finish in far fewer ticks than token-by-token decode."""
+        model, _ = packed_model
+        rng = np.random.default_rng(73)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        want = Engine(model, max_batch=1, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        eng = Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                     spec_k=3)
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert got == want
+        # 8 tokens: 1 from prefill + 7 via ticks of up to 4 emits => <= 3
+        assert eng.spec_rounds <= 3
+        assert eng.spec_accepted == eng.spec_proposed  # all accepted
+
+    def test_speculative_engine_eos_mid_chunk(self, packed_model):
+        """An EOS accepted mid-chunk stops the request there and frees the
+        slot; output matches the non-speculative engine under the same
+        eos_token_id."""
+        model, _ = packed_model
+        rng = np.random.default_rng(74)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        base = Engine(model, max_batch=1, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])[0]
+        eos = base[len(base) // 2]  # a token greedy decode really emits
+        want = Engine(model, max_batch=1, max_seq_len=64,
+                      eos_token_id=eos).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        eng = Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                     spec_k=3, eos_token_id=eos)
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert got == want
+
+    def test_speculative_engine_int8_kv(self, packed_model):
+        """Speculation over an int8 target cache matches the plain engine
+        on the same int8 cache (identical write/read quantization)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(75)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (5, 7)]
+
+        def reqs():
+            return [Request(uid=i, prompt=p, max_new_tokens=4)
+                    for i, p in enumerate(prompts)]
+
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        scales = calibrate_kv_scales(model)
+        want = Engine(model, max_batch=2, max_seq_len=64, kv_dtype="int8",
+                      kv_scales=scales).run(reqs())
+        got = Engine(model, max_batch=2, max_seq_len=64, kv_dtype="int8",
+                     kv_scales=scales, draft=model, spec_k=2).run(reqs())
+        assert got == want
+
     def test_packed_lm_head(self, packed_model):
         """Opt-in INT4 lm_head: forward matches dense RTN-dequant; serving
         and TP paths run with it."""

@@ -190,6 +190,8 @@ def decode_sample_step(
     temperatures: jax.Array,  # (B,) — <=0 greedy per row
     key: jax.Array,
     s_bucket: Optional[int] = None,
+    top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
+    top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
 ) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
     """Decode + per-row sampling + PRNG-key advance in ONE dispatch.
 
@@ -200,7 +202,8 @@ def decode_sample_step(
     logits, cache = _decode_step_impl(model, tokens, cache, block_tables,
                                       positions, s_bucket)
     key, sub = jax.random.split(key)
-    toks = sample_per_row(logits, sub, temperatures)
+    toks = sample_per_row(logits, sub, temperatures,
+                          top_ks=top_ks, top_ps=top_ps)
     return toks, cache, key
 
 
@@ -253,6 +256,8 @@ def ragged_step(
     sample_rows: jax.Array,  # (S,) row index of each sequence's last token
     temperatures: jax.Array,  # (S,) per-sequence (<=0 greedy)
     key: jax.Array,
+    top_ks: Optional[jax.Array] = None,  # (S,) per-sequence top-k (0 = off)
+    top_ps: Optional[jax.Array] = None,  # (S,) per-sequence nucleus p
 ) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
     """Mixed prefill+decode in ONE dispatch (vLLM-style chunked prefill).
 
@@ -300,8 +305,40 @@ def ragged_step(
     last = jnp.take(x, sample_rows, axis=0)  # (S, D)
     logits = head_logits(cfg, model.lm_head, last)
     key, sub = jax.random.split(key)
-    toks = sample_per_row(logits, sub, temperatures)
+    toks = sample_per_row(logits, sub, temperatures,
+                          top_ks=top_ks, top_ps=top_ps)
     return toks, cache, key
+
+
+def _warp_logits(
+    lg: jax.Array,  # (B, V) f32, already temperature-scaled
+    top_ks: Optional[jax.Array],  # (B,) int32; <=0 disables for that row
+    top_ps: Optional[jax.Array],  # (B,) f32; >=1 disables for that row
+) -> jax.Array:
+    """Per-row top-k then nucleus (top-p) filtering (the HF warper order:
+    temperature → top-k → top-p, with top-p measured on the top-k-restricted
+    distribution).  One shared descending sort serves both filters; rows
+    with the filter disabled pass through unchanged, so a single program
+    covers any per-request mix."""
+    neg = jnp.finfo(jnp.float32).min
+    v = lg.shape[-1]
+    srt = jnp.sort(lg, axis=-1)[:, ::-1]
+    if top_ks is not None:
+        k = jnp.clip(jnp.where(top_ks > 0, top_ks, v), 1, v)
+        kth = jnp.take_along_axis(srt, (k - 1)[:, None], axis=-1)
+        lg = jnp.where(lg >= kth, lg, neg)
+        srt = jnp.where(jnp.arange(v)[None, :] < k[:, None], srt, neg)
+    if top_ps is not None:
+        p = jnp.clip(top_ps, 0.0, 1.0)[:, None]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix whose mass reaches p: token j survives if
+        # the mass strictly before it is < p (so >=1 token always survives)
+        keep = (cum - probs) < jnp.maximum(p, 1e-9)
+        last = jnp.sum(keep, axis=-1) - 1
+        thr = jnp.take_along_axis(srt, last[:, None], axis=-1)
+        lg = jnp.where(lg >= thr, lg, neg)
+    return lg
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
@@ -310,17 +347,23 @@ def sample_per_row(
     key: jax.Array,
     temperatures: jax.Array,  # (B,) — <=0 means greedy for that row
     top_k: int = 0,
+    top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
+    top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
 ) -> jax.Array:
     """Per-row temperature sampling: each batch row uses its own request's
-    temperature (rows at <=0 take the argmax).  One compilation regardless
-    of the temperature mix — the engine's sampling path."""
+    temperature (rows at <=0 take the argmax), optionally its own top-k /
+    top-p.  One compilation regardless of the parameter mix — the engine's
+    sampling path."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32)
     if top_k > 0:
         kth = jnp.sort(lg, axis=-1)[:, -top_k][:, None]
         lg = jnp.where(lg >= kth, lg, jnp.finfo(jnp.float32).min)
     t = jnp.maximum(temperatures, 1e-6)[:, None].astype(jnp.float32)
-    sampled = jax.random.categorical(key, lg / t, axis=-1).astype(jnp.int32)
+    lg = lg / t
+    if top_ks is not None or top_ps is not None:
+        lg = _warp_logits(lg, top_ks, top_ps)
+    sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 
 

@@ -40,6 +40,8 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 64
     temperature: float = 0.0
+    top_k: int = 0  # 0 = disabled; sample from the k highest-logit tokens
+    top_p: float = 1.0  # 1.0 = disabled; nucleus sampling mass
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
@@ -229,6 +231,10 @@ class Engine:
         self.decode_tokens = 0
         self._dev = None  # device-resident scheduler state (see step())
         self._dirty = True
+        # flips True on the first request that uses top-k/top-p; switches
+        # the sampling dispatches to the per-row-warped variant (one extra
+        # compile, then stable)
+        self._sampling_full = False
 
     # ------------------------------------------------------------------ admin
     def add_request(self, req: Request) -> None:
@@ -237,6 +243,12 @@ class Engine:
         pad = self.spec_k if self.draft is not None else 0
         assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
+        if req.top_k > 0 or req.top_p < 1.0:
+            if self.draft is not None:
+                raise ValueError(
+                    "speculative serving supports temperature-only sampling;"
+                    f" request {req.uid} sets top_k/top_p")
+            self._sampling_full = True
         self.queue.append(req)
 
     def _alloc_pages(self, n: int) -> Optional[List[int]]:
@@ -313,19 +325,33 @@ class Engine:
                 for si, req, _ in group:
                     self.prev_tokens[si] = req.prompt[-1]
             temps = np.zeros((nb,), np.float32)
+            tks, tps = self._warp_arrays(nb)
             for i, (_, req, _) in enumerate(group):
                 temps[i] = req.temperature
-            toks = self._sample(logits, temps)
+                if tks is not None:
+                    tks[i], tps[i] = req.top_k, req.top_p
+            toks = self._sample(logits, temps, tks, tps)
             for i, (si, req, _) in enumerate(group):
                 self._emit(si, int(toks[i]))
         if admitted:
             self._dirty = True
 
     # ----------------------------------------------------------------- decode
-    def _sample(self, logits, temperatures: np.ndarray):
+    def _warp_arrays(self, n: int):
+        """(top_ks, top_ps) host buffers sized ``n``, or (None, None) while
+        no request has asked for top-k/top-p (keeps the cheap sampling
+        program compiled for the common case)."""
+        if not self._sampling_full:
+            return None, None
+        return np.zeros((n,), np.int32), np.ones((n,), np.float32)
+
+    def _sample(self, logits, temperatures: np.ndarray, top_ks=None,
+                top_ps=None):
         self.key, sub = jax.random.split(self.key)
         return np.asarray(D.sample_per_row(
-            logits, sub, jnp.asarray(temperatures, jnp.float32)))
+            logits, sub, jnp.asarray(temperatures, jnp.float32),
+            top_ks=None if top_ks is None else jnp.asarray(top_ks),
+            top_ps=None if top_ps is None else jnp.asarray(top_ps)))
 
     def _emit(self, si: int, token: int) -> None:
         slot = self.slots[si]
@@ -379,6 +405,7 @@ class Engine:
         cu = np.zeros((S + 1,), np.int32)
         sample_rows = np.zeros((S,), np.int32)
         temps = np.zeros((S,), np.float32)
+        tks, tps = self._warp_arrays(S)
         bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
 
         row = 0
@@ -411,6 +438,8 @@ class Engine:
             cu[i + 1] = cu[i] + n_new
             sample_rows[i] = row + n_new - 1
             temps[i] = req.temperature
+            if tks is not None:
+                tks[i], tps[i] = req.top_k, req.top_p
             bt_rows[i] = self.block_tables[si]
             order.append((si, n_new, completes))
             row += n_new
@@ -423,6 +452,8 @@ class Engine:
             jnp.asarray(kv_lens), jnp.asarray(cu),
             jnp.asarray([len(order)], np.int32),
             jnp.asarray(sample_rows), jnp.asarray(temps), self.key,
+            None if tks is None else jnp.asarray(tks),
+            None if tps is None else jnp.asarray(tps),
         )
         toks = np.asarray(toks_dev)  # the one host sync per tick
         self.steps += 1
@@ -537,15 +568,21 @@ class Engine:
             positions = np.zeros((self.max_batch,), np.int32)
             temps = np.zeros((self.max_batch,), np.float32)
             mask = np.zeros((self.max_batch,), np.int32)
+            tks, tps = self._warp_arrays(self.max_batch)
             for si in active:
                 positions[si] = self.slots[si].length
                 temps[si] = self.slots[si].request.temperature
                 mask[si] = 1
+                if tks is not None:
+                    tks[si] = self.slots[si].request.top_k
+                    tps[si] = self.slots[si].request.top_p
             self._dev = {
                 "tokens": jnp.asarray(self.last_tokens),
                 "positions": jnp.asarray(positions),
                 "temps": jnp.asarray(temps),
                 "mask": jnp.asarray(mask),
+                "top_ks": None if tks is None else jnp.asarray(tks),
+                "top_ps": None if tps is None else jnp.asarray(tps),
             }
             self._dirty = False
         d = self._dev
@@ -559,6 +596,7 @@ class Engine:
             toks_dev, self.cache, self.key = D.decode_sample_step(
                 self.model, d["tokens"], self.cache, self._bt(),
                 d["positions"], d["temps"], self.key, s_bucket=s_bucket,
+                top_ks=d["top_ks"], top_ps=d["top_ps"],
             )
         else:
             logits, self.cache = self._decode(
@@ -566,7 +604,9 @@ class Engine:
                 d["positions"], s_bucket=s_bucket,
             )
             self.key, sub = jax.random.split(self.key)
-            toks_dev = D.sample_per_row(logits, sub, d["temps"])
+            toks_dev = D.sample_per_row(logits, sub, d["temps"],
+                                        top_ks=d["top_ks"],
+                                        top_ps=d["top_ps"])
         self._dev = {**d, "tokens": toks_dev,
                      "positions": d["positions"] + d["mask"]}
         toks = np.asarray(toks_dev)  # the one host sync per step

@@ -515,3 +515,95 @@ class TestEngine:
             Request(uid=1, prompt=prompt_s, max_new_tokens=5, temperature=1.0),
         ])
         assert out[0] == expected
+
+
+class TestTopKTopP:
+    """Per-request top-k / nucleus sampling (`Request.top_k` / `top_p`)."""
+
+    def _draws(self, logits, temps, n=48, **kw):
+        from gptq_v2_tpu.serving.decode import sample_per_row
+
+        return np.stack([
+            np.asarray(sample_per_row(logits, jax.random.key(s),
+                                      temps, **kw))
+            for s in range(n)
+        ])  # (n, B)
+
+    def test_per_row_support_restriction(self):
+        """top_k=1 / tiny top_p force argmax even at high temperature;
+        top_k=3 restricts draws to the 3 highest logits; disabled rows
+        sample the full vocabulary (checked: they reach tokens outside
+        any small support)."""
+        rng = np.random.default_rng(40)
+        logits = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+        temps = jnp.full((4,), 5.0, jnp.float32)  # hot: near-uniform
+        top_ks = jnp.asarray([1, 3, 0, 0], jnp.int32)
+        top_ps = jnp.asarray([1.0, 1.0, 1e-6, 1.0], jnp.float32)
+        draws = self._draws(logits, temps, top_ks=top_ks, top_ps=top_ps)
+        order = np.argsort(-np.asarray(logits), axis=-1)
+        assert set(draws[:, 0]) == {order[0, 0]}  # top_k=1 == argmax
+        assert set(draws[:, 1]) <= set(order[1, :3])  # within top-3
+        assert len(set(draws[:, 1])) > 1  # ...and actually samples
+        assert set(draws[:, 2]) == {order[2, 0]}  # top_p→0 == argmax
+        assert len(set(draws[:, 3])) > 5  # unrestricted row roams
+
+    def test_nucleus_mass_cutoff(self):
+        """top_p keeps exactly the smallest prefix reaching the mass: with
+        p(top1)≈0.73, top_p=0.5 keeps only token 0; top_p=0.9 keeps
+        tokens {0,1}."""
+        logits = jnp.asarray([[10.0, 9.0] + [-10.0] * 14] * 2, jnp.float32)
+        temps = jnp.ones((2,), jnp.float32)
+        top_ps = jnp.asarray([0.5, 0.9], jnp.float32)
+        draws = self._draws(logits, temps, top_ps=top_ps)
+        assert set(draws[:, 0]) == {0}
+        assert set(draws[:, 1]) == {0, 1}
+        assert 1 in draws[:, 1]  # the second nucleus token is reachable
+
+    def test_disabled_rows_match_plain_path(self):
+        """top_ks=0 / top_ps=1 rows draw the SAME tokens as the unwarped
+        program under the same key (the warp is an exact no-op, not just
+        distribution-preserving)."""
+        from gptq_v2_tpu.serving.decode import sample_per_row
+
+        rng = np.random.default_rng(41)
+        logits = jnp.asarray(rng.standard_normal((3, 32)), jnp.float32)
+        temps = jnp.asarray([0.0, 0.7, 1.3], jnp.float32)
+        for s in range(8):
+            key = jax.random.key(s)
+            plain = sample_per_row(logits, key, temps)
+            warped = sample_per_row(
+                logits, key, temps,
+                top_ks=jnp.zeros((3,), jnp.int32),
+                top_ps=jnp.ones((3,), jnp.float32))
+            np.testing.assert_array_equal(np.asarray(plain),
+                                          np.asarray(warped))
+
+    @pytest.mark.parametrize("scheduler,kind", [("phased", "contiguous"),
+                                                ("ragged", "paged")])
+    def test_engine_top_k1_equals_greedy(self, packed_model, scheduler, kind):
+        """A hot-temperature request with top_k=1 must reproduce the greedy
+        engine's output exactly, on both schedulers, batched next to an
+        unrestricted sampling request."""
+        model, _ = packed_model
+        rng = np.random.default_rng(42)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        other = rng.integers(0, model.cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind, scheduler=scheduler)
+        out = eng.run([
+            Request(uid=0, prompt=prompt, max_new_tokens=5,
+                    temperature=4.0, top_k=1),
+            Request(uid=1, prompt=other, max_new_tokens=5,
+                    temperature=1.0, top_p=0.8),
+        ])
+        assert out[0] == expected
+        assert len(out[1]) == 5
+
+    def test_speculative_engine_rejects_topk(self, packed_model):
+        model, _ = packed_model
+        eng = Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                     spec_k=2)
+        with pytest.raises(ValueError, match="temperature-only"):
+            eng.add_request(Request(uid=0, prompt=[1, 2], max_new_tokens=2,
+                                    top_k=5))

@@ -45,6 +45,9 @@ def parse_serve_args(argv=None):
                         "dispatch per tick (paged cache only)")
     p.add_argument("--token-budget", type=int, default=0,
                    help="ragged tick token budget (0 = auto)")
+    p.add_argument("--prefix-cache", type=str2bool, default=False,
+                   help="shared-prefix KV page reuse (paged cache + "
+                        "ragged scheduler)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways over a device mesh (0 = off)")
     p.add_argument("--pp", type=int, default=0,
@@ -103,7 +106,8 @@ def build_engine(args):
                   max_seq_len=args.max_seq_len, cache_kind=args.cache_kind,
                   mesh=mesh, kv_dtype=args.kv_dtype,
                   scheduler=args.scheduler,
-                  token_budget=args.token_budget or None)
+                  token_budget=args.token_budget or None,
+                  prefix_cache=args.prefix_cache)
 
 
 def main(argv=None) -> dict:
@@ -140,6 +144,8 @@ def main(argv=None) -> dict:
         total = args.max_batch * args.bench_tokens
         stats = {"requests": args.max_batch, "new_tokens": total,
                  "wall_s": round(dt, 2), "tok_s": round(total / dt, 1)}
+        if args.prefix_cache:
+            stats["prefix_hit_tokens"] = eng.prefix_hit_tokens
         logging.info("benchmark: %s", stats)
     return stats
 

@@ -79,6 +79,7 @@ class Engine:
         token_budget: Optional[int] = None,
         draft: Optional[PackedLlama] = None,
         spec_k: int = 4,
+        prefix_cache: bool = False,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -101,6 +102,17 @@ class Engine:
         compile matrix collapses to two programs (decode-only tick and
         mixed tick).  ``scheduler="phased"`` is the classic
         prefill-then-decode loop.
+
+        ``prefix_cache`` (paged cache + ragged scheduler): automatic
+        shared-prefix KV reuse — full prompt pages are content-addressed
+        by a sha256 chain from position 0 (so equal tokens at equal
+        positions ⇒ equal KV, rope included), admission reuses every
+        cached full page of the new prompt's prefix and streams only the
+        remainder through the chunked-prefill tick.  Shared pages are
+        refcounted; pages of finished requests stay cached until the pool
+        runs dry, then evict LRU.  At least one prompt token is always
+        recomputed (reuse is capped at ``(plen - 1) // page_size`` pages),
+        which also guarantees shared pages are never written again.
 
         ``draft``: engine-integrated speculative decoding (contiguous
         cache, phased scheduling).  Every decode tick proposes ``spec_k``
@@ -160,6 +172,15 @@ class Engine:
         elif scheduler != "phased":
             raise ValueError(scheduler)
         self.token_budget = token_budget or max(2 * max_batch, 64)
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            assert cache_kind == "paged" and scheduler == "ragged", \
+                "prefix caching runs on the paged cache + ragged scheduler"
+            self._hash_to_page: Dict[bytes, int] = {}
+            self._page_key: Dict[int, bytes] = {}  # inverse, for eviction
+            self._page_rc: Dict[int, int] = {}  # active slots per cached page
+            self._cached_free: Dict[int, None] = {}  # rc==0, LRU order
+            self.prefix_hit_tokens = 0
         self.draft = draft
         self.spec_k = spec_k
         self.spec_rounds = self.spec_proposed = self.spec_accepted = 0
@@ -252,6 +273,15 @@ class Engine:
         self.queue.append(req)
 
     def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        if self.prefix_cache:
+            # reclaim LRU cached-but-unreferenced pages once the plain
+            # free list runs dry
+            while len(self.free_pages) < n and self._cached_free:
+                page = next(iter(self._cached_free))
+                del self._cached_free[page]
+                del self._hash_to_page[self._page_key.pop(page)]
+                del self._page_rc[page]
+                self.free_pages.append(page)
         if len(self.free_pages) < n:
             return None
         pages, self.free_pages = self.free_pages[:n], self.free_pages[n:]
@@ -259,7 +289,15 @@ class Engine:
 
     def _free_slot(self, si: int) -> None:
         slot = self.slots[si]
-        if slot:
+        if slot and self.prefix_cache:
+            for p in slot.pages:
+                if p in self._page_rc:  # cached (shared or registered) page
+                    self._page_rc[p] -= 1
+                    if self._page_rc[p] == 0:
+                        self._cached_free[p] = None  # newest = LRU tail
+                else:
+                    self.free_pages.append(p)
+        elif slot:
             self.free_pages.extend(slot.pages)
         self.slots[si] = None
         self._dirty = True
@@ -364,23 +402,84 @@ class Engine:
             self._free_slot(si)
 
     # ----------------------------------------------------------------- ragged
+    def _prefix_chain(self, prompt: List[int], n_pages: int):
+        """sha256 chain key per full prompt page (position-anchored: the
+        chain starts at position 0, so a key pins both content and
+        absolute positions — rope-safe)."""
+        import hashlib
+
+        h, keys = b"", []
+        ps = self.page_size
+        for i in range(n_pages):
+            chunk = np.asarray(prompt[i * ps:(i + 1) * ps], np.int64)
+            h = hashlib.sha256(h + chunk.tobytes()).digest()
+            keys.append(h)
+        return keys
+
+    def _prefix_lookup(self, prompt: List[int]) -> List[int]:
+        """Longest cached page-chain for this prompt, capped so at least
+        one prompt token is left to recompute (the sampled first token
+        needs a forward pass, and the cap keeps shared pages write-free).
+        Bumps refcounts; caller must roll back via ``_prefix_release`` if
+        admission fails."""
+        reuse = []
+        for key in self._prefix_chain(prompt,
+                                      (len(prompt) - 1) // self.page_size):
+            page = self._hash_to_page.get(key)
+            if page is None:
+                break
+            reuse.append(page)
+            self._page_rc[page] += 1
+            self._cached_free.pop(page, None)  # active again: not evictable
+        return reuse
+
+    def _prefix_release(self, pages: List[int]) -> None:
+        for p in pages:
+            self._page_rc[p] -= 1
+            if self._page_rc[p] == 0:
+                self._cached_free[p] = None
+
+    def _prefix_register(self, si: int) -> None:
+        """Called when a slot finishes prefill: publish its full prompt
+        pages (pages wholly covered by prompt tokens — never written
+        again) into the content-addressed cache."""
+        slot = self.slots[si]
+        prompt = slot.request.prompt
+        for i, key in enumerate(self._prefix_chain(
+                prompt, len(prompt) // self.page_size)):
+            page = int(self.block_tables[si, i])
+            if self._hash_to_page.get(key) is not None:
+                continue  # this page was reused, or another copy is cached
+            self._hash_to_page[key] = page
+            self._page_key[page] = key
+            self._page_rc[page] = 1
+
     def _admit_ragged(self) -> None:
         """Bookkeeping-only admission: allocate a slot + pages; the prompt
-        streams in chunks through subsequent ragged ticks."""
+        streams in chunks through subsequent ragged ticks.  With
+        ``prefix_cache`` the longest cached prefix chain is linked into
+        the block table instead of allocated+recomputed."""
         for si in range(self.max_batch):
             if self.slots[si] is not None or not self.queue:
                 continue
             req = self.queue[0]
             plen = len(req.prompt)
             need = -(-(plen + req.max_new_tokens) // self.page_size)
-            pages = self._alloc_pages(need)
+            reuse = self._prefix_lookup(req.prompt) if self.prefix_cache \
+                else []
+            pages = self._alloc_pages(need - len(reuse))
             if pages is None:
+                if reuse:
+                    self._prefix_release(reuse)
                 break  # wait for memory
             self.block_tables[si] = 0
-            self.block_tables[si, :need] = pages
+            self.block_tables[si, :need] = reuse + pages
             self.queue.pop(0)
-            self.slots[si] = _Slot(request=req, length=0, pages=pages,
-                                   prefill_done=0)
+            done = len(reuse) * self.page_size
+            if self.prefix_cache:
+                self.prefix_hit_tokens += done
+            self.slots[si] = _Slot(request=req, length=done,
+                                   pages=reuse + pages, prefill_done=done)
 
     def _step_ragged(self) -> None:
         """One mixed prefill+decode tick (see ``decode.ragged_step``)."""
@@ -467,6 +566,10 @@ class Engine:
                 slot.prefill_done += n_new
                 slot.length = slot.prefill_done
                 if completes:  # prompt done: first generated token
+                    if self.prefix_cache:
+                        # register BEFORE _emit: a 1-token request frees
+                        # its slot inside _emit
+                        self._prefix_register(si)
                     self._emit(si, int(toks[i]))
 
     # ------------------------------------------------------------ speculative

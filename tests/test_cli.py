@@ -312,3 +312,23 @@ class TestSyntheticCheckpoints:
         toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
         logits = L.forward_logits(cfg, params, toks)
         assert bool(jnp.isfinite(logits).all())
+
+
+class TestServePrefixCache:
+    def test_serve_prefix_cache_flag(self, tiny_checkpoint):
+        """--prefix-cache on the ragged scheduler: the warmup request's
+        prompt equals request 0's, so its full prefix pages hit; stats
+        report the hit count."""
+        from gptq_v2_tpu.serve import main as serve_main
+
+        tc = tiny_checkpoint
+        stats = serve_main([
+            "--model-dir", tc["model_dir"], "--results", "",
+            "--cache-kind", "paged", "--scheduler", "ragged",
+            "--prefix-cache", "true", "--page-size", "8",
+            "--max-batch", "2", "--max-seq-len", "64",
+            "--bench-tokens", "4", "--prompt-tokens", "20",
+        ])
+        assert stats["new_tokens"] == 8 and stats["tok_s"] > 0
+        # request 0 re-serves the warmup prompt: floor(19/8)=2 pages
+        assert stats["prefix_hit_tokens"] == 16

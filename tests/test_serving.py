@@ -607,3 +607,88 @@ class TestTopKTopP:
         with pytest.raises(ValueError, match="temperature-only"):
             eng.add_request(Request(uid=0, prompt=[1, 2], max_new_tokens=2,
                                     top_k=5))
+
+
+class TestPrefixCache:
+    """Hash-chained shared-prefix KV reuse on the paged cache + ragged
+    scheduler (`Engine(prefix_cache=True)`)."""
+
+    def _mk(self, model, prefix_cache, n_pages=None):
+        return Engine(model, max_batch=1, page_size=8, max_seq_len=64,
+                      cache_kind="paged", scheduler="ragged",
+                      n_pages=n_pages, prefix_cache=prefix_cache)
+
+    def test_repeat_prompt_reuses_pages(self, packed_model):
+        """A prompt served twice on one engine: the second admission links
+        the cached full prefix pages (hit tokens > 0) and produces the
+        same greedy output as an uncached engine."""
+        model, _ = packed_model
+        rng = np.random.default_rng(50)
+        prompt = rng.integers(0, model.cfg.vocab_size, (21,)).tolist()
+        want = self._mk(model, False).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])[0]
+        eng = self._mk(model, True)
+        first = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])[0]
+        assert eng.prefix_hit_tokens == 0
+        second = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=5)])[1]
+        assert first == want and second == want
+        # 21 tokens / page 8 -> 2 full pages = 16 reused tokens
+        assert eng.prefix_hit_tokens == 16
+
+    def test_shared_prefix_different_tails(self, packed_model):
+        """Requests sharing a long prefix but diverging afterwards: each
+        output matches the uncached engine; later admissions hit the
+        shared pages only up to the divergence point."""
+        model, _ = packed_model
+        rng = np.random.default_rng(51)
+        prefix = rng.integers(0, model.cfg.vocab_size, (17,)).tolist()
+        tails = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                 for n in (6, 3, 9)]
+        reqs = lambda: [Request(uid=i, prompt=prefix + t, max_new_tokens=4)
+                        for i, t in enumerate(tails)]
+        want = self._mk(model, False).run(reqs())
+        eng = self._mk(model, True)
+        got = eng.run(reqs())
+        assert got == want
+        # 17-token prefix -> 2 full shared pages x 2 later requests
+        assert eng.prefix_hit_tokens == 32
+
+    def test_eviction_keeps_engine_correct(self, packed_model):
+        """A pool too small to cache everything forces LRU eviction of
+        finished prefixes; admission falls back to recompute and outputs
+        stay correct."""
+        model, _ = packed_model
+        rng = np.random.default_rng(52)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (19,)).tolist()
+                   for _ in range(4)]
+        # 1 trash + 9 pages; each request needs ceil((19+4)/8)=3 pages
+        eng = self._mk(model, True, n_pages=10)
+        ref = self._mk(model, False, n_pages=10)
+        for rep in range(2):
+            for i, p in enumerate(prompts):
+                want = ref.run([Request(uid=0, prompt=p,
+                                        max_new_tokens=4)])[0]
+                got = eng.run([Request(uid=0, prompt=p,
+                                       max_new_tokens=4)])[0]
+                assert got == want, (rep, i)
+        # page accounting stays consistent: every non-trash page is
+        # either free or cached-with-rc-0 once all requests finished
+        cached = set(eng._cached_free)
+        assert cached.isdisjoint(eng.free_pages)
+        assert len(cached) + len(eng.free_pages) == 9
+        assert all(eng._page_rc[p] == 0 for p in cached)
+
+    def test_page_boundary_prompt_leaves_one_token(self, packed_model):
+        """A prompt of exactly N full pages may only reuse N-1 pages (the
+        last token must be recomputed so its logits exist and shared
+        pages are never written)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(53)
+        prompt = rng.integers(0, model.cfg.vocab_size, (16,)).tolist()
+        want = self._mk(model, False).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=4)])[0]
+        eng = self._mk(model, True)
+        eng.run([Request(uid=0, prompt=prompt, max_new_tokens=4)])
+        got = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=4)])[1]
+        assert got == want
+        assert eng.prefix_hit_tokens == 8  # 1 of 2 full pages

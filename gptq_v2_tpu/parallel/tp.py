@@ -556,7 +556,7 @@ def build_tp_ragged_step(mesh):
 
     def local_step(model: TPPackedLlama, tokens, cache, positions, tok_pages,
                    tok_offs, block_tables, kv_lens, cu_q_lens, num_seqs,
-                   sample_rows, temperatures, key, top_ks, top_ps):
+                   sample_rows, temperatures, key, top_ks, top_ps, min_ps):
         cfg = model.cfg
         cos, sin = L.rope_cos_sin(cfg, positions)
         cos, sin = cos[:, None, :], sin[:, None, :]
@@ -595,21 +595,21 @@ def build_tp_ragged_step(mesh):
                             cfg.final_logit_softcap)
         key, sub = jax.random.split(key)
         toks = sample_per_row(logits, sub, temperatures,
-                              top_ks=top_ks, top_ps=top_ps)
+                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
         return toks, cache, key
 
     csp = P(None, None, None, MODEL_AXIS, None)
 
     def sharded(model, tokens, cache, positions, tok_pages, tok_offs,
                 block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
-                temperatures, key, top_ks=None, top_ps=None):
+                temperatures, key, top_ks=None, top_ps=None, min_ps=None):
         return jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(model.specs(), P(),
                       kvc.PagedKVCache(csp, cache.page_size,
                                        cache.k_scales, cache.v_scales),
                       P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
-                      P(), P()),
+                      P(), P(), P()),
             out_specs=(P(),
                        kvc.PagedKVCache(csp, cache.page_size,
                                         cache.k_scales, cache.v_scales),
@@ -617,7 +617,7 @@ def build_tp_ragged_step(mesh):
             check_vma=False,
         )(model, tokens, cache, positions, tok_pages, tok_offs, block_tables,
           kv_lens, cu_q_lens, num_seqs, sample_rows, temperatures, key,
-          top_ks, top_ps)
+          top_ks, top_ps, min_ps)
 
     return jax.jit(sharded, donate_argnums=(2,))
 

@@ -192,6 +192,7 @@ def decode_sample_step(
     s_bucket: Optional[int] = None,
     top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
     top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
+    min_ps: Optional[jax.Array] = None,  # (B,) per-row min-p (0 = off)
 ) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
     """Decode + per-row sampling + PRNG-key advance in ONE dispatch.
 
@@ -203,7 +204,7 @@ def decode_sample_step(
                                       positions, s_bucket)
     key, sub = jax.random.split(key)
     toks = sample_per_row(logits, sub, temperatures,
-                          top_ks=top_ks, top_ps=top_ps)
+                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
     return toks, cache, key
 
 
@@ -258,6 +259,7 @@ def ragged_step(
     key: jax.Array,
     top_ks: Optional[jax.Array] = None,  # (S,) per-sequence top-k (0 = off)
     top_ps: Optional[jax.Array] = None,  # (S,) per-sequence nucleus p
+    min_ps: Optional[jax.Array] = None,  # (S,) per-sequence min-p (0 = off)
 ) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
     """Mixed prefill+decode in ONE dispatch (vLLM-style chunked prefill).
 
@@ -306,7 +308,7 @@ def ragged_step(
     logits = head_logits(cfg, model.lm_head, last)
     key, sub = jax.random.split(key)
     toks = sample_per_row(logits, sub, temperatures,
-                          top_ks=top_ks, top_ps=top_ps)
+                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
     return toks, cache, key
 
 
@@ -314,15 +316,18 @@ def _warp_logits(
     lg: jax.Array,  # (B, V) f32, already temperature-scaled
     top_ks: Optional[jax.Array],  # (B,) int32; <=0 disables for that row
     top_ps: Optional[jax.Array],  # (B,) f32; >=1 disables for that row
+    min_ps: Optional[jax.Array] = None,  # (B,) f32; <=0 disables
 ) -> jax.Array:
-    """Per-row top-k then nucleus (top-p) filtering (the HF warper order:
-    temperature → top-k → top-p, with top-p measured on the top-k-restricted
-    distribution).  One shared descending sort serves both filters; rows
-    with the filter disabled pass through unchanged, so a single program
-    covers any per-request mix."""
+    """Per-row top-k, then nucleus (top-p), then min-p filtering (the HF
+    warper order: temperature → top-k → top-p → min-p, each measured on
+    the already-restricted distribution).  One shared descending sort
+    serves the first two; min-p needs none (``p_i / p_max >= min_p  ⇔
+    lg_i >= max(lg) + log(min_p)``).  Rows with a filter disabled pass
+    through unchanged, so a single program covers any per-request mix."""
     neg = jnp.finfo(jnp.float32).min
     v = lg.shape[-1]
-    srt = jnp.sort(lg, axis=-1)[:, ::-1]
+    if top_ks is not None or top_ps is not None:
+        srt = jnp.sort(lg, axis=-1)[:, ::-1]
     if top_ks is not None:
         k = jnp.clip(jnp.where(top_ks > 0, top_ks, v), 1, v)
         kth = jnp.take_along_axis(srt, (k - 1)[:, None], axis=-1)
@@ -338,6 +343,12 @@ def _warp_logits(
         last = jnp.sum(keep, axis=-1) - 1
         thr = jnp.take_along_axis(srt, last[:, None], axis=-1)
         lg = jnp.where(lg >= thr, lg, neg)
+    if min_ps is not None:
+        mx = jnp.max(lg, axis=-1, keepdims=True)  # the max always survives
+        thr = jnp.where(min_ps[:, None] > 0.0,
+                        mx + jnp.log(jnp.clip(min_ps[:, None], 1e-38, 1.0)),
+                        neg)
+        lg = jnp.where(lg >= thr, lg, neg)
     return lg
 
 
@@ -349,11 +360,12 @@ def sample_per_row(
     top_k: int = 0,
     top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
     top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
+    min_ps: Optional[jax.Array] = None,  # (B,) per-row min-p (0 = off)
 ) -> jax.Array:
     """Per-row temperature sampling: each batch row uses its own request's
     temperature (rows at <=0 take the argmax), optionally its own top-k /
-    top-p.  One compilation regardless of the parameter mix — the engine's
-    sampling path."""
+    top-p / min-p.  One compilation regardless of the parameter mix — the
+    engine's sampling path."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lg = logits.astype(jnp.float32)
     if top_k > 0:
@@ -361,8 +373,8 @@ def sample_per_row(
         lg = jnp.where(lg >= kth, lg, jnp.finfo(jnp.float32).min)
     t = jnp.maximum(temperatures, 1e-6)[:, None].astype(jnp.float32)
     lg = lg / t
-    if top_ks is not None or top_ps is not None:
-        lg = _warp_logits(lg, top_ks, top_ps)
+    if top_ks is not None or top_ps is not None or min_ps is not None:
+        lg = _warp_logits(lg, top_ks, top_ps, min_ps)
     sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
 

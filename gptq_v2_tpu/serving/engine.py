@@ -42,6 +42,8 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0  # 0 = disabled; sample from the k highest-logit tokens
     top_p: float = 1.0  # 1.0 = disabled; nucleus sampling mass
+    min_p: float = 0.0  # 0.0 = disabled; min probability vs the max token
+    stop_token_ids: Optional[List[int]] = None  # per-request extra EOS set
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
@@ -264,11 +266,11 @@ class Engine:
         pad = self.spec_k if self.draft is not None else 0
         assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
-        if req.top_k > 0 or req.top_p < 1.0:
+        if req.top_k > 0 or req.top_p < 1.0 or req.min_p > 0.0:
             if self.draft is not None:
                 raise ValueError(
                     "speculative serving supports temperature-only sampling;"
-                    f" request {req.uid} sets top_k/top_p")
+                    f" request {req.uid} sets top_k/top_p/min_p")
             self._sampling_full = True
         self.queue.append(req)
 
@@ -363,12 +365,12 @@ class Engine:
                 for si, req, _ in group:
                     self.prev_tokens[si] = req.prompt[-1]
             temps = np.zeros((nb,), np.float32)
-            tks, tps = self._warp_arrays(nb)
+            tks, tps, mps = self._warp_arrays(nb)
             for i, (_, req, _) in enumerate(group):
                 temps[i] = req.temperature
                 if tks is not None:
-                    tks[i], tps[i] = req.top_k, req.top_p
-            toks = self._sample(logits, temps, tks, tps)
+                    tks[i], tps[i], mps[i] = req.top_k, req.top_p, req.min_p
+            toks = self._sample(logits, temps, tks, tps, mps)
             for i, (si, req, _) in enumerate(group):
                 self._emit(si, int(toks[i]))
         if admitted:
@@ -376,28 +378,32 @@ class Engine:
 
     # ----------------------------------------------------------------- decode
     def _warp_arrays(self, n: int):
-        """(top_ks, top_ps) host buffers sized ``n``, or (None, None) while
-        no request has asked for top-k/top-p (keeps the cheap sampling
-        program compiled for the common case)."""
+        """(top_ks, top_ps, min_ps) host buffers sized ``n``, or three
+        Nones while no request has asked for top-k/top-p/min-p (keeps the
+        cheap sampling program compiled for the common case)."""
         if not self._sampling_full:
-            return None, None
-        return np.zeros((n,), np.int32), np.ones((n,), np.float32)
+            return None, None, None
+        return (np.zeros((n,), np.int32), np.ones((n,), np.float32),
+                np.zeros((n,), np.float32))
 
     def _sample(self, logits, temperatures: np.ndarray, top_ks=None,
-                top_ps=None):
+                top_ps=None, min_ps=None):
         self.key, sub = jax.random.split(self.key)
         return np.asarray(D.sample_per_row(
             logits, sub, jnp.asarray(temperatures, jnp.float32),
             top_ks=None if top_ks is None else jnp.asarray(top_ks),
-            top_ps=None if top_ps is None else jnp.asarray(top_ps)))
+            top_ps=None if top_ps is None else jnp.asarray(top_ps),
+            min_ps=None if min_ps is None else jnp.asarray(min_ps)))
 
     def _emit(self, si: int, token: int) -> None:
         slot = self.slots[si]
         req = slot.request
         req.output.append(token)
         self.last_tokens[si] = token
-        if (self.eos_token_id is not None and token == self.eos_token_id) or (
-                len(req.output) >= req.max_new_tokens):
+        stop = (self.eos_token_id is not None and token == self.eos_token_id
+                ) or (req.stop_token_ids is not None
+                      and token in req.stop_token_ids)
+        if stop or len(req.output) >= req.max_new_tokens:
             req.done = True
             self._free_slot(si)
 
@@ -504,7 +510,7 @@ class Engine:
         cu = np.zeros((S + 1,), np.int32)
         sample_rows = np.zeros((S,), np.int32)
         temps = np.zeros((S,), np.float32)
-        tks, tps = self._warp_arrays(S)
+        tks, tps, mps = self._warp_arrays(S)
         bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
 
         row = 0
@@ -538,7 +544,7 @@ class Engine:
             sample_rows[i] = row + n_new - 1
             temps[i] = req.temperature
             if tks is not None:
-                tks[i], tps[i] = req.top_k, req.top_p
+                tks[i], tps[i], mps[i] = req.top_k, req.top_p, req.min_p
             bt_rows[i] = self.block_tables[si]
             order.append((si, n_new, completes))
             row += n_new
@@ -553,6 +559,7 @@ class Engine:
             jnp.asarray(sample_rows), jnp.asarray(temps), self.key,
             None if tks is None else jnp.asarray(tks),
             None if tps is None else jnp.asarray(tps),
+            None if mps is None else jnp.asarray(mps),
         )
         toks = np.asarray(toks_dev)  # the one host sync per tick
         self.steps += 1
@@ -671,7 +678,7 @@ class Engine:
             positions = np.zeros((self.max_batch,), np.int32)
             temps = np.zeros((self.max_batch,), np.float32)
             mask = np.zeros((self.max_batch,), np.int32)
-            tks, tps = self._warp_arrays(self.max_batch)
+            tks, tps, mps = self._warp_arrays(self.max_batch)
             for si in active:
                 positions[si] = self.slots[si].length
                 temps[si] = self.slots[si].request.temperature
@@ -679,6 +686,7 @@ class Engine:
                 if tks is not None:
                     tks[si] = self.slots[si].request.top_k
                     tps[si] = self.slots[si].request.top_p
+                    mps[si] = self.slots[si].request.min_p
             self._dev = {
                 "tokens": jnp.asarray(self.last_tokens),
                 "positions": jnp.asarray(positions),
@@ -686,6 +694,7 @@ class Engine:
                 "mask": jnp.asarray(mask),
                 "top_ks": None if tks is None else jnp.asarray(tks),
                 "top_ps": None if tps is None else jnp.asarray(tps),
+                "min_ps": None if mps is None else jnp.asarray(mps),
             }
             self._dirty = False
         d = self._dev
@@ -699,7 +708,7 @@ class Engine:
             toks_dev, self.cache, self.key = D.decode_sample_step(
                 self.model, d["tokens"], self.cache, self._bt(),
                 d["positions"], d["temps"], self.key, s_bucket=s_bucket,
-                top_ks=d["top_ks"], top_ps=d["top_ps"],
+                top_ks=d["top_ks"], top_ps=d["top_ps"], min_ps=d["min_ps"],
             )
         else:
             logits, self.cache = self._decode(
@@ -709,7 +718,8 @@ class Engine:
             self.key, sub = jax.random.split(self.key)
             toks_dev = D.sample_per_row(logits, sub, d["temps"],
                                         top_ks=d["top_ks"],
-                                        top_ps=d["top_ps"])
+                                        top_ps=d["top_ps"],
+                                        min_ps=d["min_ps"])
         self._dev = {**d, "tokens": toks_dev,
                      "positions": d["positions"] + d["mask"]}
         toks = np.asarray(toks_dev)  # the one host sync per step

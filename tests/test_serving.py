@@ -692,3 +692,76 @@ class TestPrefixCache:
         got = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=4)])[1]
         assert got == want
         assert eng.prefix_hit_tokens == 8  # 1 of 2 full pages
+
+
+class TestMinPAndStopTokens:
+    def test_min_p_support(self):
+        """min_p keeps tokens whose probability is >= min_p x p(max):
+        with logits [5, 4.9, -5...] at temp 1, p1/p0 = e^-0.1 ≈ 0.90 — so
+        min_p=0.5 keeps {0,1}, min_p=0.95 keeps only {0}; a disabled row
+        roams the full support."""
+        from gptq_v2_tpu.serving.decode import sample_per_row
+
+        logits = jnp.asarray([[5.0, 4.9] + [-5.0] * 14] * 3, jnp.float32)
+        # row 2 is hot (temp 5) so its unrestricted draws reach the tail
+        temps = jnp.asarray([1.0, 1.0, 5.0], jnp.float32)
+        mps = jnp.asarray([0.5, 0.95, 0.0], jnp.float32)
+        draws = np.stack([
+            np.asarray(sample_per_row(logits, jax.random.key(s), temps,
+                                      min_ps=mps)) for s in range(64)])
+        assert set(draws[:, 0]) == {0, 1}
+        assert set(draws[:, 1]) == {0}
+        assert len(set(draws[:, 2])) > 2
+
+    def test_min_p_disabled_rows_bit_exact(self):
+        from gptq_v2_tpu.serving.decode import sample_per_row
+
+        rng = np.random.default_rng(60)
+        logits = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+        temps = jnp.asarray([0.8, 1.2], jnp.float32)
+        for s in range(6):
+            key = jax.random.key(s)
+            np.testing.assert_array_equal(
+                np.asarray(sample_per_row(logits, key, temps)),
+                np.asarray(sample_per_row(
+                    logits, key, temps, min_ps=jnp.zeros((2,), jnp.float32))))
+
+    def test_stop_token_ids(self, packed_model):
+        """A token in Request.stop_token_ids ends the request exactly like
+        the engine-wide eos_token_id does (token included, slot freed),
+        without affecting other requests in the batch."""
+        model, _ = packed_model
+        rng = np.random.default_rng(61)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        other = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
+        base = Engine(model, max_batch=2, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])[0]
+        stop = base[len(base) // 2]  # a token greedy decode really emits
+        want = Engine(model, max_batch=2, max_seq_len=64,
+                      eos_token_id=stop).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])[0]
+        out = Engine(model, max_batch=2, max_seq_len=64).run([
+            Request(uid=0, prompt=prompt, max_new_tokens=8,
+                    stop_token_ids=[stop, model.cfg.vocab_size - 1]),
+            Request(uid=1, prompt=other, max_new_tokens=8),
+        ])
+        assert out[0] == want
+        assert len(out[1]) == 8  # the stop set is per-request
+
+    def test_stop_token_ids_speculative(self, packed_model):
+        """Per-request stops compose with the speculative engine (a stop
+        accepted mid-chunk truncates there)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(62)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        base = Engine(model, max_batch=1, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])[0]
+        stop = base[len(base) // 2]
+        want = Engine(model, max_batch=1, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8,
+                     stop_token_ids=[stop])])[0]
+        got = Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                     spec_k=3).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8,
+                     stop_token_ids=[stop])])[0]
+        assert got == want == base[:base.index(stop) + 1]

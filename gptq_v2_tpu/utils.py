@@ -27,8 +27,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """
     import jax
 
-    cache_dir = (cache_dir
-                 or os.environ.get("GPTQ_V2_TPU_XLA_CACHE")
+    env = os.environ.get("GPTQ_V2_TPU_XLA_CACHE")
+    if env in ("0", "off"):
+        # explicit opt-out (tests/conftest.py: XLA-CPU executable
+        # (de)serialization segfaults in long processes on some hosts)
+        return
+    if cache_dir is None and jax.config.jax_compilation_cache_dir:
+        # already configured by the embedder; don't override its policy
+        return
+    cache_dir = (cache_dir or env
                  or os.path.join(tempfile.gettempdir(), "gptq_v2_tpu_xla_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

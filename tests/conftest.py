@@ -24,11 +24,40 @@ import jax
 # f32 matmuls on the TPU backend demote to bf16 at default precision.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: repeat test runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: OFF by default.  XLA-CPU executable
+# (de)serialization segfaults nondeterministically in LONG test processes
+# on this host (observed 4x: put_executable_and_time / get_executable_and
+# _time, always >10 min into a full-suite run, never in short per-module
+# processes — the same entries read/write fine there).  Opt back in for
+# fast per-module dev iteration with GPTQ_TEST_XLA_CACHE=1; never enable
+# it for the full suite.
+if os.environ.get("GPTQ_TEST_XLA_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    # also stop the CLI entry points under test from re-enabling it
+    os.environ["GPTQ_V2_TPU_XLA_CACHE"] = "0"
 
 REFERENCE_DIR = Path("/root/reference")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_memory():
+    """Drop compiled executables at each module boundary.
+
+    XLA-CPU keeps LLVM-JIT code mappings alive per compiled executable; a
+    full-suite process accumulates enough to cross ``vm.max_map_count``
+    (~65k) and segfaults — always near the same late test, in whichever
+    allocation-heavy path runs there (observed in compile, cache
+    serialize, AND cache deserialize; per-module processes never crash).
+    Clearing per module keeps the map count bounded; cross-module
+    recompiles are cheap at test shapes."""
+    yield
+    with open("/proc/self/maps") as f:
+        n_maps = sum(1 for _ in f)
+    with open("/tmp/jax_test_mapcount.log", "a") as f:
+        f.write(f"{n_maps}\n")
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -48,7 +48,7 @@ def evaluate_ppl(
 ) -> float:
     n_seq, seqlen = encodings.shape
     positions = jnp.arange(seqlen)
-    cos_sin = L.rope_cos_sin(cfg, positions)
+    ropes = L.rope_tables(cfg, positions)
 
     embed_w = _to_device(params["embed_tokens"])
     embed_fn = jax.jit(lambda w, t: L.embed_lookup(cfg, w, t))
@@ -59,6 +59,7 @@ def evaluate_ppl(
 
     for li in range(cfg.num_hidden_layers):
         block_fwd = _block_fwd_for(cfg, window=cfg.layer_window(li))
+        cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
         lp = _device_layer(params["layers"][li])
         outs = [block_fwd(lp, x[b:b + batch_size], cos_sin)
                 for b in range(0, n_seq, batch_size)]

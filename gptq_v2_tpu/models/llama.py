@@ -69,7 +69,7 @@ class LlamaConfig:
     rope_scaling: Optional[Tuple[Tuple[str, float], ...]] = None
     qkv_bias: bool = False  # Qwen2; HF llama `attention_bias` sets both
     o_bias: bool = False
-    qk_norm: bool = False  # Qwen3: head-dim RMSNorm on Q/K before rope
+    qk_norm: bool = False  # Qwen3/Gemma-3: head-dim RMSNorm on Q/K before rope
     # Phi-3: checkpoints store fused qkv_proj / gate_up_proj tensors; the
     # loader splits them into the standard per-projection names (row-exact:
     # GPTQ solves rows independently, so split == fused quantization)
@@ -86,6 +86,9 @@ class LlamaConfig:
     # per-layer attention kind ("sliding_attention" | "full_attention");
     # None = ``sliding_window`` (if set) applies to every layer (Mistral)
     layer_types: Optional[Tuple[str, ...]] = None
+    # Gemma-3: sliding layers rotate with this base frequency (unscaled)
+    # while full-attention layers use ``rope_theta`` (+ ``rope_scaling``)
+    rope_local_base_freq: Optional[float] = None
     # --- Mixture-of-Experts (Mixtral / Qwen3-MoE) ---------------------------
     moe_num_experts: int = 0  # 0 = dense MLP
     moe_top_k: int = 2
@@ -124,11 +127,28 @@ class LlamaConfig:
         lt = self.layer_types[layer_idx]
         return self.sliding_window if lt == "sliding_attention" else None
 
+    @property
+    def num_ropes(self) -> int:
+        """1, or 2 when sliding layers use their own rope (Gemma-3)."""
+        return 2 if self.rope_local_base_freq is not None else 1
+
+    def layer_rope(self, layer_idx: int) -> int:
+        """Index into :func:`rope_tables` for one layer: 0 = global
+        (``rope_theta`` + scaling), 1 = local (Gemma-3 sliding layers)."""
+        if self.rope_local_base_freq is None:
+            return 0
+        return 1 if self.layer_window(layer_idx) is not None else 0
+
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
+        if model_type == "gemma3" and "text_config" in d:
+            # multimodal wrapper config: serve the text tower
+            inner = dict(d["text_config"])
+            inner.setdefault("torch_dtype", d.get("torch_dtype", "float16"))
+            return cls.from_hf_dict(inner)
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
-                              "phi3", "mixtral", "qwen3_moe"):
+                              "gemma3_text", "phi3", "mixtral", "qwen3_moe"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -164,11 +184,20 @@ class LlamaConfig:
                 "use_sliding_window", False):
             sliding = None  # HF Qwen2/3 gate the window behind this flag
         gemma2 = model_type == "gemma2"
+        gemma3 = model_type == "gemma3_text"
+        gemma = gemma2 or gemma3
         layer_types = d.get("layer_types")
         if layer_types is None and gemma2:
             # HF Gemma2Config default: even layers sliding, odd global
             layer_types = tuple(
                 "sliding_attention" if (i + 1) % 2 else "full_attention"
+                for i in range(d["num_hidden_layers"]))
+        if layer_types is None and gemma3:
+            # HF Gemma3TextConfig default: every 6th layer global
+            pat = d.get("sliding_window_pattern",
+                        d.get("_sliding_window_pattern", 6))
+            layer_types = tuple(
+                "sliding_attention" if (i + 1) % pat else "full_attention"
                 for i in range(d["num_hidden_layers"]))
         return cls(
             vocab_size=d["vocab_size"],
@@ -181,28 +210,30 @@ class LlamaConfig:
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             rope_theta=d.get("rope_theta", 10000.0),
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
-            # HF Gemma2Config *defaults* tie_word_embeddings=True, so its
-            # absence from a gemma2 config.json means tied
-            tie_word_embeddings=d.get("tie_word_embeddings", gemma2),
+            # HF Gemma2/3 configs *default* tie_word_embeddings=True, so
+            # their absence from a config.json means tied
+            tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             dtype=dtype,
             rope_scaling=rope_scaling,
             qkv_bias=qkv_bias,
             o_bias=attention_bias,
-            qk_norm=model_type in ("qwen3", "qwen3_moe"),
+            qk_norm=gemma3 or model_type in ("qwen3", "qwen3_moe"),
             fused_qkv_gate_up=model_type == "phi3",
             sliding_window=sliding,
-            hidden_act=d.get("hidden_activation" if gemma2 else "hidden_act",
-                             "gelu_pytorch_tanh" if gemma2 else "silu"),
-            norm_unit_offset=gemma2,
-            sandwich_norms=gemma2,
-            embed_normalizer=gemma2,
+            hidden_act=d.get("hidden_activation" if gemma else "hidden_act",
+                             "gelu_pytorch_tanh" if gemma else "silu"),
+            norm_unit_offset=gemma,
+            sandwich_norms=gemma,
+            embed_normalizer=gemma,
             attn_logit_softcap=d.get("attn_logit_softcapping")
-            if gemma2 else None,
+            if gemma else None,
             final_logit_softcap=d.get("final_logit_softcapping")
-            if gemma2 else None,
+            if gemma else None,
             query_pre_attn_scalar=d.get("query_pre_attn_scalar")
-            if gemma2 else None,
+            if gemma else None,
             layer_types=None if layer_types is None else tuple(layer_types),
+            rope_local_base_freq=d.get("rope_local_base_freq")
+            if gemma3 else None,
             moe_num_experts=moe_experts,
             moe_top_k=moe_top_k,
             moe_intermediate_size=moe_inter,
@@ -357,31 +388,53 @@ def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray) -> np.ndarray:
     return np.where(is_mid, mid, scaled)
 
 
-def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def rope_cos_sin(
+    cfg: LlamaConfig,
+    positions: jax.Array,
+    theta: Optional[float] = None,
+    scaled: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
     """Rotary tables ``(N, head_dim)`` in fp32 (HF half-duplicated layout),
     with HF ``rope_scaling`` (linear / llama3) applied when configured.
 
-    Computed in float64 on host when positions are concrete (large angles ×
-    fp32 pow drift otherwise cost ~1e-5 vs HF); falls back to on-device fp32
-    under tracing.
+    ``theta``/``scaled`` override the base frequency and disable scaling
+    (Gemma-3's local rope).  Computed in float64 on host when positions
+    are concrete (large angles × fp32 pow drift otherwise cost ~1e-5 vs
+    HF); falls back to on-device fp32 under tracing.
     """
     hd = cfg.head_dim_
+    base = cfg.rope_theta if theta is None else theta
+    inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    if scaled:
+        inv_freq = _scaled_inv_freq(cfg, inv_freq)
     try:
         pos = np.asarray(positions, dtype=np.float64)
     except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
         pos = None
     if pos is not None:
-        inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
-        inv_freq = _scaled_inv_freq(cfg, inv_freq)
         freqs = pos[:, None] * inv_freq[None, :]
         emb = np.concatenate([freqs, freqs], axis=-1)
         return (jnp.asarray(np.cos(emb), dtype=jnp.float32),
                 jnp.asarray(np.sin(emb), dtype=jnp.float32))
-    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
-    inv_freq_j = jnp.asarray(_scaled_inv_freq(cfg, inv_freq), dtype=jnp.float32)
+    inv_freq_j = jnp.asarray(inv_freq, dtype=jnp.float32)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq_j[None, :]  # (N, hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # (N, hd)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def rope_tables(
+    cfg: LlamaConfig, positions: jax.Array,
+) -> Tuple[Tuple[jax.Array, jax.Array], ...]:
+    """All rotary tables a forward pass needs: ``tables[cfg.layer_rope(li)]``
+    is layer ``li``'s ``(cos, sin)``.  One entry for single-rope families;
+    Gemma-3 adds a second, unscaled local-theta entry for sliding layers
+    (HF ``Gemma3RotaryEmbedding`` local/global split)."""
+    tables = (rope_cos_sin(cfg, positions),)
+    if cfg.rope_local_base_freq is not None:
+        tables += (rope_cos_sin(cfg, positions,
+                                theta=cfg.rope_local_base_freq,
+                                scaled=False),)
+    return tables
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
@@ -658,9 +711,10 @@ def forward_hidden(
     """Embedding + all decoder blocks + final norm. tokens: (B, N)."""
     if positions is None:
         positions = jnp.arange(tokens.shape[1])
-    cos, sin = rope_cos_sin(cfg, positions)
+    ropes = rope_tables(cfg, positions)
     x = embed(cfg, params, tokens)
     for li, lp in enumerate(params["layers"]):
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = block_apply(cfg, lp, x, cos, sin, window=cfg.layer_window(li))
     return rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.norm_unit_offset)
 

@@ -162,6 +162,15 @@ def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
     return wins.pop()
 
 
+def _stage_rope(cfg: L.LlamaConfig, l_loc: int, j: int) -> int:
+    """Rope-table index of local layer ``j`` (Gemma-3 local/global rope).
+    Follows from the stage-periodic window pattern ``_stage_window``
+    asserts, so it is identical on every stage."""
+    if cfg.rope_local_base_freq is None:
+        return 0
+    return 1 if _stage_window(cfg, l_loc, j) is not None else 0
+
+
 def _tp_split_layer(cfg, lp: Dict[str, Any], tp: int) -> list:
     """Megatron split of one layer into ``tp`` shard dicts (mirrors
     ``tp.shard_packed_llama``'s per-name rules, unstacked).  MoE experts are
@@ -332,7 +341,7 @@ def _store_kv(arr, j, rows_b, pos_b, val, scale_j):
     return arr.at[j, rows_b, pos_b].set(val.astype(arr.dtype))
 
 
-def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
+def _apply_local_layers(cfg, model: PPPackedLlama, x, ropes, cache_kv,
                         rows, wpos, key_masks, s_len, ks_loc=None,
                         vs_loc=None):
     """Run this stage's layers on one microbatch, updating the local cache.
@@ -347,6 +356,7 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, cos, sin, cache_kv,
     l_loc = model.layers_per_stage
     n = x.shape[1]
     for j in range(l_loc):
+        cos, sin = ropes[_stage_rope(cfg, l_loc, j)]
         lp = _local_layer(model.layers[j], model.tp)
 
         def attn_fn(q, k, v, j=j):
@@ -423,8 +433,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
             # bubble ticks write to the trash position (re-written before
             # ever attended); real ticks write at the token's position
             wpos = jnp.where(active, pos, s_len - 1)
-            cos, sin = L.rope_cos_sin(cfg, pos)  # (mb, hd) traced path
-            cos, sin = cos[:, None, :], sin[:, None, :]
+            ropes = [(c[:, None, :], s_[:, None, :])  # (mb, 1, hd) traced
+                     for c, s_ in L.rope_tables(cfg, pos)]
             x_first = L.embed_lookup(cfg, model.embed_tokens, tok)[:, None, :]
             x = jnp.where(is_first, x_first, x_recv)
             base = jnp.arange(s_len)[None, :] <= pos[:, None]
@@ -435,7 +445,7 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
                     m = m & (jnp.arange(s_len)[None, :] > pos[:, None] - w)
                 key_masks.append(m)
             x, (ck, cv) = _apply_local_layers(
-                cfg, model, x, cos, sin, (ck, cv), rows, wpos, key_masks,
+                cfg, model, x, ropes, (ck, cv), rows, wpos, key_masks,
                 s_len, ks_loc, vs_loc)
             # the last stage finishes microbatch mbi: stash its hidden
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
@@ -498,7 +508,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
         is_last = s_idx == pp - 1
         perm = [(i, (i + 1) % pp) for i in range(pp)]
         positions = jnp.arange(lpad)
-        cos, sin = L.rope_cos_sin(cfg, positions)
+        ropes = L.rope_tables(cfg, positions)
 
         x_recv = jnp.zeros((mb, lpad, d), model.embed_tokens.dtype)
         out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
@@ -533,6 +543,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
                                        logit_cap=cfg.attn_logit_softcap)
                     return attn, None
 
+                cos, sin = ropes[_stage_rope(cfg, l_loc, j)]
                 x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, tp),
                                     attn_fn, moe_fn=_pp_moe_fn(cfg, tp, lp))
 

@@ -408,11 +408,12 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
         cfg = model.cfg
         b, lpad = tokens.shape
         positions = jnp.arange(lpad)
-        cos, sin = L.rope_cos_sin(cfg, positions)
+        ropes = L.rope_tables(cfg, positions)
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)
         pos_b = jnp.broadcast_to(positions[None], (b, lpad))
         pad_mask = pos_b >= lengths[:, None]
         for li, lp in enumerate(model.layers):
+            cos, sin = ropes[cfg.layer_rope(li)]
             x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin,
                                   window=cfg.layer_window(li))
             if contiguous:
@@ -456,8 +457,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                    s_bucket=None):
         cfg = model.cfg
         b = tokens.shape[0]
-        cos, sin = L.rope_cos_sin(cfg, positions)
-        cos, sin = cos[:, None, :], sin[:, None, :]
+        ropes = [(c[:, None, :], s_[:, None, :])
+                 for c, s_ in L.rope_tables(cfg, positions)]
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
         if contiguous:
             s = cache.max_len
@@ -524,6 +525,7 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                     )[:, None]
                 return attn, None
 
+            cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
@@ -554,12 +556,12 @@ def build_tp_ragged_step(mesh):
     device writes and streams only its own heads."""
     from gptq_v2_tpu.serving.decode import sample_per_row
 
-    def local_step(model: TPPackedLlama, tokens, cache, positions, tok_pages,
+    def local_step(model, tokens, cache, positions, tok_pages,
                    tok_offs, block_tables, kv_lens, cu_q_lens, num_seqs,
                    sample_rows, temperatures, key, top_ks, top_ps, min_ps):
         cfg = model.cfg
-        cos, sin = L.rope_cos_sin(cfg, positions)
-        cos, sin = cos[:, None, :], sin[:, None, :]
+        ropes = [(c[:, None, :], s_[:, None, :])
+                 for c, s_ in L.rope_tables(cfg, positions)]
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
 
         for li, lp in enumerate(model.layers):
@@ -585,6 +587,7 @@ def build_tp_ragged_step(mesh):
                 )[:, None]
                 return attn, None
 
+            cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
 
@@ -638,9 +641,8 @@ def build_tp_verify_chunk(mesh, cache_template):
         cfg = model.cfg
         b, qn = tokens.shape
         pos_b = positions[:, None] + jnp.arange(qn)[None]
-        cos, sin = L.rope_cos_sin(cfg, pos_b.reshape(-1))
-        cos = cos.reshape(b, qn, -1)
-        sin = sin.reshape(b, qn, -1)
+        ropes = [(c.reshape(b, qn, -1), s_.reshape(b, qn, -1))
+                 for c, s_ in L.rope_tables(cfg, pos_b.reshape(-1))]
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)
         s = cache.max_len
 
@@ -664,6 +666,7 @@ def build_tp_verify_chunk(mesh, cache_template):
                     attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
                 return attn, None
 
+            cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
@@ -688,9 +691,10 @@ def build_tp_forward_logits(mesh):
 
     def local_fwd(model: TPPackedLlama, tokens):
         cfg = model.cfg
-        cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+        ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)
         for li, lp in enumerate(model.layers):
+            cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin,
                              window=cfg.layer_window(li))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)

@@ -633,7 +633,8 @@ def quantize_model(
         place_layer = lambda lp: lp
 
     positions = jnp.arange(seqlen)
-    cos_sin = L.rope_cos_sin(cfg, positions)
+    ropes = L.rope_tables(cfg, positions)
+    cos_sin = ropes[0]  # shape-struct uses below; per-block table in the loop
 
     # Initial inputs: embedding of all calibration sequences (the functional
     # replacement for the reference's Catcher exception hack, llama.py:20-61).
@@ -755,6 +756,7 @@ def quantize_model(
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
         win = cfg.layer_window(li)  # per-layer attention window (Gemma-2)
+        cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
         lp = place_layer(_device_layer(params["layers"][li]))
         pending: list = []  # canonical names with device-resident quant_meta
 

@@ -37,12 +37,13 @@ def prefill(
     cfg = model.cfg
     b, lpad = tokens.shape
     positions = jnp.arange(lpad)
-    cos, sin = L.rope_cos_sin(cfg, positions)
+    ropes = L.rope_tables(cfg, positions)
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     pos_b = jnp.broadcast_to(positions[None], (b, lpad))
     pad_mask = pos_b >= lengths[:, None]
     contiguous = isinstance(cache, kvc.ContiguousKVCache)
     for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin,
                                        window=cfg.layer_window(li))
         n_kv, hd = k.shape[2], k.shape[3]
@@ -91,8 +92,8 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
                       s_bucket=None):
     cfg = model.cfg
     b = tokens.shape[0]
-    cos, sin = L.rope_cos_sin(cfg, positions)  # traced → on-device path, (B, hd)
-    cos, sin = cos[:, None, :], sin[:, None, :]  # (B, 1, hd)
+    ropes = [(c[:, None, :], s_[:, None, :])  # (B, 1, hd)
+             for c, s_ in L.rope_tables(cfg, positions)]  # on-device path
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (B,1,D)
 
     if isinstance(cache, kvc.ContiguousKVCache):
@@ -115,6 +116,7 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
         # write this token's K/V first, then attend over the full cache
         # (the new token's slot is included and valid by the mask).
         win = cfg.layer_window(li)
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
                                  positions, masks[win], s, win)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
@@ -276,8 +278,8 @@ def ragged_step(
     cfg = model.cfg
     from gptq_v2_tpu.serving.model import _lin, head_logits
 
-    cos, sin = L.rope_cos_sin(cfg, positions)  # (T, hd) on-device path
-    cos, sin = cos[:, None, :], sin[:, None, :]
+    ropes = [(c[:, None, :], s_[:, None, :])  # (T, 1, hd) on-device path
+             for c, s_ in L.rope_tables(cfg, positions)]
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (T,1,D)
 
     for li, lp in enumerate(model.layers):
@@ -299,6 +301,7 @@ def ragged_step(
             )[:, None]
             return attn, None
 
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = L.block_core(cfg, lp, x, cos, sin,
                             lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
 
@@ -377,8 +380,6 @@ def sample_per_row(
         lg = _warp_logits(lg, top_ks, top_ps, min_ps)
     sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
-
-
 @functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
 def sample(
     logits: jax.Array,  # (B, V)

@@ -136,9 +136,10 @@ def packed_block_apply(
 def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
     """Full-sequence forward (eval / tests). tokens: (B, N)."""
     cfg = model.cfg
-    cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+    ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = packed_block_apply(cfg, lp, x, cos, sin,
                                   window=cfg.layer_window(li))
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
@@ -232,10 +233,11 @@ def calibrate_kv_scales(
         tokens = jax.random.randint(
             jax.random.key(0),
             (2, min(128, cfg.max_position_embeddings)), 0, cfg.vocab_size)
-    cos, sin = L.rope_cos_sin(cfg, jnp.arange(tokens.shape[1]))
+    ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     k_scales, v_scales = [], []
     for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin,
                                    cfg.layer_window(li))
         k_scales.append(max(float(ka) * margin / 127.0, 1e-6))

@@ -68,9 +68,8 @@ def verify_chunk(
     cfg = model.cfg
     b, qn = tokens.shape
     pos_b = positions[:, None] + jnp.arange(qn)[None]  # (B, Q)
-    cos, sin = L.rope_cos_sin(cfg, pos_b.reshape(-1))
-    cos = cos.reshape(b, qn, -1)
-    sin = sin.reshape(b, qn, -1)
+    ropes = [(c.reshape(b, qn, -1), s_.reshape(b, qn, -1))
+             for c, s_ in L.rope_tables(cfg, pos_b.reshape(-1))]
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)
     s = cache.max_len
 
@@ -94,6 +93,7 @@ def verify_chunk(
                 attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
             return attn, None
 
+        cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = L.block_core(cfg, lp, x, cos, sin,
                             lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)

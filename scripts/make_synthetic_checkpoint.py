@@ -5,7 +5,7 @@ config.json + ``model-*-of-*.safetensors`` shards +
 ``model.safetensors.index.json``) without network access — this
 environment has zero egress, so no real checkpoints can be downloaded
 (docs/STATUS.md "ppl parity").  Supports every model family the framework
-serves (llama / mistral / qwen2 / qwen3 / gemma2 / phi3 / mixtral /
+serves (llama / mistral / qwen2 / qwen3 / gemma2 / gemma3_text / phi3 / mixtral /
 qwen3_moe — phi3 writes the fused qkv_proj / gate_up_proj tensors its
 real checkpoints use; the MoE families write their real router + expert
 names: ``block_sparse_moe.gate`` + ``experts.N.w1|w3|w2`` for Mixtral,
@@ -40,7 +40,7 @@ def build_config(a) -> dict:
         "rms_norm_eps": 1e-5,
         "rope_theta": 10000.0,
         "torch_dtype": a.dtype,
-        "tie_word_embeddings": a.model_type == "gemma2",
+        "tie_word_embeddings": a.model_type in ("gemma2", "gemma3_text"),
     }
     if a.head_dim:
         cfg["head_dim"] = a.head_dim
@@ -63,6 +63,16 @@ def build_config(a) -> dict:
             "attn_logit_softcapping": 50.0,
             "final_logit_softcapping": 30.0,
             "sliding_window": a.sliding_window or 4096,
+        })
+    if a.model_type == "gemma3_text":
+        cfg.update({
+            "rms_norm_eps": 1e-6,
+            "hidden_activation": "gelu_pytorch_tanh",
+            "query_pre_attn_scalar": a.head_dim or a.hidden // a.heads,
+            "sliding_window": a.sliding_window or 1024,
+            "rope_theta": 1000000.0,
+            "rope_local_base_freq": 10000.0,
+            "sliding_window_pattern": 6,
         })
     return cfg
 
@@ -119,7 +129,7 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--model-type", default="llama",
                     choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
-                             "phi3", "mixtral", "qwen3_moe"])
+                             "gemma3_text", "phi3", "mixtral", "qwen3_moe"])
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--top-k", type=int, default=2)
     ap.add_argument("--moe-intermediate", type=int, default=0,
@@ -163,7 +173,8 @@ def main():
         for key, shape in chunk:
             if len(shape) == 1:  # norms init at identity, biases at zero
                 w = (np.zeros(shape, np.float32)
-                     if key.endswith(".bias") or args.model_type == "gemma2"
+                     if key.endswith(".bias")
+                     or args.model_type in ("gemma2", "gemma3_text")
                      else np.ones(shape, np.float32))
             else:
                 w = (rng.standard_normal(shape, dtype=np.float32)

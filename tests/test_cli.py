@@ -253,6 +253,30 @@ class TestSyntheticCheckpoints:
         assert bool(jnp.isfinite(logits).all())
         assert float(jnp.abs(logits).max()) <= 30.0  # final softcap bound
 
+    def test_gemma3_checkpoint_roundtrip(self, tmp_path):
+        """Gemma-3 checkpoint: QK-norms load, dual-rope config (local 10k /
+        global 1M) round-trips, layer_types derive from the pattern."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ck", **{"--model-type": "gemma3_text",
+                                      "--head-dim": "16",
+                                      "--layers": "6",
+                                      "--sliding-window": "8"})
+        cfg, params = load_hf_model(tmp_path / "ck")
+        assert cfg.rope_local_base_freq == 10000.0
+        assert cfg.rope_theta == 1000000.0
+        assert cfg.qk_norm and cfg.sandwich_norms and cfg.tie_word_embeddings
+        assert cfg.attn_logit_softcap is None
+        # pattern 6: layers 0-4 sliding (local rope), layer 5 global
+        assert cfg.layer_rope(0) == 1 and cfg.layer_rope(5) == 0
+        assert "self_attn.q_norm" in params["layers"][0]
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        logits = L.forward_logits(cfg, params, toks)
+        assert bool(jnp.isfinite(logits).all())
+
     def test_mixtral_checkpoint_roundtrip(self, tmp_path):
         """Mixtral checkpoint: block_sparse_moe.gate router + w1/w3/w2
         expert tensors load into the framework's router/expert names."""

@@ -259,6 +259,68 @@ class TestModelFamilies:
         ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
         assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
 
+    def test_gemma3_logits_match_transformers(self):
+        """Gemma-3: everything Gemma-2 has minus softcaps, plus QK-norm and
+        the local/global rope split — sliding layers rotate with
+        rope_local_base_freq (10k, unscaled) while full-attention layers
+        use rope_theta (1M) — against HF eager."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+            sliding_window=16, query_pre_attn_scalar=16,
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            layer_types=["sliding_attention", "sliding_attention",
+                         "full_attention", "sliding_attention"],
+            attn_implementation="eager",
+        )
+        torch.manual_seed(15)
+        hf_model = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+        # seqlen 48: > window 16 (sliding vs global) and far enough out
+        # that mixing up the two rope bases would blow the tolerance
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 48, 16,
+                                   rtol=5e-4)
+        assert cfg.rope_local_base_freq == 10000.0
+        assert cfg.qk_norm and cfg.sandwich_norms and cfg.norm_unit_offset
+        assert cfg.attn_logit_softcap is None
+        assert cfg.layer_rope(0) == 1 and cfg.layer_rope(2) == 0
+        assert cfg.layer_window(0) == 16 and cfg.layer_window(2) is None
+        assert "self_attn.q_norm" in params["layers"][0]
+
+    def test_gemma3_quantize_pipeline(self):
+        """End-to-end GPTQ on a Gemma-3-style model: the per-block rope
+        selection flows through capture, Hessian, replay, and eval."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from gptq_v2_tpu.evaluate import evaluate_ppl
+        from gptq_v2_tpu.models.loader import params_from_torch_state_dict
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        hf_cfg = transformers.Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+            sliding_window=16, query_pre_attn_scalar=16,
+            rope_theta=1000000.0, rope_local_base_freq=10000.0,
+            layer_types=["sliding_attention", "full_attention"],
+            attn_implementation="eager",
+        )
+        torch.manual_seed(17)
+        hf_model = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+        cfg = L.LlamaConfig.from_hf_dict({**hf_cfg.to_dict(),
+                                          "torch_dtype": "float32"})
+        params = params_from_torch_state_dict(cfg, hf_model.state_dict())
+        rng = np.random.default_rng(0)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+        ppl_fp = evaluate_ppl(cfg, dict(params), calib, batch_size=4)
+        r = quantize_model(cfg, params, calib,
+                           QuantConfig(bits=8, group_size=16), batch_size=4)
+        assert "model.layers.0.mlp.down_proj" in r["data"]
+        ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
+        assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

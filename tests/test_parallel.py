@@ -91,6 +91,32 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_gemma3_style(self):
+        """Gemma-3 under TP: the per-layer local/global rope split selects
+        the same tables inside the shard_map'd forward as single-device."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True, qk_norm=True,
+            query_pre_attn_scalar=16.0, rope_theta=1000000.0,
+            rope_local_base_freq=10000.0,
+            layer_types=("sliding_attention", "full_attention"))
+        model = random_packed_llama(cfg, group_size=16, seed=17,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(18)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp2_moe_expert_parallel(self):
         """MoE under TP is expert-parallel: each device holds E/tp WHOLE
         experts (no intra-expert split), the router replicates, and the

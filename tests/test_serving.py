@@ -135,6 +135,34 @@ class TestEngine:
         assert out[0] == expected
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_gemma3_style_decode_matches_full_recompute(self, kind):
+        """Gemma-3 through the whole serving stack: the local/global rope
+        split (sliding layers at 10k theta, full layers at 1M) + QK-norm +
+        Gemma norms; cached decode on all three schedulers must equal the
+        full recompute."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True, qk_norm=True,
+            query_pre_attn_scalar=16.0, rope_theta=1000000.0,
+            rope_local_base_freq=10000.0,
+            layer_types=("sliding_attention", "full_attention"))
+        assert cfg.layer_rope(0) == 1 and cfg.layer_rope(1) == 0
+        model = random_packed_llama(cfg, group_size=16, seed=43,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(44)
+        # prompt + generation crosses the window boundary (8)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense
         experts on packed INT4 weights, bf16 router, all three schedulers."""

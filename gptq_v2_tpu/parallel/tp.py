@@ -554,60 +554,68 @@ def build_tp_ragged_step(mesh):
     contract, with QKV/gate/up column-parallel, o/down row-parallel, and
     the paged KV pool's combined-head axis sharded over ``model`` so each
     device writes and streams only its own heads."""
-    from gptq_v2_tpu.serving.decode import sample_per_row
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
 
-    def local_step(model, tokens, cache, positions, tok_pages,
-                   tok_offs, block_tables, kv_lens, cu_q_lens, num_seqs,
-                   sample_rows, temperatures, key, top_ks, top_ps, min_ps):
-        cfg = model.cfg
-        ropes = [(c[:, None, :], s_[:, None, :])
-                 for c, s_ in L.rope_tables(cfg, positions)]
-        x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+    def make_local_step(return_logprobs):
+        def local_step(model, tokens, cache, positions, tok_pages,
+                       tok_offs, block_tables, kv_lens, cu_q_lens, num_seqs,
+                       sample_rows, temperatures, key, top_ks, top_ps,
+                       min_ps):
+            cfg = model.cfg
+            ropes = [(c[:, None, :], s_[:, None, :])
+                     for c, s_ in L.rope_tables(cfg, positions)]
+            x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
 
-        for li, lp in enumerate(model.layers):
+            for li, lp in enumerate(model.layers):
 
-            def attn_fn(q, k, v, li=li):
-                from gptq_v2_tpu.ops.paged_attention import (
-                    paged_ragged_attention,
-                )
+                def attn_fn(q, k, v, li=li):
+                    from gptq_v2_tpu.ops.paged_attention import (
+                        paged_ragged_attention,
+                    )
 
-                nonlocal cache
-                cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
-                                          tok_pages, tok_offs)
-                attn = paged_ragged_attention(
-                    q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
-                    num_seqs,
-                    sliding_window=cfg.layer_window(li),
-                    sm_scale=cfg.sm_scale_,
-                    soft_cap=cfg.attn_logit_softcap,
-                    k_scale=(None if cache.k_scales is None
-                             else cache.k_scales[li]),
-                    v_scale=(None if cache.v_scales is None
-                             else cache.v_scales[li]),
-                )[:, None]
-                return attn, None
+                    nonlocal cache
+                    cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
+                                              tok_pages, tok_offs)
+                    attn = paged_ragged_attention(
+                        q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
+                        num_seqs,
+                        sliding_window=cfg.layer_window(li),
+                        sm_scale=cfg.sm_scale_,
+                        soft_cap=cfg.attn_logit_softcap,
+                        k_scale=(None if cache.k_scales is None
+                                 else cache.k_scales[li]),
+                        v_scale=(None if cache.v_scales is None
+                                 else cache.v_scales[li]),
+                    )[:, None]
+                    return attn, None
 
-            cos, sin = ropes[cfg.layer_rope(li)]
-            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
+                cos, sin = ropes[cfg.layer_rope(li)]
+                x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                                    moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
 
-        x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
-                       cfg.norm_unit_offset)
-        last = jnp.take(x, sample_rows, axis=0)
-        logits = L.soft_cap(_plain_linear(model.lm_head, last),
-                            cfg.final_logit_softcap)
-        key, sub = jax.random.split(key)
-        toks = sample_per_row(logits, sub, temperatures,
-                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
-        return toks, cache, key
+            x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                           cfg.norm_unit_offset)
+            last = jnp.take(x, sample_rows, axis=0)
+            logits = L.soft_cap(_plain_linear(model.lm_head, last),
+                                cfg.final_logit_softcap)
+            key, sub = jax.random.split(key)
+            toks = sample_per_row(logits, sub, temperatures,
+                                  top_ks=top_ks, top_ps=top_ps,
+                                  min_ps=min_ps)
+            if return_logprobs:
+                toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
+            return toks, cache, key
+        return local_step
 
     csp = P(None, None, None, MODEL_AXIS, None)
 
     def sharded(model, tokens, cache, positions, tok_pages, tok_offs,
                 block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
-                temperatures, key, top_ks=None, top_ps=None, min_ps=None):
+                temperatures, key, top_ks=None, top_ps=None, min_ps=None,
+                return_logprobs=False):
         return jax.shard_map(
-            local_step, mesh=mesh,
+            make_local_step(return_logprobs), mesh=mesh,
             in_specs=(model.specs(), P(),
                       kvc.PagedKVCache(csp, cache.page_size,
                                        cache.k_scales, cache.v_scales),
@@ -622,7 +630,8 @@ def build_tp_ragged_step(mesh):
           kv_lens, cu_q_lens, num_seqs, sample_rows, temperatures, key,
           top_ks, top_ps, min_ps)
 
-    return jax.jit(sharded, donate_argnums=(2,))
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("return_logprobs",))
 
 
 def build_tp_verify_chunk(mesh, cache_template):

@@ -182,7 +182,8 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                         lambda name, h: _lin(lp, name, h), attn_fn)
 
 
-@functools.partial(jax.jit, static_argnames=("s_bucket",), donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("s_bucket", "return_logprobs"),
+                   donate_argnums=(2,))
 def decode_sample_step(
     model: PackedLlama,
     tokens: jax.Array,  # (B,)
@@ -195,18 +196,24 @@ def decode_sample_step(
     top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
     top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
     min_ps: Optional[jax.Array] = None,  # (B,) per-row min-p (0 = off)
+    return_logprobs: bool = False,
 ) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
     """Decode + per-row sampling + PRNG-key advance in ONE dispatch.
 
     The engine's hot step: on remote/tunneled runtimes every separate jit
     call costs a full round trip, so decode, sampling, and the key split
-    fuse into a single program.  Returns ``(next_tokens, cache, new_key)``.
+    fuse into a single program.  Returns ``(next_tokens, cache, new_key)``;
+    with ``return_logprobs`` the first element is instead the (B, 2) int32
+    :func:`pack_tok_logprob` of (token, raw-distribution logprob) so the
+    readback stays one transfer.
     """
     logits, cache = _decode_step_impl(model, tokens, cache, block_tables,
                                       positions, s_bucket)
     key, sub = jax.random.split(key)
     toks = sample_per_row(logits, sub, temperatures,
                           top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, cache, key
 
 
@@ -244,7 +251,8 @@ def decode_multi(
     return toks, logits[-1], cache
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("return_logprobs",))
 def ragged_step(
     model: PackedLlama,
     tokens: jax.Array,  # (T,) new tokens, grouped by sequence (padded)
@@ -262,6 +270,7 @@ def ragged_step(
     top_ks: Optional[jax.Array] = None,  # (S,) per-sequence top-k (0 = off)
     top_ps: Optional[jax.Array] = None,  # (S,) per-sequence nucleus p
     min_ps: Optional[jax.Array] = None,  # (S,) per-sequence min-p (0 = off)
+    return_logprobs: bool = False,
 ) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
     """Mixed prefill+decode in ONE dispatch (vLLM-style chunked prefill).
 
@@ -312,6 +321,8 @@ def ragged_step(
     key, sub = jax.random.split(key)
     toks = sample_per_row(logits, sub, temperatures,
                           top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, cache, key
 
 
@@ -380,6 +391,31 @@ def sample_per_row(
         lg = _warp_logits(lg, top_ks, top_ps, min_ps)
     sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures <= 0.0, greedy, sampled)
+
+
+def chosen_logprob(logits: jax.Array, toks: jax.Array) -> jax.Array:
+    """log p(token) under the RAW model distribution (f32 log-softmax of
+    the unwarped, untempered logits) — the eval-meaningful quantity, per
+    the OpenAI/vLLM logprobs convention for the sampled token."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lsm, toks[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
+
+
+def pack_tok_logprob(toks: jax.Array, lps: jax.Array) -> jax.Array:
+    """(B,) int32 tokens + (B,) f32 logprobs → (B, 2) int32 (logprob
+    bitcast), so a tick's host readback stays ONE transfer."""
+    return jnp.stack(
+        [toks, jax.lax.bitcast_convert_type(lps, jnp.int32)], axis=1)
+
+
+def unpack_tok_logprob(packed: "np.ndarray"):
+    """Host-side inverse of :func:`pack_tok_logprob`."""
+    import numpy as np
+
+    return packed[:, 0], packed[:, 1].view(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
 def sample(
     logits: jax.Array,  # (B, V)

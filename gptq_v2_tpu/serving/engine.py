@@ -45,6 +45,8 @@ class Request:
     min_p: float = 0.0  # 0.0 = disabled; min probability vs the max token
     stop_token_ids: Optional[List[int]] = None  # per-request extra EOS set
     output: List[int] = dataclasses.field(default_factory=list)
+    # raw-distribution log p(token) per output token (Engine(logprobs=True))
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -82,6 +84,7 @@ class Engine:
         draft: Optional[PackedLlama] = None,
         spec_k: int = 4,
         prefix_cache: bool = False,
+        logprobs: bool = False,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -104,6 +107,12 @@ class Engine:
         compile matrix collapses to two programs (decode-only tick and
         mixed tick).  ``scheduler="phased"`` is the classic
         prefill-then-decode loop.
+
+        ``logprobs``: record ``log p(token)`` under the raw model
+        distribution (f32 log-softmax of the unwarped logits) for every
+        emitted token into ``Request.logprobs`` — computed inside the
+        decode dispatch and read back bitcast-packed with the token, so
+        the per-tick host sync stays ONE transfer.
 
         ``prefix_cache`` (paged cache + ragged scheduler): automatic
         shared-prefix KV reuse — full prompt pages are content-addressed
@@ -174,6 +183,7 @@ class Engine:
         elif scheduler != "phased":
             raise ValueError(scheduler)
         self.token_budget = token_budget or max(2 * max_batch, 64)
+        self.logprobs = logprobs
         self.prefix_cache = prefix_cache
         if prefix_cache:
             assert cache_kind == "paged" and scheduler == "ragged", \
@@ -188,6 +198,8 @@ class Engine:
         self.spec_rounds = self.spec_proposed = self.spec_accepted = 0
         self._tp_verify = None
         if draft is not None:
+            assert not logprobs, \
+                "speculative serving does not record logprobs"
             assert cache_kind == "contiguous", \
                 "speculative serving uses the contiguous KV cache"
             assert scheduler == "phased", \
@@ -370,9 +382,10 @@ class Engine:
                 temps[i] = req.temperature
                 if tks is not None:
                     tks[i], tps[i], mps[i] = req.top_k, req.top_p, req.min_p
-            toks = self._sample(logits, temps, tks, tps, mps)
+            toks, lps = self._sample(logits, temps, tks, tps, mps)
             for i, (si, req, _) in enumerate(group):
-                self._emit(si, int(toks[i]))
+                self._emit(si, int(toks[i]),
+                           None if lps is None else float(lps[i]))
         if admitted:
             self._dirty = True
 
@@ -388,17 +401,25 @@ class Engine:
 
     def _sample(self, logits, temperatures: np.ndarray, top_ks=None,
                 top_ps=None, min_ps=None):
+        """Sample one token per row; returns ``(tokens, logprobs|None)``
+        host arrays (one device->host transfer either way)."""
         self.key, sub = jax.random.split(self.key)
-        return np.asarray(D.sample_per_row(
+        toks = D.sample_per_row(
             logits, sub, jnp.asarray(temperatures, jnp.float32),
             top_ks=None if top_ks is None else jnp.asarray(top_ks),
             top_ps=None if top_ps is None else jnp.asarray(top_ps),
-            min_ps=None if min_ps is None else jnp.asarray(min_ps)))
+            min_ps=None if min_ps is None else jnp.asarray(min_ps))
+        if self.logprobs:
+            packed = D.pack_tok_logprob(toks, D.chosen_logprob(logits, toks))
+            return D.unpack_tok_logprob(np.asarray(packed))
+        return np.asarray(toks), None
 
-    def _emit(self, si: int, token: int) -> None:
+    def _emit(self, si: int, token: int, lp: Optional[float] = None) -> None:
         slot = self.slots[si]
         req = slot.request
         req.output.append(token)
+        if lp is not None:
+            req.logprobs.append(lp)
         self.last_tokens[si] = token
         stop = (self.eos_token_id is not None and token == self.eos_token_id
                 ) or (req.stop_token_ids is not None
@@ -560,15 +581,19 @@ class Engine:
             None if tks is None else jnp.asarray(tks),
             None if tps is None else jnp.asarray(tps),
             None if mps is None else jnp.asarray(mps),
+            return_logprobs=self.logprobs,
         )
-        toks = np.asarray(toks_dev)  # the one host sync per tick
+        arr = np.asarray(toks_dev)  # the one host sync per tick
+        toks, lps = (D.unpack_tok_logprob(arr) if self.logprobs
+                     else (arr, None))
         self.steps += 1
         for i, (si, n_new, completes) in enumerate(order):
             slot = self.slots[si]
+            lp_i = None if lps is None else float(lps[i])
             if si in decoding:
                 slot.length += 1
                 self.decode_tokens += 1
-                self._emit(si, int(toks[i]))
+                self._emit(si, int(toks[i]), lp_i)
             else:
                 slot.prefill_done += n_new
                 slot.length = slot.prefill_done
@@ -577,7 +602,7 @@ class Engine:
                         # register BEFORE _emit: a 1-token request frees
                         # its slot inside _emit
                         self._prefix_register(si)
-                    self._emit(si, int(toks[i]))
+                    self._emit(si, int(toks[i]), lp_i)
 
     # ------------------------------------------------------------ speculative
     def _verify(self, chunk, positions):
@@ -705,11 +730,13 @@ class Engine:
                        self.max_seq_len)
         if self.mesh is None:
             # decode + sample + key split in ONE dispatch (RTT-bound hosts)
-            toks_dev, self.cache, self.key = D.decode_sample_step(
+            out_dev, self.cache, self.key = D.decode_sample_step(
                 self.model, d["tokens"], self.cache, self._bt(),
                 d["positions"], d["temps"], self.key, s_bucket=s_bucket,
                 top_ks=d["top_ks"], top_ps=d["top_ps"], min_ps=d["min_ps"],
+                return_logprobs=self.logprobs,
             )
+            toks_dev = out_dev[:, 0] if self.logprobs else out_dev
         else:
             logits, self.cache = self._decode(
                 self.model, d["tokens"], self.cache, self._bt(),
@@ -720,14 +747,20 @@ class Engine:
                                         top_ks=d["top_ks"],
                                         top_ps=d["top_ps"],
                                         min_ps=d["min_ps"])
+            out_dev = (D.pack_tok_logprob(
+                toks_dev, D.chosen_logprob(logits, toks_dev))
+                if self.logprobs else toks_dev)
         self._dev = {**d, "tokens": toks_dev,
                      "positions": d["positions"] + d["mask"]}
-        toks = np.asarray(toks_dev)  # the one host sync per step
+        arr = np.asarray(out_dev)  # the one host sync per step
+        toks, lps = (D.unpack_tok_logprob(arr) if self.logprobs
+                     else (arr, None))
         self.steps += 1
         for si in active:
             self.slots[si].length += 1
             self.decode_tokens += 1
-            self._emit(si, int(toks[si]))
+            self._emit(si, int(toks[si]),
+                       None if lps is None else float(lps[si]))
 
     def run(self, requests: List[Request]) -> Dict[int, List[int]]:
         """Serve a batch of requests to completion; returns uid → tokens."""

@@ -793,3 +793,51 @@ class TestMinPAndStopTokens:
             [Request(uid=0, prompt=prompt, max_new_tokens=8,
                      stop_token_ids=[stop])])[0]
         assert got == want == base[:base.index(stop) + 1]
+
+
+class TestLogprobs:
+    def _oracle_logprobs(self, model, prompt, output):
+        """log p(tok) from full-forward log-softmax at each emitted step."""
+        toks, out = list(prompt), []
+        for t in output:
+            logits = packed_forward_logits(model, jnp.asarray([toks]))
+            lsm = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+            out.append(float(lsm[t]))
+            toks.append(t)
+        return out
+
+    @pytest.mark.parametrize("scheduler,kind", [("phased", "contiguous"),
+                                                ("ragged", "paged")])
+    def test_logprobs_match_full_forward(self, packed_model, scheduler, kind):
+        """Engine(logprobs=True): per-token raw-distribution logprobs match
+        a full-forward log-softmax oracle, outputs are unchanged vs the
+        non-logprobs engine, lists align 1:1 with outputs."""
+        model, _ = packed_model
+        rng = np.random.default_rng(80)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 9)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        kw = dict(cache_kind=kind, scheduler=scheduler, page_size=8)
+        want = Engine(model, max_batch=2, max_seq_len=64, **kw).run(reqs())
+        rs = reqs()
+        got = Engine(model, max_batch=2, max_seq_len=64, logprobs=True,
+                     **kw).run(rs)
+        assert got == want  # the flag must not perturb sampling
+        for r in rs:
+            assert len(r.logprobs) == len(r.output)
+            assert all(lp <= 0.0 for lp in r.logprobs)
+            oracle = self._oracle_logprobs(model, r.prompt, r.output)
+            np.testing.assert_allclose(r.logprobs, oracle, atol=2e-3)
+
+    def test_logprobs_sampled_are_raw_distribution(self, packed_model):
+        """A hot-temperature sampled request still records RAW-distribution
+        logprobs (independent of temperature/warping)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(81)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        r = Request(uid=0, prompt=prompt, max_new_tokens=4, temperature=2.0,
+                    top_k=8)
+        Engine(model, max_batch=1, max_seq_len=64, logprobs=True).run([r])
+        oracle = self._oracle_logprobs(model, prompt, r.output)
+        np.testing.assert_allclose(r.logprobs, oracle, atol=2e-3)

@@ -196,9 +196,17 @@ def _speculative_engine_bench(args, target, draft, prompts, mesh) -> dict:
     from gptq_v2_tpu.serving import Engine, Request
 
     def mk_engine():
+        # --scheduler ragged composes speculation with chunked prefill +
+        # the paged cache (+ --prefix-cache); default stays phased
+        kw = {}
+        if args.scheduler == "ragged":
+            kw = dict(cache_kind="paged", scheduler="ragged",
+                      page_size=args.page_size,
+                      token_budget=args.token_budget or None,
+                      prefix_cache=args.prefix_cache)
         return Engine(target, max_batch=len(prompts),
                       max_seq_len=args.max_seq_len, kv_dtype=args.kv_dtype,
-                      draft=draft, spec_k=args.spec_k, mesh=mesh)
+                      draft=draft, spec_k=args.spec_k, mesh=mesh, **kw)
 
     def reqs():
         return [Request(uid=i, prompt=p, max_new_tokens=args.bench_tokens)

@@ -284,8 +284,29 @@ def ragged_step(
     ``(next_tokens (S,), cache, key)`` — entries only meaningful for
     sequences whose ``sample_rows`` point at a prompt-complete token.
     """
+    from gptq_v2_tpu.serving.model import head_logits
+
+    x, cache = _ragged_forward(model, tokens, cache, positions, tok_pages,
+                               tok_offs, block_tables, kv_lens, cu_q_lens,
+                               num_seqs)
+    last = jnp.take(x, sample_rows, axis=0)  # (S, D)
+    logits = head_logits(model.cfg, model.lm_head, last)
+    key, sub = jax.random.split(key)
+    toks = sample_per_row(logits, sub, temperatures,
+                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
+    return toks, cache, key
+
+
+def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
+                    block_tables, kv_lens, cu_q_lens, num_seqs):
+    """The ragged mixed-batch forward shared by :func:`ragged_step` and
+    :func:`ragged_spec_step`: write each token's K/V at its host-computed
+    (page, offset) slot, attend via the ragged-paged-attention kernel,
+    return the final-norm hidden states ``(T, D)`` and the cache."""
     cfg = model.cfg
-    from gptq_v2_tpu.serving.model import _lin, head_logits
+    from gptq_v2_tpu.serving.model import _lin
 
     ropes = [(c[:, None, :], s_[:, None, :])  # (T, 1, hd) on-device path
              for c, s_ in L.rope_tables(cfg, positions)]
@@ -314,16 +335,73 @@ def ragged_step(
         x, _ = L.block_core(cfg, lp, x, cos, sin,
                             lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
 
-    x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
-                   cfg.norm_unit_offset)  # (T, D)
-    last = jnp.take(x, sample_rows, axis=0)  # (S, D)
-    logits = head_logits(cfg, model.lm_head, last)
-    key, sub = jax.random.split(key)
-    toks = sample_per_row(logits, sub, temperatures,
-                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
-    if return_logprobs:
-        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
-    return toks, cache, key
+    return L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                      cfg.norm_unit_offset), cache  # (T, D)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def ragged_spec_step(
+    model: PackedLlama,
+    tokens: jax.Array,  # (T,) chunk + prompt tokens, grouped by sequence
+    cache: kvc.PagedKVCache,
+    positions: jax.Array,  # (T,)
+    tok_pages: jax.Array,  # (T,) destination page (0 = trash for padding)
+    tok_offs: jax.Array,  # (T,)
+    block_tables: jax.Array,  # (S, max_pages)
+    kv_lens: jax.Array,  # (S,)
+    cu_q_lens: jax.Array,  # (S+1,)
+    num_seqs: jax.Array,  # (1,)
+    sample_rows: jax.Array,  # (S,) last-row per seq (prefill sampling)
+    chunk_rows: jax.Array,  # (S, k+1) rows of each DECODING seq's chunk
+    seq_slots: jax.Array,  # (S,) engine slot index per sequence
+    d_logits: jax.Array,  # (B, k, V) draft logits, indexed by SLOT
+    d_toks: jax.Array,  # (B, k) draft proposals, indexed by SLOT
+    temperatures: jax.Array,  # (S,)
+    key: jax.Array,
+) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
+    """Speculative mixed tick: verify every decoding sequence's
+    ``k + 1``-token chunk AND stream admitting sequences' prompt chunks in
+    ONE ragged dispatch, with draft accept/reject fused on device.
+
+    Decoding sequences contribute ``[cur, draft_0..draft_{k-1}]`` at
+    positions ``len..len+k`` (draft tokens are scattered into the token
+    stream ON DEVICE via ``chunk_rows`` — no extra host sync for the
+    proposals); their chunk logits are gathered via ``chunk_rows`` and run
+    through the standard acceptance rule (``speculative.acceptance_step``).
+    Rejected tokens' K/V rows are rewritten by the next tick's chunk
+    before any query can attend them — the same no-rollback invariant as
+    the contiguous verify path.  Prefill-completing sequences sample their
+    first token at ``sample_rows``.  Non-decoding sequences point their
+    ``chunk_rows`` at the reserved trash row ``T - 1``.  Returns
+    ``(packed (S, k+3) int32, cache, key)`` — one host transfer — where
+    ``packed[i] = [first_tok, count, out_0..out_k]``: the host reads
+    ``out[:count]`` for decoding sequences and ``first_tok`` for prompt
+    completions.
+    """
+    from gptq_v2_tpu.serving.model import head_logits
+    from gptq_v2_tpu.serving.speculative import acceptance_step
+
+    s, k1 = chunk_rows.shape
+    d_lg = jnp.take(d_logits, seq_slots, axis=0)  # (S, k, V)
+    d_tk = jnp.take(d_toks, seq_slots, axis=0)  # (S, k)
+    # place the draft proposals at their chunk rows (trash-row writes from
+    # non-decoding sequences are padding rows, never attributed to a seq)
+    tokens = tokens.at[chunk_rows[:, 1:].reshape(-1)].set(d_tk.reshape(-1))
+    x, cache = _ragged_forward(model, tokens, cache, positions, tok_pages,
+                               tok_offs, block_tables, kv_lens, cu_q_lens,
+                               num_seqs)
+    # chunk verification (decoding sequences)
+    hc = jnp.take(x, chunk_rows.reshape(-1), axis=0)  # (S*(k+1), D)
+    t_logits = head_logits(model.cfg, model.lm_head, hc).reshape(s, k1, -1)
+    key, k_acc, k_first = jax.random.split(key, 3)
+    out, counts, _ = acceptance_step(t_logits, d_lg, d_tk, k_acc,
+                                     temperatures)
+    # first-token sampling (prefill-completing sequences)
+    first_logits = head_logits(model.cfg, model.lm_head,
+                               jnp.take(x, sample_rows, axis=0))
+    first = sample_per_row(first_logits, k_first, temperatures)
+    packed = jnp.concatenate([first[:, None], counts[:, None], out], axis=1)
+    return packed, cache, key
 
 
 def _warp_logits(

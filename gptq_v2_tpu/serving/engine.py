@@ -200,12 +200,14 @@ class Engine:
         if draft is not None:
             assert not logprobs, \
                 "speculative serving does not record logprobs"
-            assert cache_kind == "contiguous", \
-                "speculative serving uses the contiguous KV cache"
-            assert scheduler == "phased", \
-                "speculative serving uses phased scheduling"
-            assert mesh is None or "stage" not in mesh.axis_names, \
-                "speculative serving composes with TP meshes, not PP"
+            if scheduler == "ragged":
+                assert mesh is None, \
+                    "ragged speculative serving is single-device"
+            else:
+                assert cache_kind == "contiguous", \
+                    "phased speculative serving uses the contiguous KV cache"
+                assert mesh is None or "stage" not in mesh.axis_names, \
+                    "speculative serving composes with TP meshes, not PP"
             assert draft.cfg.vocab_size == cfg.vocab_size, "vocab mismatch"
             assert spec_k >= 1
             dcfg = draft.cfg
@@ -491,7 +493,10 @@ class Engine:
                 continue
             req = self.queue[0]
             plen = len(req.prompt)
-            need = -(-(plen + req.max_new_tokens) // self.page_size)
+            # speculative chunks write up to spec_k positions past the
+            # last emitted token; allocate that headroom
+            pad = self.spec_k if self.draft is not None else 0
+            need = -(-(plen + req.max_new_tokens + pad) // self.page_size)
             reuse = self._prefix_lookup(req.prompt) if self.prefix_cache \
                 else []
             pages = self._alloc_pages(need - len(reuse))
@@ -605,6 +610,28 @@ class Engine:
                     self._emit(si, int(toks[i]), lp_i)
 
     # ------------------------------------------------------------ speculative
+    def _draft_propose(self, pos_dev, temps_dev, cur):
+        """k draft proposals per slot: a 2-token catch-up chunk (rewrites
+        position - 1, filling the draft KV gap after a fully-accepted
+        round), then k - 1 plain decode steps.  Returns
+        ``(d_logits (B, k, V), d_toks (B, k))`` on device."""
+        from gptq_v2_tpu.serving.speculative import verify_chunk
+
+        pair = jnp.stack([jnp.asarray(self.prev_tokens), cur], axis=1)
+        lg2, self.draft_cache = verify_chunk(self.draft, pair,
+                                             self.draft_cache, pos_dev - 1)
+        self.key, sub = jax.random.split(self.key)
+        d_in = D.sample_per_row(lg2[:, 1], sub, temps_dev)
+        d_lgs, d_tks = [lg2[:, 1]], [d_in]
+        for i in range(1, self.spec_k):
+            lg, self.draft_cache = D.decode_step(
+                self.draft, d_in, self.draft_cache, None, pos_dev + i)
+            self.key, sub = jax.random.split(self.key)
+            d_in = D.sample_per_row(lg, sub, temps_dev)
+            d_lgs.append(lg)
+            d_tks.append(d_in)
+        return jnp.stack(d_lgs, axis=1), jnp.stack(d_tks, axis=1)
+
     def _verify(self, chunk, positions):
         if self._tp_verify is not None:
             return self._tp_verify(self.model, chunk, self.cache, positions)
@@ -641,26 +668,7 @@ class Engine:
         temps_dev = jnp.asarray(temps)
         cur = jnp.asarray(self.last_tokens)
 
-        # draft proposal: 2-token catch-up chunk (rewrites position - 1,
-        # filling the draft KV gap after a fully-accepted round), then
-        # k - 1 plain decode steps
-        from gptq_v2_tpu.serving.speculative import verify_chunk
-
-        pair = jnp.stack([jnp.asarray(self.prev_tokens), cur], axis=1)
-        lg2, self.draft_cache = verify_chunk(self.draft, pair,
-                                             self.draft_cache, pos_dev - 1)
-        self.key, sub = jax.random.split(self.key)
-        d_in = D.sample_per_row(lg2[:, 1], sub, temps_dev)
-        d_lgs, d_tks = [lg2[:, 1]], [d_in]
-        for i in range(1, k):
-            lg, self.draft_cache = D.decode_step(
-                self.draft, d_in, self.draft_cache, None, pos_dev + i)
-            self.key, sub = jax.random.split(self.key)
-            d_in = D.sample_per_row(lg, sub, temps_dev)
-            d_lgs.append(lg)
-            d_tks.append(d_in)
-        d_logits = jnp.stack(d_lgs, axis=1)  # (B, k, V)
-        d_toks = jnp.stack(d_tks, axis=1)  # (B, k)
+        d_logits, d_toks = self._draft_propose(pos_dev, temps_dev, cur)
 
         chunk = jnp.concatenate([cur[:, None], d_toks], axis=1)
         t_logits, self.cache = self._verify(chunk, pos_dev)
@@ -682,6 +690,133 @@ class Engine:
                 self.prev_tokens[si] = self.last_tokens[si]
                 self._emit(si, int(out_np[si, j]))
 
+    def _step_ragged_spec(self) -> None:
+        """One speculative ragged tick: draft proposes ``k`` tokens per
+        decoding slot (contiguous draft cache, fixed-shape ops, inactive
+        slots ride along), then ONE ragged target dispatch verifies every
+        decoding slot's ``k + 1``-token chunk AND streams admitting slots'
+        prompt chunks — speculation composes with chunked prefill, the
+        paged cache, and prefix caching.  Acceptance is fused on device;
+        the tick's single host sync is the packed result readback."""
+        self._admit_ragged()
+        active = [si for si in range(self.max_batch)
+                  if self.slots[si] is not None]
+        if not active:
+            return
+        S, PS, k = self.max_batch, self.page_size, self.spec_k
+        decoding = [si for si in active
+                    if self.slots[si].prefill_done
+                    >= len(self.slots[si].request.prompt)]
+        prefilling = [si for si in active if si not in decoding]
+
+        # draft proposal (slot-indexed (B,) device ops; inactive ride along)
+        positions_b = np.ones((S,), np.int32)
+        temps_b = np.zeros((S,), np.float32)
+        for si in decoding:
+            positions_b[si] = self.slots[si].length
+            temps_b[si] = self.slots[si].request.temperature
+        pos_dev = jnp.asarray(positions_b)
+        temps_dev = jnp.asarray(temps_b)
+        d_logits, d_toks = self._draft_propose(pos_dev, temps_dev,
+                                               jnp.asarray(self.last_tokens))
+
+        # two static shapes: decode-only spec tick vs mixed tick; the last
+        # row is reserved as the trash row non-decoding chunk_rows point at
+        T = S * (k + 1) + (self.token_budget if prefilling else 0) + 1
+        tokens = np.zeros((T,), np.int32)
+        positions = np.zeros((T,), np.int32)
+        tok_pages = np.zeros((T,), np.int32)  # 0 = trash page for padding
+        tok_offs = np.zeros((T,), np.int32)
+        kv_lens = np.ones((S,), np.int32)
+        cu = np.zeros((S + 1,), np.int32)
+        sample_rows = np.zeros((S,), np.int32)
+        chunk_rows = np.full((S, k + 1), T - 1, np.int32)
+        seq_slots = np.zeros((S,), np.int32)
+        temps = np.zeros((S,), np.float32)
+        bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
+
+        row = 0
+        order = []  # (slot_id, is_spec, n_new, completes_prefill)
+        remaining = T - 1 - (k + 1) * len(decoding)
+        for si in decoding + prefilling:
+            slot = self.slots[si]
+            req = slot.request
+            if si in decoding:
+                n_new = k + 1
+                tokens[row] = self.last_tokens[si]  # chunk head; draft
+                # proposals land at rows row+1.. via the device scatter
+                pos = np.arange(slot.length, slot.length + k + 1)
+                chunk_rows[len(order)] = np.arange(row, row + k + 1)
+                completes = False
+            else:
+                left = len(req.prompt) - slot.prefill_done
+                n_new = min(left, max(0, remaining))
+                if n_new == 0:
+                    continue
+                remaining -= n_new
+                chunk = req.prompt[slot.prefill_done:slot.prefill_done + n_new]
+                tokens[row:row + n_new] = chunk
+                pos = np.arange(slot.prefill_done, slot.prefill_done + n_new)
+                completes = slot.prefill_done + n_new >= len(req.prompt)
+            i = len(order)
+            positions[row:row + n_new] = pos
+            tok_pages[row:row + n_new] = self.block_tables[si][pos // PS]
+            tok_offs[row:row + n_new] = pos % PS
+            kv_lens[i] = int(pos[-1]) + 1
+            cu[i + 1] = cu[i] + n_new
+            sample_rows[i] = row + n_new - 1
+            seq_slots[i] = si
+            temps[i] = req.temperature
+            bt_rows[i] = self.block_tables[si]
+            order.append((si, si in decoding, n_new, completes))
+            row += n_new
+        cu[len(order) + 1:] = cu[len(order)]
+
+        packed_dev, self.cache, self.key = D.ragged_spec_step(
+            self.model, jnp.asarray(tokens), self.cache,
+            jnp.asarray(positions), jnp.asarray(tok_pages),
+            jnp.asarray(tok_offs), jnp.asarray(bt_rows),
+            jnp.asarray(kv_lens), jnp.asarray(cu),
+            jnp.asarray([len(order)], np.int32),
+            jnp.asarray(sample_rows), jnp.asarray(chunk_rows),
+            jnp.asarray(seq_slots), d_logits, d_toks,
+            jnp.asarray(temps), self.key,
+        )
+        packed = np.asarray(packed_dev)  # the one host sync per tick
+        self.steps += 1
+        for i, (si, is_spec, n_new, completes) in enumerate(order):
+            slot = self.slots[si]
+            if is_spec:
+                count = int(packed[i, 1])
+                self.spec_rounds += 1
+                self.spec_proposed += k
+                self.spec_accepted += count - 1
+                for j in range(count):
+                    if self.slots[si] is None:
+                        break  # finished mid-chunk; drop the rest
+                    self.slots[si].length += 1
+                    self.decode_tokens += 1
+                    self.prev_tokens[si] = self.last_tokens[si]
+                    self._emit(si, int(packed[i, 2 + j]))
+            else:
+                slot.prefill_done += n_new
+                slot.length = slot.prefill_done
+                if completes:
+                    if self.prefix_cache:
+                        self._prefix_register(si)
+                    # mirror the prompt into the draft KV before the slot
+                    # joins speculation next tick
+                    plen = len(slot.request.prompt)
+                    lpad = _bucket(plen)
+                    toks_d = np.zeros((1, lpad), np.int32)
+                    toks_d[0, :plen] = slot.request.prompt
+                    _, self.draft_cache = D.prefill(
+                        self.draft, jnp.asarray(toks_d), self.draft_cache,
+                        None, jnp.asarray([plen], np.int32),
+                        slot=jnp.asarray([si], np.int32))
+                    self.prev_tokens[si] = slot.request.prompt[-1]
+                    self._emit(si, int(packed[i, 0]))
+
     def step(self) -> None:
         """One scheduler tick: admit new work, then one decode step.
 
@@ -692,6 +827,8 @@ class Engine:
         on remote/tunneled runtimes where each transfer is a full RTT.)
         """
         if self.scheduler == "ragged":
+            if self.draft is not None:
+                return self._step_ragged_spec()
             return self._step_ragged()
         if self.draft is not None:
             return self._step_speculative()

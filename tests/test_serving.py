@@ -841,3 +841,86 @@ class TestLogprobs:
         Engine(model, max_batch=1, max_seq_len=64, logprobs=True).run([r])
         oracle = self._oracle_logprobs(model, prompt, r.output)
         np.testing.assert_allclose(r.logprobs, oracle, atol=2e-3)
+
+
+class TestRaggedSpecEngine:
+    """Speculation on the ragged scheduler: draft proposals verified inside
+    the mixed chunked-prefill dispatch over the paged cache."""
+
+    def _draft(self, seed=91):
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        return random_packed_llama(dcfg, group_size=16, seed=seed,
+                                   compute_dtype=jnp.float32)
+
+    def _mk(self, model, draft=None, **kw):
+        return Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                      cache_kind="paged", scheduler="ragged",
+                      token_budget=16, draft=draft, spec_k=3, **kw)
+
+    def test_matches_plain_ragged_engine(self, packed_model):
+        """Greedy outputs across slot reuse (5 requests through 2 slots,
+        prompts longer than the token budget force multi-tick chunking)
+        must equal the non-speculative ragged engine."""
+        model, _ = packed_model
+        rng = np.random.default_rng(90)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (21, 5, 11, 3, 7)]
+        lens = [6, 4, 5, 6, 3]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=n)
+                        for i, (p, n) in enumerate(zip(prompts, lens))]
+        want = self._mk(model).run(reqs())
+        eng = self._mk(model, draft=self._draft())
+        got = eng.run(reqs())
+        assert got == want
+        assert eng.spec_proposed > 0
+        assert 0 <= eng.spec_accepted <= eng.spec_proposed
+
+    def test_self_draft_fewer_ticks(self, packed_model):
+        """draft == target accepts everything: far fewer spec rounds than
+        token-by-token decode."""
+        model, _ = packed_model
+        rng = np.random.default_rng(92)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        want = self._mk(model).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=9)])
+        eng = self._mk(model, draft=model)
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=9)])
+        assert got == want
+        assert eng.spec_accepted == eng.spec_proposed  # all accepted
+        # 9 tokens: 1 at prefill + 8 via rounds of up to 4 emits => <= 2
+        assert eng.spec_rounds <= 2
+
+    def test_composes_with_prefix_cache(self, packed_model):
+        """Speculation + prefix caching together: the second identical
+        prompt links cached pages AND speculates; output unchanged."""
+        model, _ = packed_model
+        rng = np.random.default_rng(93)
+        prompt = rng.integers(0, model.cfg.vocab_size, (21,)).tolist()
+        want = self._mk(model).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])[0]
+        eng = self._mk(model, draft=self._draft(94), prefix_cache=True)
+        first = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])[0]
+        second = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=5)])[1]
+        assert first == want and second == want
+        assert eng.prefix_hit_tokens == 16  # 2 of 21//8 full pages
+
+    def test_eos_mid_chunk(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(95)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        base = self._mk(model).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])[0]
+        eos = base[len(base) // 2]
+        want = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                      cache_kind="paged", scheduler="ragged",
+                      eos_token_id=eos).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", draft=model,
+                     spec_k=3, eos_token_id=eos)
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert got == want

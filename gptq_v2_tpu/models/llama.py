@@ -89,6 +89,15 @@ class LlamaConfig:
     # Gemma-3: sliding layers rotate with this base frequency (unscaled)
     # while full-attention layers use ``rope_theta`` (+ ``rope_scaling``)
     rope_local_base_freq: Optional[float] = None
+    # SmolLM3/Llama-4-style NoPE: layer indices with NO rotary embedding
+    nope_layers: Optional[Tuple[int, ...]] = None
+    # --- OLMo-2 switches ----------------------------------------------------
+    # post-norm-only block: NO input/pre-FFN norms; sublayer outputs are
+    # normed before the residual add (HF Olmo2DecoderLayer)
+    postnorm_only: bool = False
+    # RMSNorm over ALL heads' features of the q/k projections, applied
+    # BEFORE the head reshape (HF Olmo2Attention q_norm/k_norm)
+    qk_norm_flat: bool = False
     # --- Mixture-of-Experts (Mixtral / Qwen3-MoE) ---------------------------
     moe_num_experts: int = 0  # 0 = dense MLP
     moe_top_k: int = 2
@@ -129,12 +138,16 @@ class LlamaConfig:
 
     @property
     def num_ropes(self) -> int:
-        """1, or 2 when sliding layers use their own rope (Gemma-3)."""
-        return 2 if self.rope_local_base_freq is not None else 1
+        """1 + a local table (Gemma-3) + a NoPE identity table (SmolLM3)."""
+        n = 1 + (self.rope_local_base_freq is not None)
+        return n + bool(self.nope_layers)
 
     def layer_rope(self, layer_idx: int) -> int:
         """Index into :func:`rope_tables` for one layer: 0 = global
-        (``rope_theta`` + scaling), 1 = local (Gemma-3 sliding layers)."""
+        (``rope_theta`` + scaling), then local (Gemma-3 sliding layers),
+        then the NoPE identity (SmolLM3 no-rope layers)."""
+        if self.nope_layers and layer_idx in self.nope_layers:
+            return 1 + (self.rope_local_base_freq is not None)
         if self.rope_local_base_freq is None:
             return 0
         return 1 if self.layer_window(layer_idx) is not None else 0
@@ -148,7 +161,8 @@ class LlamaConfig:
             inner.setdefault("torch_dtype", d.get("torch_dtype", "float16"))
             return cls.from_hf_dict(inner)
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
-                              "gemma3_text", "phi3", "mixtral", "qwen3_moe"):
+                              "gemma3_text", "phi3", "mixtral", "qwen3_moe",
+                              "smollm3", "olmo2"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -180,9 +194,18 @@ class LlamaConfig:
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
-        if model_type in ("qwen2", "qwen3", "qwen3_moe") and not d.get(
-                "use_sliding_window", False):
-            sliding = None  # HF Qwen2/3 gate the window behind this flag
+        if model_type in ("qwen2", "qwen3", "qwen3_moe", "smollm3") and not \
+                d.get("use_sliding_window", False):
+            sliding = None  # these families gate the window behind a flag
+        nope_layers = None
+        if model_type == "smollm3":
+            # HF no_rope_layers: 1 = rope ON for that layer, 0 = NoPE
+            nr = d.get("no_rope_layers")
+            if nr is None:
+                iv = d.get("no_rope_layer_interval", 4)
+                nr = [int(bool((i + 1) % iv))
+                      for i in range(d["num_hidden_layers"])]
+            nope_layers = tuple(i for i, v in enumerate(nr) if not v) or None
         gemma2 = model_type == "gemma2"
         gemma3 = model_type == "gemma3_text"
         gemma = gemma2 or gemma3
@@ -234,6 +257,9 @@ class LlamaConfig:
             layer_types=None if layer_types is None else tuple(layer_types),
             rope_local_base_freq=d.get("rope_local_base_freq")
             if gemma3 else None,
+            nope_layers=nope_layers,
+            postnorm_only=model_type == "olmo2",
+            qk_norm_flat=model_type == "olmo2",
             moe_num_experts=moe_experts,
             moe_top_k=moe_top_k,
             moe_intermediate_size=moe_inter,
@@ -289,9 +315,15 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
     if cfg.sandwich_norms:  # Gemma-2: 4 norms per block (HF names)
         shapes["pre_feedforward_layernorm"] = (d,)
         shapes["post_feedforward_layernorm"] = (d,)
+    if cfg.postnorm_only:  # OLMo-2: only the two post-sublayer norms
+        del shapes["input_layernorm"]
+        shapes["post_feedforward_layernorm"] = (d,)
     if cfg.qk_norm:  # Qwen3: per-head-dim norms, shared across heads
         shapes["self_attn.q_norm"] = (hd,)
         shapes["self_attn.k_norm"] = (hd,)
+    if cfg.qk_norm_flat:  # OLMo-2: norms over all heads' features
+        shapes["self_attn.q_norm"] = (nq * hd,)
+        shapes["self_attn.k_norm"] = (nkv * hd,)
     if cfg.qkv_bias:
         for n in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"):
             shapes[n + ".bias"] = (shapes[n][1],)
@@ -434,6 +466,11 @@ def rope_tables(
         tables += (rope_cos_sin(cfg, positions,
                                 theta=cfg.rope_local_base_freq,
                                 scaled=False),)
+    if cfg.nope_layers:
+        # NoPE identity: cos=1/sin=0 makes apply_rope a no-op, so no-rope
+        # layers reuse every rope-threaded forward path unchanged
+        c0, s0 = tables[0]
+        tables += ((jnp.ones_like(c0), jnp.zeros_like(s0)),)
     return tables
 
 
@@ -596,6 +633,7 @@ def block_core(
     lin,  # lin(name, h) -> projection output (packing/TP/capture variants)
     attn_fn,  # attn_fn(q, k, v) -> (attn (B,N,H,hd), aux)
     moe_fn=None,  # moe_fn(h, comb) -> mlp output (EP/sharded variants)
+    qk_norm_fn=None,  # flat-QK-norm override (TP: global mean-of-squares)
 ):
     """Family-generic decoder block skeleton shared by every forward path
     (dense, packed serving, cache decode, ragged, TP).  The caller supplies
@@ -608,10 +646,18 @@ def block_core(
     b, n = x.shape[0], x.shape[1]
     hd, eps, uo = cfg.head_dim_, cfg.rms_norm_eps, cfg.norm_unit_offset
 
-    h = rms_norm(x, lp["input_layernorm"], eps, uo)
-    q = lin("self_attn.q_proj", h).reshape(b, n, -1, hd)
-    k = lin("self_attn.k_proj", h).reshape(b, n, -1, hd)
+    h = x if cfg.postnorm_only else rms_norm(x, lp["input_layernorm"],
+                                             eps, uo)
+    qf = lin("self_attn.q_proj", h)
+    kf = lin("self_attn.k_proj", h)
     v = lin("self_attn.v_proj", h)
+    if cfg.qk_norm_flat:  # OLMo-2: norm over ALL heads' features pre-reshape
+        if qk_norm_fn is None:
+            qk_norm_fn = lambda t, w: rms_norm(t, w, eps, uo)
+        qf = qk_norm_fn(qf, lp["self_attn.q_norm"])
+        kf = qk_norm_fn(kf, lp["self_attn.k_norm"])
+    q = qf.reshape(b, n, -1, hd)
+    k = kf.reshape(b, n, -1, hd)
     if cfg.qk_norm:  # Qwen3: head-dim RMSNorm before rope (HF Qwen3Attention)
         q = rms_norm(q, lp["self_attn.q_norm"], eps, uo)
         k = rms_norm(k, lp["self_attn.k_norm"], eps, uo)
@@ -619,13 +665,16 @@ def block_core(
     k = apply_rope(k, cos, sin)
     attn, aux = attn_fn(q, k, v.reshape(b, n, -1, hd))
     o = lin("self_attn.o_proj", attn.reshape(b, n, -1))
-    if cfg.sandwich_norms:
+    if cfg.sandwich_norms or cfg.postnorm_only:
         o = rms_norm(o, lp["post_attention_layernorm"], eps, uo)
     x = x + o
 
-    pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
-               else "post_attention_layernorm")
-    h = rms_norm(x, lp[pre_mlp], eps, uo)
+    if cfg.postnorm_only:  # OLMo-2: the MLP consumes the raw residual
+        h = x
+    else:
+        pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
+                   else "post_attention_layernorm")
+        h = rms_norm(x, lp[pre_mlp], eps, uo)
     if cfg.moe_num_experts:
         comb = moe_combine(cfg, lp["mlp.router"], h)
         mlp = (moe_fn(h, comb) if moe_fn is not None
@@ -634,7 +683,7 @@ def block_core(
         gate = lin("mlp.gate_proj", h)
         up = lin("mlp.up_proj", h)
         mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
-    if cfg.sandwich_norms:
+    if cfg.sandwich_norms or cfg.postnorm_only:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
     return x + mlp, aux
 

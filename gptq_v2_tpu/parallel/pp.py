@@ -163,12 +163,16 @@ def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
 
 
 def _stage_rope(cfg: L.LlamaConfig, l_loc: int, j: int) -> int:
-    """Rope-table index of local layer ``j`` (Gemma-3 local/global rope).
-    Follows from the stage-periodic window pattern ``_stage_window``
-    asserts, so it is identical on every stage."""
-    if cfg.rope_local_base_freq is None:
-        return 0
-    return 1 if _stage_window(cfg, l_loc, j) is not None else 0
+    """Rope-table index of local layer ``j`` (Gemma-3 local/global rope,
+    SmolLM3 NoPE layers) — must be identical on every stage, like the
+    window pattern ``_stage_window`` asserts."""
+    rs = {cfg.layer_rope(s * l_loc + j)
+          for s in range(cfg.num_hidden_layers // l_loc)}
+    assert len(rs) == 1, (
+        f"per-layer rope selection is not stage-periodic (local layer {j}:"
+        f" {rs}); choose a stage count whose layers_per_stage matches the"
+        " pattern")
+    return rs.pop()
 
 
 def _tp_split_layer(cfg, lp: Dict[str, Any], tp: int) -> list:
@@ -213,6 +217,9 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     pp, tp = pp_size(mesh), tp_of(mesh)
     n = cfg.num_hidden_layers
     assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
+    assert tp == 1 or not cfg.qk_norm_flat, (
+        "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
+        " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")
     if tp > 1:
         assert cfg.num_attention_heads % tp == 0
         assert cfg.num_key_value_heads % tp == 0

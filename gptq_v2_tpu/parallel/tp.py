@@ -192,6 +192,12 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
             elif name in ROW_PARALLEL:
                 out[name] = (_stack_packed(split_packed_row(w, tp))
                              if isinstance(w, PackedLinear) else shard_dense(w, 0))
+            elif (cfg.qk_norm_flat
+                  and name in ("self_attn.q_norm", "self_attn.k_norm")):
+                # OLMo-2 flat QK-norm: weights shard with the projection's
+                # out features; the norm itself psums squares (see
+                # _tp_qk_norm_fn)
+                out[name] = shard_dense(w, 0)
             elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
                 out[name] = shard_dense(w, 0)  # shards with the out features
             else:
@@ -285,6 +291,29 @@ def _gather_cols(x: jax.Array) -> jax.Array:
     return jax.lax.all_gather(x, MODEL_AXIS, axis=x.ndim - 1, tiled=True)
 
 
+def _tp_qk_norm_fn(cfg: L.LlamaConfig, tp: int):
+    """block_core's ``qk_norm_fn`` for TP: the OLMo-2 flat QK-norm
+    normalizes over ALL heads' features, which are column-sharded — the
+    mean of squares needs one psum over ``model``; the weight shard
+    multiplies locally.  Matches ``models.llama.rms_norm`` numerics
+    (fp32 stats; Llama-style weight multiply in model dtype)."""
+    if not cfg.qk_norm_flat:
+        return None
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+
+    def fn(t: jax.Array, w: jax.Array) -> jax.Array:
+        w = w[0]  # (1, local) stacked shard -> (local,)
+        t32 = t.astype(jnp.float32)
+        var = jax.lax.psum(jnp.sum(t32 * t32, axis=-1, keepdims=True),
+                           MODEL_AXIS) / (t.shape[-1] * tp)
+        normed = t32 * jax.lax.rsqrt(var + eps)
+        if uo:
+            return (normed * (1.0 + w.astype(jnp.float32))).astype(t.dtype)
+        return w * normed.astype(t.dtype)
+
+    return fn
+
+
 def _tp_lin(lp):
     """The TP linear-application strategy for ``models.llama.block_core``:
     column-parallel projections run on replicated input; row-parallel ones
@@ -362,7 +391,8 @@ def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
         return attn, (k, v)
 
     return L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                        moe_fn=make_ep_moe_fn(cfg, tp, lp))
+                        moe_fn=make_ep_moe_fn(cfg, tp, lp),
+                        qk_norm_fn=_tp_qk_norm_fn(cfg, tp))
 
 
 # ---------------------------------------------------------------------------
@@ -527,7 +557,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
 
             cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+                                qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         return L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
                           cfg.final_logit_softcap), cache
@@ -591,8 +622,10 @@ def build_tp_ragged_step(mesh):
                     return attn, None
 
                 cos, sin = ropes[cfg.layer_rope(li)]
-                x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                                    moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
+                x, _ = L.block_core(
+                    cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                    moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+                    qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
 
             x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
                            cfg.norm_unit_offset)
@@ -677,7 +710,8 @@ def build_tp_verify_chunk(mesh, cache_template):
 
             cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp))
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+                                qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         return L.soft_cap(_plain_linear(model.lm_head, x),
                           cfg.final_logit_softcap), cache

@@ -64,6 +64,17 @@ def build_config(a) -> dict:
             "final_logit_softcapping": 30.0,
             "sliding_window": a.sliding_window or 4096,
         })
+    if a.model_type == "olmo2":
+        cfg.update({"rms_norm_eps": 1e-5})
+    if a.model_type == "smollm3":
+        cfg.update({
+            "rms_norm_eps": 1e-6,
+            "rope_theta": 2000000.0,
+            "no_rope_layer_interval": 4,
+            "no_rope_layers": [int(bool((i + 1) % 4))
+                               for i in range(a.layers)],
+            "tie_word_embeddings": True,
+        })
     if a.model_type == "gemma3_text":
         cfg.update({
             "rms_norm_eps": 1e-6,
@@ -129,7 +140,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--model-type", default="llama",
                     choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
-                             "gemma3_text", "phi3", "mixtral", "qwen3_moe"])
+                             "gemma3_text", "phi3", "mixtral", "qwen3_moe",
+                             "smollm3", "olmo2"])
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--top-k", type=int, default=2)
     ap.add_argument("--moe-intermediate", type=int, default=0,

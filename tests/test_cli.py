@@ -277,6 +277,27 @@ class TestSyntheticCheckpoints:
         logits = L.forward_logits(cfg, params, toks)
         assert bool(jnp.isfinite(logits).all())
 
+    def test_smollm3_olmo2_checkpoint_roundtrips(self, tmp_path):
+        """SmolLM3 (NoPE layers, tied head) and OLMo-2 (post-norm-only,
+        flat QK-norms) synthetic checkpoints load and forward finitely."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "s3", **{"--model-type": "smollm3",
+                                      "--layers": "4"})
+        cfg, params = load_hf_model(tmp_path / "s3")
+        assert cfg.nope_layers == (3,) and cfg.tie_word_embeddings
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
+
+        self._gen(tmp_path / "o2", **{"--model-type": "olmo2"})
+        cfg, params = load_hf_model(tmp_path / "o2")
+        assert cfg.postnorm_only and cfg.qk_norm_flat
+        assert "input_layernorm" not in params["layers"][0]
+        assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
+
     def test_mixtral_checkpoint_roundtrip(self, tmp_path):
         """Mixtral checkpoint: block_sparse_moe.gate router + w1/w3/w2
         expert tensors load into the framework's router/expert names."""

@@ -321,6 +321,47 @@ class TestModelFamilies:
         ppl_q = evaluate_ppl(cfg, params, calib, batch_size=4)
         assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
 
+    def test_smollm3_logits_match_transformers(self):
+        """SmolLM3: Llama math with NoPE — every 4th layer skips rotary
+        entirely (HF no_rope_layers) — plus tied embeddings; the NoPE
+        identity rope table must reproduce HF exactly."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.SmolLM3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-6,
+            rope_theta=2000000.0, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(19)
+        hf_model = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 20)
+        assert cfg.nope_layers == (3,)  # every 4th layer is NoPE
+        assert cfg.layer_rope(0) == 0 and cfg.layer_rope(3) == 1
+        assert cfg.tie_word_embeddings
+
+    def test_olmo2_logits_match_transformers(self):
+        """OLMo-2: post-norm-only block (no input/pre-FFN norms; sublayer
+        outputs normed before the residual add) + RMSNorm over ALL heads'
+        features of q/k before the head reshape."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Olmo2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(23)
+        hf_model = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 24)
+        assert cfg.postnorm_only and cfg.qk_norm_flat
+        lp0 = params["layers"][0]
+        assert "input_layernorm" not in lp0
+        assert lp0["self_attn.q_norm"].shape == (64,)  # nq*hd, not hd
+        assert lp0["self_attn.k_norm"].shape == (32,)
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

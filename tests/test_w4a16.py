@@ -94,3 +94,52 @@ class TestW4A16Matmul:
         x = jnp.asarray(rand((2, 3, p.in_features), seed=16)).astype(jnp.bfloat16)
         out = w4a16_matmul(x, p, interpret=True)
         assert out.shape == (2, 3, p.out_features)
+
+
+class TestMultiBitPacking:
+    """2/8-bit variants of the plane-per-group format + fused kernel."""
+
+    @pytest.mark.parametrize("bits,c", [(8, 256), (8, 320), (2, 1024),
+                                        (2, 1100)])
+    def test_pack_unpack_roundtrip(self, bits, c):
+        rng = np.random.default_rng(bits + c)
+        codes = rng.integers(0, 1 << bits, (48, c)).astype(np.uint8)
+        packed = pk.pack_codes(codes, group_size=32, bits=bits)
+        assert packed.shape[0] == -(-c // (32 // bits * 32)) * 32 * 32 // 32
+        out = pk.unpack_codes(packed, group_size=32, bits=bits, c_orig=c)
+        np.testing.assert_array_equal(out, codes)
+
+    @pytest.mark.parametrize("bits", [2, 8])
+    def test_kernel_matches_dense_twin(self, bits):
+        R, C, g = 128, 512, 32
+        w = rand((R, C), seed=bits)
+        x = rand((2, 512, C), seed=bits + 1) * 0.3
+        st = hs.accumulate(hs.init_state(C), jnp.asarray(x), use_kernel=False)
+        inv = hs.invert(st, act_order=True)
+        res = gq.gptq_quant(jnp.asarray(w), inv, [g] * (C // g),
+                            [bits] * (C // g))
+        p = pk.pack_quant_meta(res["quant_meta"])
+        assert p.bits == bits and p.planes == 32 // bits
+        xq = jnp.asarray(rand((5, C), seed=9)).astype(jnp.bfloat16)
+        dense = pk.dequantize_dense(p)
+        expected = xq.astype(jnp.float32) @ dense.astype(jnp.float32)
+        out = w4a16_matmul(xq, p, interpret=True)
+        assert_close_scaled(out, expected)
+
+    @pytest.mark.parametrize("bits", [2, 8])
+    def test_row_split_roundtrip(self, bits):
+        """TP row-parallel splits preserve multi-bit packing: shard sums
+        equal the whole layer's output."""
+        R, C, g = 64, 512, 64
+        w = rand((R, C), seed=20 + bits)
+        x = rand((2, 256, C), seed=21) * 0.3
+        st = hs.accumulate(hs.init_state(C), jnp.asarray(x), use_kernel=False)
+        inv = hs.invert(st, act_order=True)
+        res = gq.gptq_quant(jnp.asarray(w), inv, [g] * (C // g),
+                            [bits] * (C // g))
+        p = pk.pack_quant_meta(res["quant_meta"])
+        xq = jnp.asarray(rand((3, C), seed=22).astype(np.float32))
+        whole = w4a16_matmul(xq.astype(jnp.bfloat16), p, interpret=True)
+        parts = [w4a16_matmul(xq.astype(jnp.bfloat16), s, interpret=True)
+                 for s in pk.split_packed_row(p, 2)]
+        assert_close_scaled(sum(parts), whole, rel=1e-2)

@@ -91,6 +91,13 @@ class LlamaConfig:
     rope_local_base_freq: Optional[float] = None
     # SmolLM3/Llama-4-style NoPE: layer indices with NO rotary embedding
     nope_layers: Optional[Tuple[int, ...]] = None
+    # GLM-4: rope covers only this fraction of head_dim (rest passes
+    # through).  GLM's interleaved pairing is de-interleaved at load time
+    # (a per-head permutation of q/k out-features — attention-invariant),
+    # so the standard half-rotation applies to the rotary prefix.
+    partial_rotary_factor: float = 1.0
+    # GLM-4 checkpoints store a fused gate_up_proj ([gate | up] rows)
+    fused_gate_up: bool = False
     # --- OLMo-2 switches ----------------------------------------------------
     # post-norm-only block: NO input/pre-FFN norms; sublayer outputs are
     # normed before the residual add (HF Olmo2DecoderLayer)
@@ -162,7 +169,7 @@ class LlamaConfig:
             return cls.from_hf_dict(inner)
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
                               "gemma3_text", "phi3", "mixtral", "qwen3_moe",
-                              "smollm3", "olmo2"):
+                              "smollm3", "olmo2", "glm4"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -191,6 +198,7 @@ class LlamaConfig:
                 rope_scaling = tuple(sorted(norm.items()))
         # HF LlamaConfig.attention_bias covers q/k/v/o; Qwen2 hard-codes
         # bias=True on q/k/v and bias=False on o (HF Qwen2Attention)
+        glm4 = model_type == "glm4"
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
@@ -239,14 +247,17 @@ class LlamaConfig:
             dtype=dtype,
             rope_scaling=rope_scaling,
             qkv_bias=qkv_bias,
-            o_bias=attention_bias,
+            # GLM-4 biases q/k/v but hard-codes bias=False on o_proj
+            o_bias=attention_bias and not glm4,
             qk_norm=gemma3 or model_type in ("qwen3", "qwen3_moe"),
             fused_qkv_gate_up=model_type == "phi3",
             sliding_window=sliding,
             hidden_act=d.get("hidden_activation" if gemma else "hidden_act",
                              "gelu_pytorch_tanh" if gemma else "silu"),
             norm_unit_offset=gemma,
-            sandwich_norms=gemma,
+            # GLM-4's block is the Gemma sandwich with different weight
+            # names (loader remaps); plain (non-offset) RMSNorm
+            sandwich_norms=gemma or glm4,
             embed_normalizer=gemma,
             attn_logit_softcap=d.get("attn_logit_softcapping")
             if gemma else None,
@@ -260,6 +271,9 @@ class LlamaConfig:
             nope_layers=nope_layers,
             postnorm_only=model_type == "olmo2",
             qk_norm_flat=model_type == "olmo2",
+            partial_rotary_factor=d.get("partial_rotary_factor", 1.0)
+            if glm4 else 1.0,
+            fused_gate_up=glm4,
             moe_num_experts=moe_experts,
             moe_top_k=moe_top_k,
             moe_intermediate_size=moe_inter,
@@ -434,7 +448,7 @@ def rope_cos_sin(
     are concrete (large angles × fp32 pow drift otherwise cost ~1e-5 vs
     HF); falls back to on-device fp32 under tracing.
     """
-    hd = cfg.head_dim_
+    hd = int(cfg.head_dim_ * cfg.partial_rotary_factor)
     base = cfg.rope_theta if theta is None else theta
     inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
     if scaled:
@@ -480,7 +494,15 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, N, H, hd); cos/sin: (N, hd) shared or (B, N, hd) per-sequence."""
+    """x: (B, N, H, hd); cos/sin: (N, rd) shared or (B, N, rd) per-sequence.
+
+    ``rd < hd`` (GLM-4 partial rotary) rotates only the first ``rd`` head
+    dims; the tail passes through (HF keeps ``q_pass``/``k_pass``)."""
+    rd = cos.shape[-1]
+    if rd != x.shape[-1]:
+        x_rot, x_pass = x[..., :rd], x[..., rd:]
+        return jnp.concatenate([apply_rope(x_rot, cos, sin), x_pass],
+                               axis=-1)
     if cos.ndim == 2:
         c = cos[None, :, None, :]
         s = sin[None, :, None, :]

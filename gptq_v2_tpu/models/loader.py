@@ -122,6 +122,55 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
                         else fused[inter:])
             return raw_get(key)
 
+    if cfg.fused_gate_up and not cfg.fused_qkv_gate_up:  # GLM-4
+        gu_get = get
+        inter_gu = cfg.intermediate_size
+
+        def get(key: str):
+            m = re.match(
+                r"(model\.layers\.\d+\.mlp)\.(gate|up)_proj\.weight", key)
+            if m:
+                fused = np.asarray(gu_get(m.group(1) + ".gate_up_proj.weight"))
+                return (fused[:inter_gu] if m.group(2) == "gate"
+                        else fused[inter_gu:])
+            return gu_get(key)
+
+    if cfg.partial_rotary_factor != 1.0:
+        # GLM-4 interleaved partial rope → de-interleave each head's rotary
+        # prefix of q/k out-features at load (q·k is invariant under a
+        # simultaneous per-head permutation), so the standard half-rotation
+        # convention applies at runtime with no per-step cost
+        pr_get = get
+        hd = cfg.head_dim_
+        rd = int(hd * cfg.partial_rotary_factor)
+        dim_perm = np.concatenate([np.arange(0, rd, 2), np.arange(1, rd, 2),
+                                   np.arange(rd, hd)])
+
+        def _deinterleave(w):  # w: (out, ...) HF layout, out = heads*hd
+            n_heads = w.shape[0] // hd
+            idx = (np.arange(n_heads)[:, None] * hd
+                   + dim_perm[None, :]).reshape(-1)
+            return w[idx]
+
+        def get(key: str):
+            w = pr_get(key)
+            if re.match(r"model\.layers\.\d+\.self_attn\.[qk]_proj\."
+                        r"(weight|bias)", key):
+                return _deinterleave(np.asarray(w))
+            return w
+
+    if cfg.sandwich_norms and cfg.fused_gate_up:  # GLM-4 norm names
+        nm_get = get
+        _GLM_NORMS = {"post_attention_layernorm": "post_self_attn_layernorm",
+                      "pre_feedforward_layernorm": "post_attention_layernorm",
+                      "post_feedforward_layernorm": "post_mlp_layernorm"}
+
+        def get(key: str):
+            m = re.match(r"(model\.layers\.\d+)\.(\w+)\.weight", key)
+            if m and m.group(2) in _GLM_NORMS:
+                return nm_get(f"{m.group(1)}.{_GLM_NORMS[m.group(2)]}.weight")
+            return nm_get(key)
+
     np_dt = np.dtype(cfg.dtype)  # ml_dtypes registers 'bfloat16' with numpy
 
     def fetch_linear(hf_key):

@@ -362,6 +362,30 @@ class TestModelFamilies:
         assert lp0["self_attn.q_norm"].shape == (64,)  # nq*hd, not hd
         assert lp0["self_attn.k_norm"].shape == (32,)
 
+    def test_glm4_logits_match_transformers(self):
+        """GLM-4: partial interleaved rotary (first half of head_dim,
+        de-interleaved at load so the standard half-rotation applies),
+        Gemma-style sandwich norms under GLM weight names, fused
+        gate_up_proj, and QKV-only biases."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Glm4Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+            partial_rotary_factor=0.5, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(27)
+        hf_model = transformers.Glm4ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 28)
+        assert cfg.partial_rotary_factor == 0.5 and cfg.fused_gate_up
+        assert cfg.sandwich_norms and not cfg.norm_unit_offset
+        assert cfg.qkv_bias and not cfg.o_bias
+        lp0 = params["layers"][0]
+        assert "pre_feedforward_layernorm" in lp0  # remapped GLM name
+        assert lp0["mlp.gate_proj"].shape == (64, 112)  # split from fused
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -200,6 +200,26 @@ class TestEngine:
         assert out[0] == expected
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_glm4_style_decode_matches_full_recompute(self, kind):
+        """GLM-4 switches through the serving stack: partial rotary (half
+        the head dims pass through), sandwich norms, QKV biases."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, qkv_bias=True,
+                                 sandwich_norms=True,
+                                 partial_rotary_factor=0.5)
+        model = random_packed_llama(cfg, group_size=16, seed=49,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(50)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense
         experts on packed INT4 weights, bf16 router, all three schedulers."""

@@ -82,7 +82,41 @@ def measure_hbm_bw(on_tpu: bool, dev) -> float:
     return bw
 
 
+def _device_watchdog(timeout_s: float = 240.0) -> bool:
+    """True once a backend answers; False if device init hangs.
+
+    The tunneled TPU can go unreachable for hour-long stretches (backend
+    init then blocks forever with no exception).  Probing ``jax.devices``
+    from a daemon thread bounds the wait so the bench emits an explicit
+    error record instead of hanging the harness.
+    """
+    import threading
+
+    done = threading.Event()
+    out = {}
+
+    def probe():
+        try:
+            out["devs"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            out["err"] = repr(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "err" in out:
+        print(json.dumps({
+            "metric": "w4a16_decode_tokens_per_sec_per_chip",
+            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+            "error": out.get("err", f"device init unreachable after "
+                                    f"{timeout_s:.0f}s (tunnel outage)"),
+        }))
+        return False
+    return True
+
+
 def main():
+    if not _device_watchdog():
+        sys.exit(1)
     for batch in (BATCH, BATCH // 2, BATCH // 4):
         try:
             return run(batch)

@@ -66,6 +66,9 @@ def build_config(a) -> dict:
         })
     if a.model_type == "olmo2":
         cfg.update({"rms_norm_eps": 1e-5})
+    if a.model_type == "glm4":
+        cfg.update({"attention_bias": True, "partial_rotary_factor": 0.5,
+                    "rms_norm_eps": 1e-5})
     if a.model_type == "smollm3":
         cfg.update({
             "rms_norm_eps": 1e-6,
@@ -96,6 +99,12 @@ def tensor_entries(cfg_dict):
     d, v = cfg.hidden_size, cfg.vocab_size
     yield "model.embed_tokens.weight", (v, d)
     fused_of = {}
+    if cfg.fused_gate_up and not cfg.fused_qkv_gate_up:  # glm4
+        fused_of = {
+            "mlp.gate_proj": ("mlp.gate_up_proj",
+                              (2 * cfg.intermediate_size, d)),
+            "mlp.up_proj": None,
+        }
     if cfg.fused_qkv_gate_up:  # phi3 stores fused projection tensors
         hd = cfg.head_dim_
         op = (cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * hd
@@ -106,8 +115,14 @@ def tensor_entries(cfg_dict):
                               (2 * cfg.intermediate_size, d)),
             "mlp.up_proj": None,
         }
+    glm_norms = {"post_attention_layernorm": "post_self_attn_layernorm",
+                 "pre_feedforward_layernorm": "post_attention_layernorm",
+                 "post_feedforward_layernorm": "post_mlp_layernorm"}
+
     def hf_name(name):
         """Framework layer-param name → the family's checkpoint name."""
+        if cfg.fused_gate_up and name in glm_norms:  # glm4 norm names
+            return glm_norms[name]
         if cfg.moe_num_experts:
             if name == "mlp.router":
                 return ("block_sparse_moe.gate" if cfg.moe_mixtral_names
@@ -141,7 +156,7 @@ def main():
     ap.add_argument("--model-type", default="llama",
                     choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
                              "gemma3_text", "phi3", "mixtral", "qwen3_moe",
-                             "smollm3", "olmo2"])
+                             "smollm3", "olmo2", "glm4"])
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--top-k", type=int, default=2)
     ap.add_argument("--moe-intermediate", type=int, default=0,

@@ -298,6 +298,25 @@ class TestSyntheticCheckpoints:
         assert "input_layernorm" not in params["layers"][0]
         assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
 
+    def test_glm4_checkpoint_roundtrip(self, tmp_path):
+        """GLM-4 checkpoint: fused gate_up splits, GLM norm names remap,
+        q/k de-interleave, partial-rotary config round-trips."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "g4", **{"--model-type": "glm4",
+                                      "--head-dim": "16"})
+        cfg, params = load_hf_model(tmp_path / "g4")
+        assert cfg.partial_rotary_factor == 0.5 and cfg.fused_gate_up
+        assert cfg.qkv_bias and not cfg.o_bias and cfg.sandwich_norms
+        lp0 = params["layers"][0]
+        assert "pre_feedforward_layernorm" in lp0
+        assert lp0["mlp.gate_proj"].shape[1] == cfg.intermediate_size
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
+
     def test_mixtral_checkpoint_roundtrip(self, tmp_path):
         """Mixtral checkpoint: block_sparse_moe.gate router + w1/w3/w2
         expert tensors load into the framework's router/expert names."""

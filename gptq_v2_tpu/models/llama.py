@@ -98,6 +98,16 @@ class LlamaConfig:
     partial_rotary_factor: float = 1.0
     # GLM-4 checkpoints store a fused gate_up_proj ([gate | up] rows)
     fused_gate_up: bool = False
+    # --- DeepSeek-V2/V3 Multi-head Latent Attention -------------------------
+    # q via a low-rank bottleneck (q_a -> norm -> q_b; None = direct q_proj),
+    # kv via a compressed latent (kv_a_proj_with_mqa = [c_kv | shared rope
+    # key]); per head q/k = [nope | rope] with an MQA-shared rope key.
+    mla: bool = False
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
     # --- OLMo-2 switches ----------------------------------------------------
     # post-norm-only block: NO input/pre-FFN norms; sublayer outputs are
     # normed before the residual add (HF Olmo2DecoderLayer)
@@ -117,7 +127,17 @@ class LlamaConfig:
 
     @property
     def head_dim_(self) -> int:
+        if self.mla:  # attention/cache head dim = [nope | rope] key width
+            return self.qk_nope_head_dim + self.qk_rope_head_dim
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def rope_dim_(self) -> int:
+        """Rotated dims per head (= table width): MLA rotates only the
+        shared rope key; GLM-4 a partial prefix; else the full head."""
+        if self.mla:
+            return self.qk_rope_head_dim
+        return int(self.head_dim_ * self.partial_rotary_factor)
 
     @property
     def moe_intermediate_(self) -> int:
@@ -169,7 +189,7 @@ class LlamaConfig:
             return cls.from_hf_dict(inner)
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
                               "gemma3_text", "phi3", "mixtral", "qwen3_moe",
-                              "smollm3", "olmo2", "glm4"):
+                              "smollm3", "olmo2", "glm4", "deepseek_v3"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -199,6 +219,18 @@ class LlamaConfig:
         # HF LlamaConfig.attention_bias covers q/k/v/o; Qwen2 hard-codes
         # bias=True on q/k/v and bias=False on o (HF Qwen2Attention)
         glm4 = model_type == "glm4"
+        mla = model_type == "deepseek_v3"
+        if mla:
+            if (d.get("n_routed_experts") and
+                    d.get("first_k_dense_replace", 0)
+                    < d["num_hidden_layers"]):
+                raise NotImplementedError(
+                    "DeepSeek MoE layers (first_k_dense_replace <"
+                    " num_hidden_layers) are not supported yet; dense"
+                    " DeepSeek (MLA) configs are")
+            if not d.get("rope_interleave", True):
+                raise NotImplementedError(
+                    "deepseek_v3 with rope_interleave=False")
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
@@ -236,7 +268,10 @@ class LlamaConfig:
             intermediate_size=d["intermediate_size"],
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=d["num_attention_heads"],
-            num_key_value_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            # MLA broadcasts the shared latent to every head — KV-head
+            # count is vestigial in DeepSeek configs; force = heads
+            num_key_value_heads=d["num_attention_heads"] if mla
+            else d.get("num_key_value_heads", d["num_attention_heads"]),
             head_dim=d.get("head_dim"),
             max_position_embeddings=d.get("max_position_embeddings", 4096),
             rope_theta=d.get("rope_theta", 10000.0),
@@ -274,6 +309,12 @@ class LlamaConfig:
             partial_rotary_factor=d.get("partial_rotary_factor", 1.0)
             if glm4 else 1.0,
             fused_gate_up=glm4,
+            mla=mla,
+            q_lora_rank=d.get("q_lora_rank") if mla else None,
+            kv_lora_rank=d.get("kv_lora_rank", 512) if mla else 512,
+            qk_nope_head_dim=d.get("qk_nope_head_dim", 128) if mla else 128,
+            qk_rope_head_dim=d.get("qk_rope_head_dim", 64) if mla else 64,
+            v_head_dim=d.get("v_head_dim", 128) if mla else 128,
             moe_num_experts=moe_experts,
             moe_top_k=moe_top_k,
             moe_intermediate_size=moe_inter,
@@ -317,6 +358,24 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
         "mlp.up_proj": (d, i),
         "mlp.down_proj": (i, d),
     }
+    if cfg.mla:  # DeepSeek MLA replaces the q/k/v projections
+        assert nq == nkv, "MLA shares one latent across all heads"
+        qk_head = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+        for n in ("self_attn.q_proj", "self_attn.k_proj",
+                  "self_attn.v_proj"):
+            del shapes[n]
+        if cfg.q_lora_rank:
+            shapes["self_attn.q_a_proj"] = (d, cfg.q_lora_rank)
+            shapes["self_attn.q_a_layernorm"] = (cfg.q_lora_rank,)
+            shapes["self_attn.q_b_proj"] = (cfg.q_lora_rank, nq * qk_head)
+        else:
+            shapes["self_attn.q_proj"] = (d, nq * qk_head)
+        shapes["self_attn.kv_a_proj_with_mqa"] = (
+            d, cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+        shapes["self_attn.kv_a_layernorm"] = (cfg.kv_lora_rank,)
+        shapes["self_attn.kv_b_proj"] = (
+            cfg.kv_lora_rank, nq * (cfg.qk_nope_head_dim + cfg.v_head_dim))
+        shapes["self_attn.o_proj"] = (nq * cfg.v_head_dim, d)
     if cfg.moe_num_experts:  # MoE: router + per-expert MLPs replace the dense MLP
         for n in MLP_LINEARS:
             del shapes[n]
@@ -448,7 +507,7 @@ def rope_cos_sin(
     are concrete (large angles × fp32 pow drift otherwise cost ~1e-5 vs
     HF); falls back to on-device fp32 under tracing.
     """
-    hd = int(cfg.head_dim_ * cfg.partial_rotary_factor)
+    hd = cfg.rope_dim_
     base = cfg.rope_theta if theta is None else theta
     inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
     if scaled:
@@ -670,6 +729,8 @@ def block_core(
 
     h = x if cfg.postnorm_only else rms_norm(x, lp["input_layernorm"],
                                              eps, uo)
+    if cfg.mla:
+        return _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn)
     qf = lin("self_attn.q_proj", h)
     kf = lin("self_attn.k_proj", h)
     v = lin("self_attn.v_proj", h)
@@ -692,6 +753,70 @@ def block_core(
     x = x + o
 
     if cfg.postnorm_only:  # OLMo-2: the MLP consumes the raw residual
+        h = x
+    else:
+        pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
+                   else "post_attention_layernorm")
+        h = rms_norm(x, lp[pre_mlp], eps, uo)
+    if cfg.moe_num_experts:
+        comb = moe_combine(cfg, lp["mlp.router"], h)
+        mlp = (moe_fn(h, comb) if moe_fn is not None
+               else moe_apply_dense(cfg, lin, h, comb))
+    else:
+        gate = lin("mlp.gate_proj", h)
+        up = lin("mlp.up_proj", h)
+        mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
+    if cfg.sandwich_norms or cfg.postnorm_only:
+        mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
+    return x + mlp, aux
+
+
+def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn):
+    """DeepSeek Multi-head Latent Attention + MLP (block_core's MLA arm).
+
+    Exact (non-absorbed) form, HF ``DeepseekV3Attention`` semantics: q via
+    the low-rank bottleneck (or direct), kv from the compressed latent
+    ``kv_a_proj_with_mqa = [c_kv | shared rope key]``; per head
+    ``q/k = [nope | rope]`` with the MQA rope key broadcast to every head.
+    The value (``v_head_dim``) is zero-padded to the qk head dim so the
+    family-generic attention/caches apply unchanged; the pad is sliced
+    off before ``o_proj``.  Rope rows are de-interleaved at load
+    (``rope_interleave`` checkpoints), so the standard half-rotation
+    applies to the rope slice.
+    """
+    b, n = x.shape[0], x.shape[1]
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+    nope, rd, vd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    qk_head = nope + rd
+
+    if cfg.q_lora_rank:
+        qa = rms_norm(lin("self_attn.q_a_proj", h),
+                      lp["self_attn.q_a_layernorm"], eps, uo)
+        q = lin("self_attn.q_b_proj", qa)
+    else:
+        q = lin("self_attn.q_proj", h)
+    q = q.reshape(b, n, -1, qk_head)
+    nq = q.shape[2]
+    kv_a = lin("self_attn.kv_a_proj_with_mqa", h)
+    c_kv, k_rope = kv_a[..., :cfg.kv_lora_rank], kv_a[..., cfg.kv_lora_rank:]
+    kv = lin("self_attn.kv_b_proj",
+             rms_norm(c_kv, lp["self_attn.kv_a_layernorm"], eps, uo))
+    kv = kv.reshape(b, n, nq, nope + vd)
+    k_nope, v = kv[..., :nope], kv[..., nope:]
+
+    q_rot = apply_rope(q[..., nope:], cos, sin)
+    q = jnp.concatenate([q[..., :nope], q_rot], axis=-1)
+    k_rot = apply_rope(k_rope[:, :, None, :], cos, sin)  # (B, N, 1, rd)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_rot, (b, n, nq, rd))], axis=-1)
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qk_head - vd)))
+    attn, aux = attn_fn(q, k, v_pad)
+    o = lin("self_attn.o_proj", attn[..., :vd].reshape(b, n, -1))
+    if cfg.sandwich_norms or cfg.postnorm_only:
+        o = rms_norm(o, lp["post_attention_layernorm"], eps, uo)
+    x = x + o
+
+    if cfg.postnorm_only:
         h = x
     else:
         pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms

@@ -159,6 +159,38 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
                 return _deinterleave(np.asarray(w))
             return w
 
+    if cfg.mla:
+        # DeepSeek rope_interleave checkpoints: de-interleave each head's
+        # rope rows of q (and the shared rope key rows of kv_a) at load so
+        # the standard half-rotation applies at runtime — HF does the same
+        # reshuffle per forward (apply_rotary_pos_emb_interleave)
+        mla_get = get
+        rd_m, nope_m = cfg.qk_rope_head_dim, cfg.qk_nope_head_dim
+        qk_head_m = nope_m + rd_m
+        deint = np.concatenate([np.arange(0, rd_m, 2),
+                                np.arange(1, rd_m, 2)])
+
+        def _q_rows(out_dim):
+            idx = np.arange(out_dim)
+            for h0 in range(0, out_dim, qk_head_m):
+                idx[h0 + nope_m:h0 + qk_head_m] = h0 + nope_m + deint
+            return idx
+
+        def get(key: str):
+            w = mla_get(key)
+            if re.match(r"model\.layers\.\d+\.self_attn\."
+                        r"(q_b_proj|q_proj)\.weight", key):
+                w = np.asarray(w)
+                return w[_q_rows(w.shape[0])]
+            if re.match(r"model\.layers\.\d+\.self_attn\."
+                        r"kv_a_proj_with_mqa\.weight", key):
+                w = np.asarray(w)
+                idx = np.arange(w.shape[0])
+                kl = cfg.kv_lora_rank
+                idx[kl:kl + rd_m] = kl + deint
+                return w[idx]
+            return w
+
     if cfg.sandwich_norms and cfg.fused_gate_up:  # GLM-4 norm names
         nm_get = get
         _GLM_NORMS = {"post_attention_layernorm": "post_self_attn_layernorm",

@@ -171,6 +171,10 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
     ``model`` axis and place every array on its devices."""
     cfg = model.cfg
     tp = tp_size(mesh)
+    assert not cfg.mla, (
+        "MLA (DeepSeek) tensor parallelism is not wired yet: the shared"
+        " KV latent replicates while q_b/kv_b shard by head — serve MLA"
+        " single-device for now")
     assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
     assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
     if cfg.moe_num_experts:

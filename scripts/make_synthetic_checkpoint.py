@@ -66,6 +66,13 @@ def build_config(a) -> dict:
         })
     if a.model_type == "olmo2":
         cfg.update({"rms_norm_eps": 1e-5})
+    if a.model_type == "deepseek_v3":
+        hd = a.head_dim or 16
+        cfg.update({"q_lora_rank": 3 * a.hidden // 4, "kv_lora_rank": a.hidden // 2,
+                    "qk_nope_head_dim": hd, "qk_rope_head_dim": hd // 2,
+                    "v_head_dim": hd, "first_k_dense_replace": a.layers,
+                    "n_routed_experts": 4, "rms_norm_eps": 1e-6})
+        cfg.pop("head_dim", None)
     if a.model_type == "glm4":
         cfg.update({"attention_bias": True, "partial_rotary_factor": 0.5,
                     "rms_norm_eps": 1e-5})
@@ -156,7 +163,7 @@ def main():
     ap.add_argument("--model-type", default="llama",
                     choices=["llama", "mistral", "qwen2", "qwen3", "gemma2",
                              "gemma3_text", "phi3", "mixtral", "qwen3_moe",
-                             "smollm3", "olmo2", "glm4"])
+                             "smollm3", "olmo2", "glm4", "deepseek_v3"])
     ap.add_argument("--experts", type=int, default=8)
     ap.add_argument("--top-k", type=int, default=2)
     ap.add_argument("--moe-intermediate", type=int, default=0,

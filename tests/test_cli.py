@@ -317,6 +317,24 @@ class TestSyntheticCheckpoints:
         toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
         assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
 
+    def test_deepseek_v3_checkpoint_roundtrip(self, tmp_path):
+        """DeepSeek MLA checkpoint: q/kv low-rank projections load, rope
+        rows de-interleave, config round-trips."""
+        import jax.numpy as jnp
+
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.models.loader import load_hf_model
+
+        self._gen(tmp_path / "ds", **{"--model-type": "deepseek_v3",
+                                      "--head-dim": "16"})
+        cfg, params = load_hf_model(tmp_path / "ds")
+        assert cfg.mla and cfg.qk_rope_head_dim == 8
+        lp0 = params["layers"][0]
+        assert "self_attn.kv_a_proj_with_mqa" in lp0
+        assert "self_attn.q_a_layernorm" in lp0
+        toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
+        assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
+
     def test_mixtral_checkpoint_roundtrip(self, tmp_path):
         """Mixtral checkpoint: block_sparse_moe.gate router + w1/w3/w2
         expert tensors load into the framework's router/expert names."""

@@ -386,6 +386,31 @@ class TestModelFamilies:
         assert "pre_feedforward_layernorm" in lp0  # remapped GLM name
         assert lp0["mlp.gate_proj"].shape == (64, 112)  # split from fused
 
+    @pytest.mark.parametrize("q_lora", [48, None])
+    def test_deepseek_v3_mla_logits_match_transformers(self, q_lora):
+        """DeepSeek-V3 Multi-head Latent Attention (dense layers): low-rank
+        q bottleneck (and the direct-q V2-Lite variant), compressed KV
+        latent with an MQA-shared interleaved rope key (de-interleaved at
+        load), nope|rope split heads, v_head_dim != qk_head_dim."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.DeepseekV3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, q_lora_rank=q_lora, kv_lora_rank=32,
+            qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+            first_k_dense_replace=2, n_routed_experts=4,
+            max_position_embeddings=128, rms_norm_eps=1e-5, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(31)
+        hf_model = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 32)
+        assert cfg.mla and cfg.head_dim_ == 24 and cfg.rope_dim_ == 8
+        lp0 = params["layers"][0]
+        assert "self_attn.kv_b_proj" in lp0
+        assert ("self_attn.q_b_proj" in lp0) == (q_lora is not None)
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -220,6 +220,30 @@ class TestEngine:
         assert out[0] == expected
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_mla_decode_matches_full_recompute(self, kind):
+        """DeepSeek MLA through the serving stack: compressed-latent
+        attention with the padded-v cache on all three schedulers."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        assert cfg.head_dim_ == 24 and cfg.rope_dim_ == 8
+        model = random_packed_llama(cfg, group_size=16, seed=51,
+                                    compute_dtype=jnp.float32)
+        assert hasattr(model.layers[0]["self_attn.kv_b_proj"], "qweight")
+        rng = np.random.default_rng(52)
+        prompt = rng.integers(0, cfg.vocab_size, (9,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense
         experts on packed INT4 weights, bf16 router, all three schedulers."""

@@ -124,6 +124,9 @@ class LlamaConfig:
     # ``block_sparse_moe.experts.{e}.w1|w3|w2`` + router ``.gate``;
     # Qwen3-MoE uses ``mlp.experts.{e}.gate|up|down_proj`` + ``mlp.gate``
     moe_mixtral_names: bool = False
+    # layer indices with a DENSE MLP in an otherwise-MoE model (DeepSeek
+    # first_k_dense_replace, Qwen3-MoE mlp_only_layers/decoder_sparse_step)
+    moe_dense_layers: Optional[Tuple[int, ...]] = None
 
     @property
     def head_dim_(self) -> int:
@@ -153,6 +156,13 @@ class LlamaConfig:
         if self.query_pre_attn_scalar is not None:
             return self.query_pre_attn_scalar ** -0.5
         return 1.0 / math.sqrt(self.head_dim_)
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        """Whether this layer's MLP is the sparse-MoE block."""
+        if not self.moe_num_experts:
+            return False
+        return (self.moe_dense_layers is None
+                or layer_idx not in self.moe_dense_layers)
 
     def layer_window(self, layer_idx: int) -> Optional[int]:
         """Sliding window for one layer (None = global attention)."""
@@ -193,17 +203,22 @@ class LlamaConfig:
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
+        moe_dense = None
         if model_type == "mixtral":
             moe_experts = d["num_local_experts"]
             moe_top_k = d["num_experts_per_tok"]
         elif model_type == "qwen3_moe":
-            if d.get("mlp_only_layers") or d.get("decoder_sparse_step", 1) != 1:
-                raise NotImplementedError(
-                    "qwen3_moe with dense layers interleaved")
             moe_experts = d["num_experts"]
             moe_top_k = d["num_experts_per_tok"]
             moe_inter = d.get("moe_intermediate_size")
             moe_renorm = d.get("norm_topk_prob", True)
+            # HF Qwen3MoeDecoderLayer: MoE iff layer not in mlp_only_layers
+            # AND (layer + 1) % decoder_sparse_step == 0
+            only = set(d.get("mlp_only_layers") or ())
+            step = d.get("decoder_sparse_step", 1)
+            dense = tuple(i for i in range(d["num_hidden_layers"])
+                          if i in only or (i + 1) % step)
+            moe_dense = dense or None
         dtype = d.get("torch_dtype", "float16")
         rs = d.get("rope_scaling")
         rope_scaling = None
@@ -320,6 +335,7 @@ class LlamaConfig:
             moe_intermediate_size=moe_inter,
             moe_renorm=moe_renorm,
             moe_mixtral_names=model_type == "mixtral",
+            moe_dense_layers=moe_dense,
         )
 
     @classmethod
@@ -344,7 +360,11 @@ class LlamaConfig:
 # ---------------------------------------------------------------------------
 
 
-def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
+def layer_param_shapes(cfg: LlamaConfig,
+                       layer_idx: Optional[int] = None) -> Dict[str, Tuple[int, ...]]:
+    """Per-layer parameter shapes.  ``layer_idx=None`` assumes the model's
+    dominant layer type (MoE when configured); pass the index for models
+    with interleaved dense MLP layers (``cfg.layer_is_moe``)."""
     d, hd = cfg.hidden_size, cfg.head_dim_
     nq, nkv, i = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
     shapes = {
@@ -376,7 +396,9 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
         shapes["self_attn.kv_b_proj"] = (
             cfg.kv_lora_rank, nq * (cfg.qk_nope_head_dim + cfg.v_head_dim))
         shapes["self_attn.o_proj"] = (nq * cfg.v_head_dim, d)
-    if cfg.moe_num_experts:  # MoE: router + per-expert MLPs replace the dense MLP
+    if cfg.moe_num_experts and (layer_idx is None
+                                or cfg.layer_is_moe(layer_idx)):
+        # MoE: router + per-expert MLPs replace the dense MLP
         for n in MLP_LINEARS:
             del shapes[n]
         shapes["mlp.router"] = (d, cfg.moe_num_experts)
@@ -408,8 +430,9 @@ def layer_param_shapes(cfg: LlamaConfig) -> Dict[str, Tuple[int, ...]]:
 def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     """Random-init parameters (tests / benchmarking without checkpoints)."""
     dt = cfg.jdtype
-    n_2d = sum(len(s) == 2 for s in layer_param_shapes(cfg).values())
-    n_weights = cfg.num_hidden_layers * n_2d + 2
+    n_weights = 2 + sum(
+        sum(len(s) == 2 for s in layer_param_shapes(cfg, i).values())
+        for i in range(cfg.num_hidden_layers))
     keys = iter(jax.random.split(key, n_weights))
 
     def w(shape):
@@ -421,7 +444,7 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     layers = []
     for _ in range(cfg.num_hidden_layers):
         lp = {}
-        for name, shape in layer_param_shapes(cfg).items():
+        for name, shape in layer_param_shapes(cfg, i).items():
             lp[name] = norm_init(shape, dtype=dt) if len(shape) == 1 else w(shape)
         layers.append(lp)
     embed = w((cfg.vocab_size, cfg.hidden_size))
@@ -758,7 +781,7 @@ def block_core(
         pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
                    else "post_attention_layernorm")
         h = rms_norm(x, lp[pre_mlp], eps, uo)
-    if cfg.moe_num_experts:
+    if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
         comb = moe_combine(cfg, lp["mlp.router"], h)
         mlp = (moe_fn(h, comb) if moe_fn is not None
                else moe_apply_dense(cfg, lin, h, comb))
@@ -822,7 +845,7 @@ def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn):
         pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
                    else "post_attention_layernorm")
         h = rms_norm(x, lp[pre_mlp], eps, uo)
-    if cfg.moe_num_experts:
+    if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
         comb = moe_combine(cfg, lp["mlp.router"], h)
         mlp = (moe_fn(h, comb) if moe_fn is not None
                else moe_apply_dense(cfg, lin, h, comb))

@@ -216,7 +216,7 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
     layers = []
     for i in range(cfg.num_hidden_layers):
         lp = {}
-        for name, shape in layer_param_shapes(cfg).items():
+        for name, shape in layer_param_shapes(cfg, i).items():
             key = _hf_key(name, i)
             fetch = (fetch_vector if len(shape) == 1
                      else fetch_linear)

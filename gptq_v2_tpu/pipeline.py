@@ -646,41 +646,58 @@ def quantize_model(
             embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))))
     del embed_w
 
-    # Stage schedule: discovered once, identical for every block.
-    lp0 = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(params["layers"][0])
-    )
-    schedule = graph.extract_dependencies(
-        lambda p, xb, cs: L.block_apply(cfg, p, xb, cs[0], cs[1])[0],
-        lp0, jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size), dt),
-        (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
-         jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype)),
-        exclude=L.NON_QUANTIZED_LINEARS,
-    )
-    stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
+    # Stage schedule per block SIGNATURE (key set): homogeneous models
+    # compute one schedule for all blocks; heterogeneous ones (DeepSeek
+    # first_k_dense_replace, Qwen3-MoE interleaved dense layers) get one
+    # schedule per distinct block shape, discovered lazily and cached.
+    _sched_cache: Dict[tuple, tuple] = {}
 
-    # Wave fusion: mutually independent stages (MoE experts) capture their
-    # Hessians from ONE shared forward per wave.  Dense blocks have only
-    # singleton waves and keep the incremental-injection path instead.
-    waves = graph.stage_waves(stage_list)
-    use_waves = (incremental and not qcfg.rtn
-                 and any(len(w) > 1 for w in waves))
-    if use_waves:
-        logger.info("wave fusion: %d stages in %d waves",
-                    len(stage_list), len(waves))
+    def _block_schedule(lp_real):
+        sig = tuple(sorted(lp_real))
+        if sig in _sched_cache:
+            return _sched_cache[sig]
+        lp0 = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(lp_real))
+        schedule = graph.extract_dependencies(
+            lambda p, xb, cs: L.block_apply(cfg, p, xb, cs[0], cs[1])[0],
+            lp0, jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size),
+                                      dt),
+            (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
+             jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype)),
+            exclude=L.NON_QUANTIZED_LINEARS,
+        )
+        stage_list = [st for st in schedule if st.linears != (graph.OUTPUT,)]
 
-    plan = None
-    if incremental and not qcfg.rtn and not use_waves:
-        cs_struct = (jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
-                     jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype))
-        plan = _plan_incremental(
-            cfg, lp0,
-            jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size), dt),
-            cs_struct, stage_list)
-        members_map = tuple((st.linears[0], st.linears) for st in stage_list)
-        logger.info(
-            "incremental plan: caching %s",
-            [st.linears[0] for st, c in zip(stage_list, plan.cache) if c])
+        # Wave fusion: mutually independent stages (MoE experts) capture
+        # their Hessians from ONE shared forward per wave.  Dense blocks
+        # have only singleton waves and keep incremental injection.
+        waves = graph.stage_waves(stage_list)
+        use_waves = (incremental and not qcfg.rtn
+                     and any(len(w) > 1 for w in waves))
+        if use_waves:
+            logger.info("wave fusion: %d stages in %d waves",
+                        len(stage_list), len(waves))
+        plan = members_map = None
+        if incremental and not qcfg.rtn and not use_waves:
+            cs_struct = (
+                jax.ShapeDtypeStruct(cos_sin[0].shape, cos_sin[0].dtype),
+                jax.ShapeDtypeStruct(cos_sin[1].shape, cos_sin[1].dtype))
+            plan = _plan_incremental(
+                cfg, lp0,
+                jax.ShapeDtypeStruct((batch_size, seqlen, cfg.hidden_size),
+                                     dt),
+                cs_struct, stage_list)
+            members_map = tuple((st.linears[0], st.linears)
+                                for st in stage_list)
+            logger.info(
+                "incremental plan: caching %s",
+                [st.linears[0]
+                 for st, c in zip(stage_list, plan.cache) if c])
+        _sched_cache[sig] = (stage_list, waves, use_waves, plan, members_map)
+        return _sched_cache[sig]
+
+    stage_list, waves, use_waves, plan, members_map = _block_schedule(
+        dict(params["layers"][0]))
 
     def try_resume_stage(li, stage):
         """Loaded results for a fully-saved stage of THIS config, else None.
@@ -757,6 +774,8 @@ def quantize_model(
         t0 = time.time()
         win = cfg.layer_window(li)  # per-layer attention window (Gemma-2)
         cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
+        stage_list, waves, use_waves, plan, members_map = _block_schedule(
+            dict(params["layers"][li]))
         lp = place_layer(_device_layer(params["layers"][li]))
         pending: list = []  # canonical names with device-resident quant_meta
 

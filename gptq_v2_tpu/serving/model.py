@@ -168,9 +168,10 @@ def random_packed_llama(
     model's, without paying quantization time.
     """
     g = group_size
-    shapes = L.layer_param_shapes(cfg)
-    keys = iter(jax.random.split(jax.random.key(seed),
-                                 (len(shapes) + 1) * cfg.num_hidden_layers + 2))
+    per_layer = [L.layer_param_shapes(cfg, i)
+                 for i in range(cfg.num_hidden_layers)]
+    n_keys = sum(len(sh) + 1 for sh in per_layer) + 2
+    keys = iter(jax.random.split(jax.random.key(seed), n_keys))
 
     def packed(c, r):
         # generated on-device: a 7B model is ~4GB, host gen + transfer over
@@ -200,7 +201,7 @@ def random_packed_llama(
 
     norm_init = jnp.zeros if cfg.norm_unit_offset else jnp.ones
     layers = []
-    for _ in range(cfg.num_hidden_layers):
+    for shapes in per_layer:
         lp = {}
         for name, shape in shapes.items():
             if len(shape) == 1:

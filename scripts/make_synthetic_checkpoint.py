@@ -141,7 +141,7 @@ def tensor_entries(cfg_dict):
         return name
 
     for i in range(cfg.num_hidden_layers):
-        for name, shape in layer_param_shapes(cfg).items():
+        for name, shape in layer_param_shapes(cfg, i).items():
             if name in fused_of:
                 if fused_of[name] is None:
                     continue  # folded into the fused tensor

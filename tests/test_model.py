@@ -411,6 +411,28 @@ class TestModelFamilies:
         assert "self_attn.kv_b_proj" in lp0
         assert ("self_attn.q_b_proj" in lp0) == (q_lora is not None)
 
+    def test_qwen3_moe_interleaved_dense_layers(self):
+        """Heterogeneous blocks: Qwen3-MoE with decoder_sparse_step=2 (odd
+        layers MoE, even layers dense MLP) — per-layer shapes, data-driven
+        block dispatch, and HF parity."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Qwen3MoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, decoder_sparse_step=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(35)
+        hf_model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 36)
+        assert cfg.moe_dense_layers == (0,)
+        assert not cfg.layer_is_moe(0) and cfg.layer_is_moe(1)
+        assert "mlp.gate_proj" in params["layers"][0]
+        assert "mlp.router" in params["layers"][1]
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -127,6 +127,16 @@ class LlamaConfig:
     # layer indices with a DENSE MLP in an otherwise-MoE model (DeepSeek
     # first_k_dense_replace, Qwen3-MoE mlp_only_layers/decoder_sparse_step)
     moe_dense_layers: Optional[Tuple[int, ...]] = None
+    # DeepSeek-V3 routing: sigmoid scores + e_score_correction_bias for
+    # EXPERT CHOICE only (combine weights use the unbiased scores),
+    # group-limited top-k (n_group groups ranked by their top-2 biased
+    # scores, topk_group kept), renorm, x routed_scaling_factor; plus
+    # n_shared_experts always-on dense experts added to the routed output
+    moe_sigmoid_routing: bool = False
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
+    moe_routed_scale: float = 1.0
+    moe_shared_experts: int = 0
 
     @property
     def head_dim_(self) -> int:
@@ -235,17 +245,20 @@ class LlamaConfig:
         # bias=True on q/k/v and bias=False on o (HF Qwen2Attention)
         glm4 = model_type == "glm4"
         mla = model_type == "deepseek_v3"
+        ds_moe = False
         if mla:
-            if (d.get("n_routed_experts") and
-                    d.get("first_k_dense_replace", 0)
-                    < d["num_hidden_layers"]):
-                raise NotImplementedError(
-                    "DeepSeek MoE layers (first_k_dense_replace <"
-                    " num_hidden_layers) are not supported yet; dense"
-                    " DeepSeek (MLA) configs are")
             if not d.get("rope_interleave", True):
                 raise NotImplementedError(
                     "deepseek_v3 with rope_interleave=False")
+            first_dense = d.get("first_k_dense_replace", 0)
+            ds_moe = bool(d.get("n_routed_experts")) and \
+                first_dense < d["num_hidden_layers"]
+            if ds_moe:
+                moe_experts = d["n_routed_experts"]
+                moe_top_k = d["num_experts_per_tok"]
+                moe_inter = d.get("moe_intermediate_size")
+                moe_renorm = d.get("norm_topk_prob", True)
+                moe_dense = tuple(range(first_dense)) or None
         attention_bias = d.get("attention_bias", False)
         qkv_bias = attention_bias or model_type == "qwen2"
         sliding = d.get("sliding_window")
@@ -336,6 +349,13 @@ class LlamaConfig:
             moe_renorm=moe_renorm,
             moe_mixtral_names=model_type == "mixtral",
             moe_dense_layers=moe_dense,
+            moe_sigmoid_routing=ds_moe,
+            moe_n_group=d.get("n_group", 1) if ds_moe else 1,
+            moe_topk_group=d.get("topk_group", 1) if ds_moe else 1,
+            moe_routed_scale=d.get("routed_scaling_factor", 1.0)
+            if ds_moe else 1.0,
+            moe_shared_experts=d.get("n_shared_experts") or 0
+            if ds_moe else 0,
         )
 
     @classmethod
@@ -402,11 +422,18 @@ def layer_param_shapes(cfg: LlamaConfig,
         for n in MLP_LINEARS:
             del shapes[n]
         shapes["mlp.router"] = (d, cfg.moe_num_experts)
+        if cfg.moe_sigmoid_routing:
+            shapes["mlp.router_bias"] = (cfg.moe_num_experts,)
         mi = cfg.moe_intermediate_
         for e in range(cfg.moe_num_experts):
             shapes[f"mlp.experts.{e}.gate_proj"] = (d, mi)
             shapes[f"mlp.experts.{e}.up_proj"] = (d, mi)
             shapes[f"mlp.experts.{e}.down_proj"] = (mi, d)
+        if cfg.moe_shared_experts:
+            si = mi * cfg.moe_shared_experts
+            shapes["mlp.shared_experts.gate_proj"] = (d, si)
+            shapes["mlp.shared_experts.up_proj"] = (d, si)
+            shapes["mlp.shared_experts.down_proj"] = (si, d)
     if cfg.sandwich_norms:  # Gemma-2: 4 norms per block (HF names)
         shapes["pre_feedforward_layernorm"] = (d,)
         shapes["post_feedforward_layernorm"] = (d,)
@@ -698,6 +725,58 @@ def moe_combine(cfg: LlamaConfig, router_w: jax.Array,
     return jnp.sum(one_hot * vals[..., None], axis=-2)
 
 
+def moe_combine_deepseek(cfg: LlamaConfig, router_w: jax.Array,
+                         router_bias: jax.Array, h: jax.Array) -> jax.Array:
+    """DeepSeek-V3 combine weights ``(B, N, E)`` (HF DeepseekV3TopkRouter):
+    sigmoid scores in fp32; expert CHOICE adds ``e_score_correction_bias``
+    and is group-limited (``n_group`` groups ranked by the sum of their
+    top-2 biased scores, ``topk_group`` kept, others zeroed); the combine
+    WEIGHTS are the unbiased scores of the chosen experts, renormalized
+    (``+1e-20``) and scaled by ``routed_scaling_factor``."""
+    e = cfg.moe_num_experts
+    scores = jax.nn.sigmoid((h @ router_w).astype(jnp.float32))
+    choice = scores + router_bias.astype(jnp.float32)
+    if cfg.moe_n_group > 1:
+        grp = choice.reshape(*choice.shape[:-1], cfg.moe_n_group,
+                             e // cfg.moe_n_group)
+        top2 = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)
+        _, gidx = jax.lax.top_k(top2, cfg.moe_topk_group)
+        gmask = jnp.sum(jax.nn.one_hot(gidx, cfg.moe_n_group,
+                                       dtype=choice.dtype), axis=-2)
+        choice = jnp.where(
+            jnp.repeat(gmask, e // cfg.moe_n_group, axis=-1) > 0,
+            choice, 0.0)
+    _, idx = jax.lax.top_k(choice, cfg.moe_top_k)
+    vals = jnp.take_along_axis(scores, idx, axis=-1)
+    if cfg.moe_renorm:
+        vals = vals / (jnp.sum(vals, axis=-1, keepdims=True) + 1e-20)
+    vals = vals * cfg.moe_routed_scale
+    one_hot = jax.nn.one_hot(idx, e, dtype=vals.dtype)
+    return jnp.sum(one_hot * vals[..., None], axis=-2)
+
+
+def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
+    """The block's MLP: dense SwiGLU/GeGLU, or the layer's sparse MoE
+    (router present in ``lp``) plus DeepSeek's always-on shared experts."""
+    if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
+        if cfg.moe_sigmoid_routing:
+            comb = moe_combine_deepseek(cfg, lp["mlp.router"],
+                                        lp["mlp.router_bias"], h)
+        else:
+            comb = moe_combine(cfg, lp["mlp.router"], h)
+        mlp = (moe_fn(h, comb) if moe_fn is not None
+               else moe_apply_dense(cfg, lin, h, comb))
+        if "mlp.shared_experts.gate_proj" in lp:
+            sg = lin("mlp.shared_experts.gate_proj", h)
+            su = lin("mlp.shared_experts.up_proj", h)
+            mlp = mlp + lin("mlp.shared_experts.down_proj",
+                            activation(cfg)(sg) * su)
+        return mlp
+    gate = lin("mlp.gate_proj", h)
+    up = lin("mlp.up_proj", h)
+    return lin("mlp.down_proj", activation(cfg)(gate) * up)
+
+
 def moe_apply_dense(cfg: LlamaConfig, lin, h: jax.Array,
                     comb: jax.Array) -> jax.Array:
     """Masked-dense MoE: every expert runs on the full token set with its
@@ -781,14 +860,7 @@ def block_core(
         pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
                    else "post_attention_layernorm")
         h = rms_norm(x, lp[pre_mlp], eps, uo)
-    if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
-        comb = moe_combine(cfg, lp["mlp.router"], h)
-        mlp = (moe_fn(h, comb) if moe_fn is not None
-               else moe_apply_dense(cfg, lin, h, comb))
-    else:
-        gate = lin("mlp.gate_proj", h)
-        up = lin("mlp.up_proj", h)
-        mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
+    mlp = _mlp_tail(cfg, lp, lin, h, moe_fn)
     if cfg.sandwich_norms or cfg.postnorm_only:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
     return x + mlp, aux
@@ -845,14 +917,7 @@ def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn):
         pre_mlp = ("pre_feedforward_layernorm" if cfg.sandwich_norms
                    else "post_attention_layernorm")
         h = rms_norm(x, lp[pre_mlp], eps, uo)
-    if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
-        comb = moe_combine(cfg, lp["mlp.router"], h)
-        mlp = (moe_fn(h, comb) if moe_fn is not None
-               else moe_apply_dense(cfg, lin, h, comb))
-    else:
-        gate = lin("mlp.gate_proj", h)
-        up = lin("mlp.up_proj", h)
-        mlp = lin("mlp.down_proj", activation(cfg)(gate) * up)
+    mlp = _mlp_tail(cfg, lp, lin, h, moe_fn)
     if cfg.sandwich_norms or cfg.postnorm_only:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
     return x + mlp, aux

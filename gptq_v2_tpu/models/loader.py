@@ -82,6 +82,11 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
         moe_get = get
 
         def get(key: str):
+            m = re.match(r"(model\.layers\.\d+)\.mlp\.router_bias\.weight",
+                         key)
+            if m:  # DeepSeek e_score_correction_bias buffer
+                return moe_get(
+                    f"{m.group(1)}.mlp.gate.e_score_correction_bias")
             m = re.match(r"(model\.layers\.\d+)\.mlp\.router\.weight", key)
             if m:
                 gate = ("block_sparse_moe.gate" if cfg.moe_mixtral_names

@@ -44,8 +44,11 @@ from gptq_v2_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, tp_size
 from gptq_v2_tpu.serving import kv_cache as kvc
 
 COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
-                   "mlp.gate_proj", "mlp.up_proj")
-ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj")
+                   "mlp.gate_proj", "mlp.up_proj",
+                   "mlp.shared_experts.gate_proj",
+                   "mlp.shared_experts.up_proj")
+ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj",
+                "mlp.shared_experts.down_proj")
 
 _EXPERT_RE = re.compile(r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)$")
 

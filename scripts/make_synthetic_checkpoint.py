@@ -70,8 +70,12 @@ def build_config(a) -> dict:
         hd = a.head_dim or 16
         cfg.update({"q_lora_rank": 3 * a.hidden // 4, "kv_lora_rank": a.hidden // 2,
                     "qk_nope_head_dim": hd, "qk_rope_head_dim": hd // 2,
-                    "v_head_dim": hd, "first_k_dense_replace": a.layers,
-                    "n_routed_experts": 4, "rms_norm_eps": 1e-6})
+                    "v_head_dim": hd, "first_k_dense_replace": 1,
+                    "n_routed_experts": a.experts, "num_experts_per_tok": a.top_k,
+                    "n_group": 2, "topk_group": 1, "n_shared_experts": 1,
+                    "routed_scaling_factor": 2.5,
+                    "moe_intermediate_size": a.moe_intermediate or a.intermediate,
+                    "rms_norm_eps": 1e-6})
         cfg.pop("head_dim", None)
     if a.model_type == "glm4":
         cfg.update({"attention_bias": True, "partial_rotary_factor": 0.5,
@@ -147,6 +151,10 @@ def tensor_entries(cfg_dict):
                     continue  # folded into the fused tensor
                 fname, fshape = fused_of[name]
                 yield f"model.layers.{i}.{fname}.weight", fshape
+                continue
+            if name == "mlp.router_bias":  # DeepSeek buffer name
+                yield (f"model.layers.{i}.mlp.gate.e_score_correction_bias",
+                       shape)
                 continue
             key = f"model.layers.{i}.{hf_name(name)}"
             if not name.endswith(".bias"):

@@ -329,9 +329,14 @@ class TestSyntheticCheckpoints:
                                       "--head-dim": "16"})
         cfg, params = load_hf_model(tmp_path / "ds")
         assert cfg.mla and cfg.qk_rope_head_dim == 8
+        assert cfg.moe_sigmoid_routing and cfg.moe_dense_layers == (0,)
         lp0 = params["layers"][0]
         assert "self_attn.kv_a_proj_with_mqa" in lp0
         assert "self_attn.q_a_layernorm" in lp0
+        assert "mlp.gate_proj" in lp0  # dense first layer
+        lp1 = params["layers"][1]
+        assert "mlp.router_bias" in lp1
+        assert "mlp.shared_experts.up_proj" in lp1
         toks = jnp.asarray(np.arange(12, dtype=np.int32)[None])
         assert bool(jnp.isfinite(L.forward_logits(cfg, params, toks)).all())
 

@@ -433,6 +433,40 @@ class TestModelFamilies:
         assert "mlp.gate_proj" in params["layers"][0]
         assert "mlp.router" in params["layers"][1]
 
+    def test_deepseek_v3_moe_logits_match_transformers(self):
+        """Full DeepSeek-V3: MLA + sigmoid-routed MoE with
+        e_score_correction_bias (choice-only), group-limited top-k
+        (4 groups, keep 2), routed_scaling_factor, always-on shared
+        experts, and a dense first layer (first_k_dense_replace=1)."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.DeepseekV3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, q_lora_rank=48, kv_lora_rank=32,
+            qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+            first_k_dense_replace=1, n_routed_experts=8,
+            num_experts_per_tok=2, n_group=4, topk_group=2,
+            moe_intermediate_size=32, n_shared_experts=1,
+            routed_scaling_factor=2.5, norm_topk_prob=True,
+            max_position_embeddings=128, rms_norm_eps=1e-5, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(39)
+        hf_model = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+        # give the router bias buffer nonzero values so choice != weights
+        with torch.no_grad():
+            hf_model.model.layers[1].mlp.gate.e_score_correction_bias.uniform_(
+                -0.5, 0.5)
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 40)
+        assert cfg.mla and cfg.moe_sigmoid_routing
+        assert cfg.moe_dense_layers == (0,) and cfg.moe_shared_experts == 1
+        assert cfg.moe_n_group == 4 and cfg.moe_topk_group == 2
+        lp1 = params["layers"][1]
+        assert "mlp.router_bias" in lp1
+        assert "mlp.shared_experts.gate_proj" in lp1
+        assert "mlp.gate_proj" in params["layers"][0]  # dense first layer
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -137,6 +137,13 @@ class LlamaConfig:
     moe_topk_group: int = 1
     moe_routed_scale: float = 1.0
     moe_shared_experts: int = 0
+    # --- GPT-OSS switches ---------------------------------------------------
+    # learned per-head attention-sink logits (dense-attention paths only)
+    attn_sinks: bool = False
+    # GPT-OSS MoE: biased linear router (softmax over the top-k), stacked
+    # expert checkpoints with interleaved gate/up + per-expert biases, and
+    # the clamped (up + 1) * gate * sigmoid(1.702 gate) GLU
+    moe_gptoss: bool = False
 
     @property
     def head_dim_(self) -> int:
@@ -209,7 +216,8 @@ class LlamaConfig:
             return cls.from_hf_dict(inner)
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
                               "gemma3_text", "phi3", "mixtral", "qwen3_moe",
-                              "smollm3", "olmo2", "glm4", "deepseek_v3"):
+                              "smollm3", "olmo2", "glm4", "deepseek_v3",
+                              "gpt_oss"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -217,6 +225,11 @@ class LlamaConfig:
         if model_type == "mixtral":
             moe_experts = d["num_local_experts"]
             moe_top_k = d["num_experts_per_tok"]
+        elif model_type == "gpt_oss":
+            moe_experts = d["num_local_experts"]
+            moe_top_k = d["num_experts_per_tok"]
+            # router: biased linear, softmax over the top-k values — equal
+            # to softmax-then-renormalize, i.e. moe_renorm semantics
         elif model_type == "qwen3_moe":
             moe_experts = d["num_experts"]
             moe_top_k = d["num_experts_per_tok"]
@@ -235,10 +248,11 @@ class LlamaConfig:
         if rs is not None:
             rope_type = rs.get("rope_type", rs.get("type", "default"))
             if rope_type != "default":
-                if rope_type not in ("linear", "llama3"):
+                if rope_type not in ("linear", "llama3", "yarn"):
                     raise NotImplementedError(f"rope_scaling type {rope_type!r}")
                 norm = {k: (v if isinstance(v, str) else float(v))
-                        for k, v in rs.items() if k != "type"}
+                        for k, v in rs.items()
+                        if k != "type" and v is not None}
                 norm["rope_type"] = rope_type
                 rope_scaling = tuple(sorted(norm.items()))
         # HF LlamaConfig.attention_bias covers q/k/v/o; Qwen2 hard-codes
@@ -350,6 +364,8 @@ class LlamaConfig:
             moe_mixtral_names=model_type == "mixtral",
             moe_dense_layers=moe_dense,
             moe_sigmoid_routing=ds_moe,
+            attn_sinks=model_type == "gpt_oss",
+            moe_gptoss=model_type == "gpt_oss",
             moe_n_group=d.get("n_group", 1) if ds_moe else 1,
             moe_topk_group=d.get("topk_group", 1) if ds_moe else 1,
             moe_routed_scale=d.get("routed_scaling_factor", 1.0)
@@ -424,11 +440,17 @@ def layer_param_shapes(cfg: LlamaConfig,
         shapes["mlp.router"] = (d, cfg.moe_num_experts)
         if cfg.moe_sigmoid_routing:
             shapes["mlp.router_bias"] = (cfg.moe_num_experts,)
+        if cfg.moe_gptoss:
+            shapes["mlp.router.bias"] = (cfg.moe_num_experts,)
         mi = cfg.moe_intermediate_
         for e in range(cfg.moe_num_experts):
             shapes[f"mlp.experts.{e}.gate_proj"] = (d, mi)
             shapes[f"mlp.experts.{e}.up_proj"] = (d, mi)
             shapes[f"mlp.experts.{e}.down_proj"] = (mi, d)
+            if cfg.moe_gptoss:  # per-expert biases
+                shapes[f"mlp.experts.{e}.gate_proj.bias"] = (mi,)
+                shapes[f"mlp.experts.{e}.up_proj.bias"] = (mi,)
+                shapes[f"mlp.experts.{e}.down_proj.bias"] = (d,)
         if cfg.moe_shared_experts:
             si = mi * cfg.moe_shared_experts
             shapes["mlp.shared_experts.gate_proj"] = (d, si)
@@ -443,6 +465,8 @@ def layer_param_shapes(cfg: LlamaConfig,
     if cfg.qk_norm:  # Qwen3: per-head-dim norms, shared across heads
         shapes["self_attn.q_norm"] = (hd,)
         shapes["self_attn.k_norm"] = (hd,)
+    if cfg.attn_sinks:  # GPT-OSS: one learned sink logit per query head
+        shapes["self_attn.sinks"] = (nq,)
     if cfg.qk_norm_flat:  # OLMo-2: norms over all heads' features
         shapes["self_attn.q_norm"] = (nq * hd,)
         shapes["self_attn.k_norm"] = (nkv * hd,)
@@ -517,19 +541,54 @@ def soft_cap(x: jax.Array, cap: Optional[float]) -> jax.Array:
     return jnp.tanh(x / cap) * cap
 
 
-def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray) -> np.ndarray:
-    """Apply HF ``rope_scaling`` to the base inverse frequencies.
+def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray,
+                     base: float) -> Tuple[np.ndarray, float]:
+    """Apply HF ``rope_scaling``; returns ``(inv_freq, attention_factor)``
+    (the factor multiplies the cos/sin tables — 1.0 except for yarn).
 
     ``linear`` divides all frequencies by the factor; ``llama3`` keeps
     high frequencies, divides low frequencies, and smoothly interpolates
-    in between (HF ``_compute_llama3_parameters``).
+    in between (HF ``_compute_llama3_parameters``); ``yarn`` blends
+    interpolated and extrapolated frequencies over a correction ramp and
+    scales attention by the mscale (HF ``_compute_yarn_parameters``).
     """
     if cfg.rope_scaling is None:
-        return inv_freq
+        return inv_freq, 1.0
     rs = dict(cfg.rope_scaling)
     factor = rs["factor"]
     if rs["rope_type"] == "linear":
-        return inv_freq / factor
+        return inv_freq / factor, 1.0
+    if rs["rope_type"] == "yarn":
+        dim = 2 * len(inv_freq)
+        orig_max = (rs.get("original_max_position_embeddings")
+                    or cfg.max_position_embeddings)
+        attn_factor = rs.get("attention_factor")
+
+        def get_mscale(scale, m=1.0):
+            return 0.1 * m * math.log(scale) + 1.0 if scale > 1 else 1.0
+
+        if attn_factor is None:
+            ms, msd = rs.get("mscale"), rs.get("mscale_all_dim")
+            attn_factor = (get_mscale(factor, ms) / get_mscale(factor, msd)
+                           if ms and msd else get_mscale(factor))
+        beta_fast = rs.get("beta_fast") or 32.0
+        beta_slow = rs.get("beta_slow") or 1.0
+
+        def corr_dim(n_rot):
+            return (dim * math.log(orig_max / (n_rot * 2 * math.pi))
+                    / (2 * math.log(base)))
+
+        low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+        if rs.get("truncate", 1.0):  # HF default True
+            low, high = math.floor(low), math.ceil(high)
+        low, high = max(low, 0), min(high, dim - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip((np.arange(dim // 2, dtype=np.float64) - low)
+                       / (high - low), 0.0, 1.0)
+        extrap_f = 1.0 - ramp
+        scaled = (inv_freq / factor) * (1 - extrap_f) + inv_freq * extrap_f
+        return scaled, float(attn_factor)
     # llama3
     orig_max = rs["original_max_position_embeddings"]
     low_f, high_f = rs["low_freq_factor"], rs["high_freq_factor"]
@@ -540,7 +599,7 @@ def _scaled_inv_freq(cfg: LlamaConfig, inv_freq: np.ndarray) -> np.ndarray:
     smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
     mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
     is_mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
-    return np.where(is_mid, mid, scaled)
+    return np.where(is_mid, mid, scaled), 1.0
 
 
 def rope_cos_sin(
@@ -560,8 +619,9 @@ def rope_cos_sin(
     hd = cfg.rope_dim_
     base = cfg.rope_theta if theta is None else theta
     inv_freq = 1.0 / (base ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    attn_f = 1.0
     if scaled:
-        inv_freq = _scaled_inv_freq(cfg, inv_freq)
+        inv_freq, attn_f = _scaled_inv_freq(cfg, inv_freq, base)
     try:
         pos = np.asarray(positions, dtype=np.float64)
     except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
@@ -569,12 +629,12 @@ def rope_cos_sin(
     if pos is not None:
         freqs = pos[:, None] * inv_freq[None, :]
         emb = np.concatenate([freqs, freqs], axis=-1)
-        return (jnp.asarray(np.cos(emb), dtype=jnp.float32),
-                jnp.asarray(np.sin(emb), dtype=jnp.float32))
+        return (jnp.asarray(np.cos(emb) * attn_f, dtype=jnp.float32),
+                jnp.asarray(np.sin(emb) * attn_f, dtype=jnp.float32))
     inv_freq_j = jnp.asarray(inv_freq, dtype=jnp.float32)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq_j[None, :]  # (N, hd/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # (N, hd)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * attn_f, jnp.sin(emb) * attn_f
 
 
 def rope_tables(
@@ -665,8 +725,13 @@ def attention(
     window: Optional[int] = None,  # sliding window (Mistral/Qwen2)
     sm_scale: Optional[float] = None,  # score scale; None = 1/sqrt(hd)
     logit_cap: Optional[float] = None,  # Gemma-2 attn softcapping
+    sinks: Optional[jax.Array] = None,  # (Hq,) GPT-OSS attention sinks
 ) -> jax.Array:
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
+
+    ``sinks``: a learned per-head logit joins each softmax and its
+    probability mass is dropped (HF GptOssAttention) — equivalently the
+    denominator gains ``exp(sink - max)``.
 
     ``causal_offset``: query i attends to keys ``<= i + offset`` (offset =
     S - N for decode with a prefix); ``None`` disables causal masking; a
@@ -678,7 +743,8 @@ def attention(
     Long causal self-attention dispatches to the Pallas flash kernel.
     """
     if (isinstance(causal_offset, int) and causal_offset == 0
-            and key_mask is None and _use_flash(q, k, window, logit_cap)):
+            and key_mask is None and sinks is None
+            and _use_flash(q, k, window, logit_cap)):
         return _flash_attention(q, k, v, sm_scale)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
@@ -700,7 +766,14 @@ def attention(
                            else mask[None, None, None], scores, neg)
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, None, :], scores, neg)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if sinks is None:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    else:  # per-head sink logit joins the softmax; its mass is dropped
+        sk = sinks.astype(jnp.float32).reshape(hkv, groups)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1), sk)  # (b, hkv, g, n)
+        p = jnp.exp(scores - m[..., None])
+        denom = jnp.sum(p, axis=-1) + jnp.exp(sk - m)
+        probs = (p / denom[..., None]).astype(v.dtype)
     out = jnp.einsum("bkgns,bskh->bnkgh", probs, v)
     return out.reshape(b, n, hq, hd)
 
@@ -711,12 +784,15 @@ AUTO_WINDOW = -1
 
 
 def moe_combine(cfg: LlamaConfig, router_w: jax.Array,
-                h: jax.Array) -> jax.Array:
+                h: jax.Array,
+                router_bias: Optional[jax.Array] = None) -> jax.Array:
     """Per-token expert combine weights ``(B, N, E)`` — softmax over router
     logits, top-k selection, optional renormalization (HF
     MixtralSparseMoeBlock / Qwen3MoeSparseMoeBlock numerics: softmax in
     fp32, top-k then ``/= sum``); zero for unselected experts."""
     logits = h @ router_w
+    if router_bias is not None:  # GPT-OSS: biased linear router
+        logits = logits + router_bias
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     vals, idx = jax.lax.top_k(probs, cfg.moe_top_k)
     if cfg.moe_renorm:
@@ -763,7 +839,8 @@ def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
             comb = moe_combine_deepseek(cfg, lp["mlp.router"],
                                         lp["mlp.router_bias"], h)
         else:
-            comb = moe_combine(cfg, lp["mlp.router"], h)
+            comb = moe_combine(cfg, lp["mlp.router"], h,
+                               lp.get("mlp.router.bias"))
         mlp = (moe_fn(h, comb) if moe_fn is not None
                else moe_apply_dense(cfg, lin, h, comb))
         if "mlp.shared_experts.gate_proj" in lp:
@@ -775,6 +852,16 @@ def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
     gate = lin("mlp.gate_proj", h)
     up = lin("mlp.up_proj", h)
     return lin("mlp.down_proj", activation(cfg)(gate) * up)
+
+
+def moe_glu(cfg: LlamaConfig, gate: jax.Array, up: jax.Array) -> jax.Array:
+    """Per-expert gating: standard ``act(gate) * up``, or GPT-OSS's clamped
+    ``(up + 1) * gate * sigmoid(1.702 * gate)`` (HF GptOssExperts)."""
+    if cfg.moe_gptoss:
+        gate = jnp.clip(gate, None, 7.0)
+        up = jnp.clip(up, -7.0, 7.0)
+        return (up + 1.0) * gate * jax.nn.sigmoid(gate * 1.702)
+    return activation(cfg)(gate) * up
 
 
 def moe_apply_dense(cfg: LlamaConfig, lin, h: jax.Array,
@@ -794,14 +881,17 @@ def moe_apply_dense(cfg: LlamaConfig, lin, h: jax.Array,
     the reference's shared-input Hessians (``gptq_py.py:19-36``), and the
     GPTQ solver is invariant to the resulting constant rescaling of H.
     """
-    act = activation(cfg)
     out = None
     for e in range(cfg.moe_num_experts):
         ce = comb[..., e:e + 1]
-        he = h * (ce > 0).astype(h.dtype)
+        mask = (ce > 0).astype(h.dtype)
+        he = h * mask
         g = lin(f"mlp.experts.{e}.gate_proj", he)
         u = lin(f"mlp.experts.{e}.up_proj", he)
-        d = lin(f"mlp.experts.{e}.down_proj", act(g) * u)
+        # the down input masks too: biased experts (GPT-OSS) emit nonzero
+        # values for unrouted zero rows, which must not pollute the down
+        # projection's captured Hessian (output is ce-weighted either way)
+        d = lin(f"mlp.experts.{e}.down_proj", moe_glu(cfg, g, u) * mask)
         d = ce.astype(d.dtype) * d
         out = d if out is None else out + d
     return out
@@ -968,6 +1058,7 @@ def block_apply(
 
     def attn_fn(q, k, v):
         return attention(q, k, v, window=window, sm_scale=cfg.sm_scale_,
+                         sinks=lp.get("self_attn.sinks"),
                          logit_cap=cfg.attn_logit_softcap), None
 
     x, _ = block_core(cfg, lp, x, cos, sin, lin, attn_fn)

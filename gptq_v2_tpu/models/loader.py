@@ -55,7 +55,7 @@ def _hf_key(our_layer_key: str, layer_idx: int | None) -> str:
             "norm": "model.norm.weight",
             "lm_head": "lm_head.weight",
         }[our_layer_key]
-    if our_layer_key.endswith(".bias"):  # Qwen2 QKV biases
+    if our_layer_key.endswith((".bias", ".sinks")):  # biases / GPT-OSS sinks
         return f"model.layers.{layer_idx}.{our_layer_key}"
     return f"model.layers.{layer_idx}.{our_layer_key}.weight"
 
@@ -78,7 +78,32 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
 
     from gptq_v2_tpu.models.llama import layer_param_shapes
 
-    if cfg.moe_num_experts:
+    if cfg.moe_gptoss:  # GPT-OSS: stacked expert tensors, router named
+        # mlp.router directly, gate/up interleaved in gate_up_proj
+        goss_get = get
+
+        def get(key: str):
+            m = re.match(
+                r"(model\.layers\.\d+)\.mlp\.experts\.(\d+)\."
+                r"(gate|up|down)_proj\.(weight|bias)", key)
+            if m is None:
+                return goss_get(key)
+            base, e, kind, wb = m.groups()
+            e = int(e)
+            if kind == "down":
+                if wb == "weight":  # stored (E, inter, d) = (in, out)
+                    w = np.asarray(goss_get(f"{base}.mlp.experts.down_proj"))
+                    return w[e].T  # → HF (out, in); fetch re-transposes
+                w = np.asarray(goss_get(f"{base}.mlp.experts.down_proj_bias"))
+                return w[e]
+            sel = slice(0, None, 2) if kind == "gate" else slice(1, None, 2)
+            if wb == "weight":  # stored (E, d, 2·inter), gate/up interleaved
+                w = np.asarray(goss_get(f"{base}.mlp.experts.gate_up_proj"))
+                return w[e][:, sel].T
+            w = np.asarray(goss_get(f"{base}.mlp.experts.gate_up_proj_bias"))
+            return w[e][sel]
+
+    if cfg.moe_num_experts and not cfg.moe_gptoss:
         moe_get = get
 
         def get(key: str):

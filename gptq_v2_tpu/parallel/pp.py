@@ -218,6 +218,8 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     n = cfg.num_hidden_layers
     assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
     assert not cfg.mla, "MLA (DeepSeek) pipeline parallelism not wired yet"
+    assert not cfg.attn_sinks and not cfg.moe_gptoss, \
+        "GPT-OSS pipeline parallelism not wired yet"
     assert tp == 1 or not cfg.qk_norm_flat, (
         "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
         " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")

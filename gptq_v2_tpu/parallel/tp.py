@@ -178,6 +178,10 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
         "MLA (DeepSeek) tensor parallelism is not wired yet: the shared"
         " KV latent replicates while q_b/kv_b shard by head — serve MLA"
         " single-device for now")
+    assert not cfg.attn_sinks and not cfg.moe_gptoss, (
+        "GPT-OSS (sinks / biased stacked experts) is single-device for"
+        " now: sinks shard per query head and expert biases need EP"
+        " plumbing")
     assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
     assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
     if cfg.moe_num_experts:
@@ -354,7 +358,6 @@ def make_ep_moe_fn(cfg: L.LlamaConfig, tp: int, lp, apply=None):
     if apply is None:
         apply = _col_linear
     e_loc = cfg.moe_num_experts // tp
-    act = L.activation(cfg)
 
     def moe_fn(h: jax.Array, comb: jax.Array) -> jax.Array:
         idx = jax.lax.axis_index(MODEL_AXIS)
@@ -363,10 +366,12 @@ def make_ep_moe_fn(cfg: L.LlamaConfig, tp: int, lp, apply=None):
         out = None
         for j in range(e_loc):
             ce = comb_loc[..., j:j + 1]
-            he = h * (ce > 0).astype(h.dtype)
+            mask = (ce > 0).astype(h.dtype)
+            he = h * mask
             g = apply(lp[f"mlp.experts.{j}.gate_proj"], he)
             u = apply(lp[f"mlp.experts.{j}.up_proj"], he)
-            d = apply(lp[f"mlp.experts.{j}.down_proj"], act(g) * u)
+            d = apply(lp[f"mlp.experts.{j}.down_proj"],
+                      L.moe_glu(cfg, g, u) * mask)
             d = ce.astype(d.dtype) * d
             out = d if out is None else out + d
         return jax.lax.psum(out, MODEL_AXIS)

@@ -147,7 +147,8 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                 v_all = v_all.astype(q.dtype)
             attn = L.attention(qq, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
-                               logit_cap=cfg.attn_logit_softcap)
+                               logit_cap=cfg.attn_logit_softcap,
+                               sinks=lp.get("self_attn.sinks"))
             if cache.v_scales is not None:
                 attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
         else:

@@ -137,6 +137,9 @@ class Engine:
         draft stays single-device."""
         self.model = model
         cfg = model.cfg
+        assert not (cfg.attn_sinks and cache_kind != "contiguous"), (
+            "attention sinks (GPT-OSS) run on the dense contiguous-cache"
+            " paths; the paged/ragged Pallas kernels have no sink support")
         self.max_batch = max_batch
         self.cache_kind = cache_kind
         self.page_size = page_size

@@ -129,11 +129,13 @@ def packed_block_apply(
             k_all, v_all, key_mask = kv_override
             attn = L.attention(q, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
-                               logit_cap=cfg.attn_logit_softcap)
+                               logit_cap=cfg.attn_logit_softcap,
+                               sinks=lp.get("self_attn.sinks"))
         else:
             attn = L.attention(q, k, v, window=window,
                                sm_scale=cfg.sm_scale_,
-                               logit_cap=cfg.attn_logit_softcap)
+                               logit_cap=cfg.attn_logit_softcap,
+                               sinks=lp.get("self_attn.sinks"))
         return attn, (k, v)
 
     return L.block_core(cfg, lp, x, cos, sin,

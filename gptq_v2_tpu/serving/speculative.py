@@ -88,7 +88,8 @@ def verify_chunk(
                 v_all = v_all.astype(q.dtype)
             attn = L.attention(qq, k_all, v_all, causal_offset=positions,
                                window=win, sm_scale=cfg.sm_scale_,
-                               logit_cap=cfg.attn_logit_softcap)
+                               logit_cap=cfg.attn_logit_softcap,
+                               sinks=lp.get("self_attn.sinks"))
             if cache.v_scales is not None:
                 attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
             return attn, None

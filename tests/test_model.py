@@ -88,6 +88,11 @@ class TestHFParity:
         {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
          "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
         {"type": "linear", "factor": 2.0},
+        {"rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+         "beta_slow": 1.0, "original_max_position_embeddings": 64},
+        {"rope_type": "yarn", "factor": 8.0, "mscale": 1.0,
+         "mscale_all_dim": 0.8, "truncate": False,
+         "original_max_position_embeddings": 64},
     ])
     def test_rope_scaling_matches_transformers(self, rope_scaling):
         """Llama-3 / linear rope scaling vs the HF implementation."""
@@ -466,6 +471,41 @@ class TestModelFamilies:
         assert "mlp.router_bias" in lp1
         assert "mlp.shared_experts.gate_proj" in lp1
         assert "mlp.gate_proj" in params["layers"][0]  # dense first layer
+
+    def test_gpt_oss_logits_match_transformers(self):
+        """GPT-OSS: learned attention sinks (extra softmax logit, mass
+        dropped), yarn rope, alternating sliding/full layers, and the MoE
+        with a biased linear router (softmax over top-k), stacked
+        interleaved gate_up expert weights with per-expert biases, and the
+        clamped (up+1)*gate*sigmoid(1.702 gate) GLU."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.GptOssConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+            sliding_window=8, max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=150000.0,
+            rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                          "beta_fast": 32.0, "beta_slow": 1.0,
+                          "truncate": False,
+                          "original_max_position_embeddings": 64},
+            pad_token_id=0, attn_implementation="eager",
+        )
+        torch.manual_seed(43)
+        hf_model = transformers.GptOssForCausalLM(hf_cfg).eval()
+        # make the sinks matter: zero sinks would hide a wiring bug
+        with torch.no_grad():
+            for lyr in hf_model.model.layers:
+                lyr.self_attn.sinks.uniform_(0.5, 2.0)
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 44,
+                                   rtol=5e-4)
+        assert cfg.attn_sinks and cfg.moe_gptoss
+        assert cfg.layer_window(0) == 8 and cfg.layer_window(1) is None
+        lp0 = params["layers"][0]
+        assert lp0["self_attn.sinks"].shape == (4,)
+        assert "mlp.router.bias" in lp0
+        assert "mlp.experts.3.down_proj.bias" in lp0
 
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""

@@ -243,6 +243,30 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
+    def test_gpt_oss_style_decode_matches_full_recompute(self):
+        """GPT-OSS switches through the serving stack (contiguous cache —
+        sinks need the dense attention path): learned sinks, biased
+        router, per-expert biases, clamped GLU, sliding/full layers."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"),
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=53,
+                                    compute_dtype=jnp.float32)
+        assert model.layers[0]["self_attn.sinks"].shape == (4,)
+        assert "mlp.experts.0.gate_proj.bias" in model.layers[0]
+        rng = np.random.default_rng(54)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, max_seq_len=64)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+        with pytest.raises(AssertionError, match="sinks"):
+            Engine(model, max_batch=2, max_seq_len=64, cache_kind="paged")
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense

@@ -493,7 +493,7 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
     # unit-offset norms (Gemma-2) store w-1: zeros == identity scale
     norm_init = jnp.zeros if cfg.norm_unit_offset else jnp.ones
     layers = []
-    for _ in range(cfg.num_hidden_layers):
+    for i in range(cfg.num_hidden_layers):
         lp = {}
         for name, shape in layer_param_shapes(cfg, i).items():
             lp[name] = norm_init(shape, dtype=dt) if len(shape) == 1 else w(shape)

@@ -775,7 +775,8 @@ def attention(
         denom = jnp.sum(p, axis=-1) + jnp.exp(sk - m)
         probs = (p / denom[..., None]).astype(v.dtype)
     out = jnp.einsum("bkgns,bskh->bnkgh", probs, v)
-    return out.reshape(b, n, hq, hd)
+    return out.reshape(b, n, hq, v.shape[-1])  # v may be narrower than q
+    # (absorbed MLA attends 576-dim latent keys but reads 512-dim values)
 
 
 # Sentinel: "use cfg.sliding_window on every layer" (the pre-Gemma default;
@@ -907,6 +908,7 @@ def block_core(
     attn_fn,  # attn_fn(q, k, v) -> (attn (B,N,H,hd), aux)
     moe_fn=None,  # moe_fn(h, comb) -> mlp output (EP/sharded variants)
     qk_norm_fn=None,  # flat-QK-norm override (TP: global mean-of-squares)
+    mla_lat_sink=None,  # list: receives the MLA [latent | rope-key] row
 ):
     """Family-generic decoder block skeleton shared by every forward path
     (dense, packed serving, cache decode, ragged, TP).  The caller supplies
@@ -922,7 +924,8 @@ def block_core(
     h = x if cfg.postnorm_only else rms_norm(x, lp["input_layernorm"],
                                              eps, uo)
     if cfg.mla:
-        return _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn)
+        return _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn,
+                             mla_lat_sink)
     qf = lin("self_attn.q_proj", h)
     kf = lin("self_attn.k_proj", h)
     v = lin("self_attn.v_proj", h)
@@ -956,7 +959,8 @@ def block_core(
     return x + mlp, aux
 
 
-def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn):
+def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn,
+                  mla_lat_sink=None):
     """DeepSeek Multi-head Latent Attention + MLP (block_core's MLA arm).
 
     Exact (non-absorbed) form, HF ``DeepseekV3Attention`` semantics: q via
@@ -984,14 +988,18 @@ def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn):
     nq = q.shape[2]
     kv_a = lin("self_attn.kv_a_proj_with_mqa", h)
     c_kv, k_rope = kv_a[..., :cfg.kv_lora_rank], kv_a[..., cfg.kv_lora_rank:]
-    kv = lin("self_attn.kv_b_proj",
-             rms_norm(c_kv, lp["self_attn.kv_a_layernorm"], eps, uo))
+    c_kv_n = rms_norm(c_kv, lp["self_attn.kv_a_layernorm"], eps, uo)
+    kv = lin("self_attn.kv_b_proj", c_kv_n)
     kv = kv.reshape(b, n, nq, nope + vd)
     k_nope, v = kv[..., :nope], kv[..., nope:]
 
     q_rot = apply_rope(q[..., nope:], cos, sin)
     q = jnp.concatenate([q[..., :nope], q_rot], axis=-1)
     k_rot = apply_rope(k_rope[:, :, None, :], cos, sin)  # (B, N, 1, rd)
+    if mla_lat_sink is not None:  # absorbed decode caches THIS row per
+        # token: the normalized latent + the shared rope'd key
+        mla_lat_sink.append(
+            jnp.concatenate([c_kv_n, k_rot[:, :, 0, :]], axis=-1))
     k = jnp.concatenate(
         [k_nope, jnp.broadcast_to(k_rot, (b, n, nq, rd))], axis=-1)
     v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qk_head - vd)))

@@ -85,6 +85,7 @@ class Engine:
         spec_k: int = 4,
         prefix_cache: bool = False,
         logprobs: bool = False,
+        mla_absorbed: bool = False,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -107,6 +108,15 @@ class Engine:
         compile matrix collapses to two programs (decode-only tick and
         mixed tick).  ``scheduler="phased"`` is the classic
         prefill-then-decode loop.
+
+        ``mla_absorbed`` (DeepSeek MLA, phased, single-device): decode
+        over the COMPRESSED latent cache — per token the cache stores one
+        ``kv_lora + rope_dim`` row instead of per-head padded K/V (~85x
+        smaller at V3 shapes), with the key half of ``kv_b`` absorbed
+        into the query and the value half applied to the attention-
+        weighted latent (``serving/mla.py``).  Prefill runs the exact
+        naive attention and caches latent rows; greedy outputs match the
+        naive engine.
 
         ``logprobs``: record ``log p(token)`` under the raw model
         distribution (f32 log-softmax of the unwarped logits) for every
@@ -157,7 +167,22 @@ class Engine:
             cache_dtype = model.embed_tokens.dtype
         else:
             raise ValueError(kv_dtype)
-        if cache_kind == "contiguous":
+        self.mla_absorbed = mla_absorbed
+        if mla_absorbed:
+            from gptq_v2_tpu.serving import mla as MLA
+
+            assert cfg.mla, "mla_absorbed requires a DeepSeek MLA model"
+            assert cache_kind == "contiguous" and scheduler == "phased"
+            assert mesh is None and draft is None and not logprobs
+            assert kv_dtype == "native", "int8 latent cache not wired yet"
+            self.cache = MLA.init_mla_cache(
+                cfg.num_hidden_layers, max_batch, self.max_seq_len,
+                cfg.kv_lora_rank + cfg.qk_rope_head_dim,
+                dtype=model.embed_tokens.dtype)
+            self._absorbed = MLA.absorb_kv_b(model)
+            self.free_pages = []
+            self.block_tables = None
+        elif cache_kind == "contiguous":
             self.cache = kvc.init_contiguous_cache(
                 cfg.num_hidden_layers, max_batch, self.max_seq_len,
                 cfg.num_key_value_heads, cfg.head_dim_,
@@ -258,6 +283,12 @@ class Engine:
                             if scheduler == "ragged" else None)
             if draft is not None:
                 self._tp_verify = TP.build_tp_verify_chunk(mesh, self.cache)
+        elif mla_absorbed:
+            from gptq_v2_tpu.serving import mla as MLA
+
+            self._prefill = (lambda m, t, c, bt, lens, slot:
+                             MLA.mla_prefill(m, t, c, lens, slot))
+            self._decode = self._ragged = None
         else:
             self._prefill = D.prefill
             self._decode = D.decode_step
@@ -284,9 +315,9 @@ class Engine:
         assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
         if req.top_k > 0 or req.top_p < 1.0 or req.min_p > 0.0:
-            if self.draft is not None:
+            if self.draft is not None or self.mla_absorbed:
                 raise ValueError(
-                    "speculative serving supports temperature-only sampling;"
+                    "this engine mode supports temperature-only sampling;"
                     f" request {req.uid} sets top_k/top_p/min_p")
             self._sampling_full = True
         self.queue.append(req)
@@ -868,7 +899,14 @@ class Engine:
         # traffic; O(log max_len) decode compilations per session
         s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),
                        self.max_seq_len)
-        if self.mesh is None:
+        if self.mesh is None and self.mla_absorbed:
+            from gptq_v2_tpu.serving import mla as MLA
+
+            toks_dev, self.cache, self.key = MLA.mla_decode_sample_step(
+                self.model, self._absorbed, self.cache, d["tokens"],
+                d["positions"], d["temps"], self.key, s_bucket=s_bucket)
+            out_dev = toks_dev
+        elif self.mesh is None:
             # decode + sample + key split in ONE dispatch (RTT-bound hosts)
             out_dev, self.cache, self.key = D.decode_sample_step(
                 self.model, d["tokens"], self.cache, self._bt(),

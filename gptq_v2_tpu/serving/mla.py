@@ -1,0 +1,205 @@
+"""Absorbed MLA decode: DeepSeek's compressed-KV serving path.
+
+The naive MLA path (``models/llama.py::_mla_attn_mlp``) materializes
+per-head keys/values and caches ``(B, S, nq, qk_head)`` padded K/V — for
+DeepSeek-V3 shapes that is ~2 x 128 x 192 values per token.  The absorbed
+form caches ONLY the per-token latent row ``[c_kv_norm | rope-key]``
+(``kv_lora_rank + qk_rope_head_dim`` = 576 values for V3, ~85x less), the
+trick that makes MLA's KV cache tiny:
+
+    score_h(t) = q_nope_h · (W_uk_h ᵀ c_t) + q_rope_h · k_rope_t
+               = (W_uk_h  q_nope_h) · c_t + q_rope_h · k_rope_t
+
+so the query "absorbs" the key half of ``kv_b`` (per head) and attention
+runs MQA-style over the shared latent; the attention-weighted latent
+context then applies the value half:  ``out_h = W_uv_h ᵀ (Σ p_t c_t)``.
+On TPU the win is exactly the KV HBM stream: decode reads ``S x 576``
+values per layer instead of ``S x nq x 384`` — the difference between a
+cache-bound and a weight-bound decode at DeepSeek scale.
+
+``kv_b`` stays INT4-packed for the prefill/naive path; absorption needs
+its transpose per head, so :func:`absorb_kv_b` dequantizes it once at
+engine build into two small bf16 tensors (V3: ~25 MB total).  Prefill
+runs the exact naive attention (prompt tokens need full per-head compute
+anyway) and captures the latent rows via ``block_core(mla_lat_sink=...)``.
+
+Numerics note: absorption reassociates the nope-score matmul
+(``(q Wᵀ) c`` vs ``q (Wᵀ c)``) — bit-identical in exact arithmetic,
+within float rounding here; greedy outputs match the naive engine in the
+equivalence tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gptq_v2_tpu.models import llama as L
+from gptq_v2_tpu.ops.packing import PackedLinear, dequantize_dense
+from gptq_v2_tpu.serving.model import PackedLlama, _lin, head_logits
+
+
+class MLACache(NamedTuple):
+    """Per-layer latent rows: ``lat[(L, B, S, kv_lora + rope_dim)]``."""
+
+    lat: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.lat.shape[2]
+
+
+class AbsorbedKVB(NamedTuple):
+    """Per-layer absorbed halves of ``kv_b`` (dense, small):
+    ``wk[(nq, nope, kv_lora)]`` (key half, transposed for the q-side
+    absorb) and ``wv[(nq, kv_lora, v_dim)]`` (value half)."""
+
+    wk: Tuple[jax.Array, ...]
+    wv: Tuple[jax.Array, ...]
+
+
+def init_mla_cache(n_layers: int, batch: int, max_len: int, lat_dim: int,
+                   dtype=jnp.bfloat16) -> MLACache:
+    return MLACache(lat=jnp.zeros((n_layers, batch, max_len, lat_dim), dtype))
+
+
+def absorb_kv_b(model: PackedLlama) -> AbsorbedKVB:
+    """Dequantize every layer's ``kv_b`` into its absorbed halves."""
+    cfg = model.cfg
+    nope, vd = cfg.qk_nope_head_dim, cfg.v_head_dim
+    wks, wvs = [], []
+    for lp in model.layers:
+        w = lp["self_attn.kv_b_proj"]
+        dense = (dequantize_dense(w, dtype=model.embed_tokens.dtype)
+                 if isinstance(w, PackedLinear) else jnp.asarray(w))
+        # (kv_lora, nq*(nope+vd)) -> (kv_lora, nq, nope+vd)
+        kv = dense.reshape(dense.shape[0], -1, nope + vd)
+        wks.append(jnp.transpose(kv[..., :nope], (1, 2, 0)))  # (nq,nope,kvl)
+        wvs.append(jnp.transpose(kv[..., nope:], (1, 0, 2)))  # (nq,kvl,vd)
+    return AbsorbedKVB(wk=tuple(wks), wv=tuple(wvs))
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def mla_prefill(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B, Lpad)
+    cache: MLACache,
+    lengths: jax.Array,  # (B,)
+    slot: jax.Array,  # (B,)
+):
+    """Exact naive-attention prompt pass that caches LATENT rows.
+
+    Pad-token rows steer to the trash position ``max_len - 1`` (rewritten
+    before any query can attend it — the standard steering invariant).
+    Returns ``(last-token logits (B, V), cache)``.
+    """
+    cfg = model.cfg
+    b, lpad = tokens.shape
+    positions = jnp.arange(lpad)
+    ropes = L.rope_tables(cfg, positions)
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+    pos_b = jnp.broadcast_to(positions[None], (b, lpad))
+    pad_mask = pos_b >= lengths[:, None]
+    lat = cache.lat
+    for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
+        sink: list = []
+
+        def attn_fn(q, k, v):
+            a = L.attention(q, k, v, window=cfg.layer_window(li),
+                            sm_scale=cfg.sm_scale_)
+            return a, None
+
+        x, _ = L.block_core(cfg, lp, x, cos, sin,
+                            lambda name, h, lp=lp: _lin(lp, name, h),
+                            attn_fn, mla_lat_sink=sink)
+        row = sink[0].astype(lat.dtype)  # (B, Lpad, lat_dim)
+        wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
+        rows = jnp.broadcast_to(slot[:, None], wpos.shape)
+        lat = lat.at[li, rows, wpos].set(row)
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+    last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
+    return head_logits(cfg, model.lm_head, last), MLACache(lat=lat)
+
+
+def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
+                        key_mask):
+    """One decoder layer of absorbed decode: (B, 1, D) -> (B, 1, D) plus
+    the new latent row to store."""
+    b = x.shape[0]
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
+    if cfg.q_lora_rank:
+        qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
+                        lp["self_attn.q_a_layernorm"], eps, uo)
+        q = _lin(lp, "self_attn.q_b_proj", qa)
+    else:
+        q = _lin(lp, "self_attn.q_proj", h)
+    q = q.reshape(b, 1, -1, nope + rd)
+    q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (B, 1, nq, rd)
+    # absorb the key half of kv_b into the query:  q_lat_h = W_uk_h q_nope_h
+    q_lat = jnp.einsum("bnhq,hqc->bnhc", q[..., :nope].astype(jnp.float32),
+                       wk.astype(jnp.float32))
+    q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
+
+    kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
+    c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                        lp["self_attn.kv_a_layernorm"], eps, uo)
+    k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
+    new_row = jnp.concatenate([c_kv_n, k_rot[:, :, 0, :]],
+                              axis=-1)  # (B, 1, lat)
+    lat_layer = lat_layer.at[jnp.arange(b)[:, None],
+                             positions[:, None]].set(
+        new_row.astype(lat_layer.dtype))
+    keys = lat_layer[:, :, None, :]  # (B, S, 1, lat): MQA, one shared head
+    # MQA over the shared latent: scores use the FULL qk head dim scale
+    ctx = L.attention(q_eff, keys, keys[..., :cfg.kv_lora_rank],
+                      causal_offset=None, key_mask=key_mask,
+                      sm_scale=cfg.sm_scale_)  # (B, 1, nq, kv_lora)
+    # apply the value half:  out_h = ctx_h W_uv_h
+    out = jnp.einsum("bnhc,hcv->bnhv", ctx.astype(jnp.float32),
+                     wv.astype(jnp.float32)).astype(x.dtype)
+    o = _lin(lp, "self_attn.o_proj", out.reshape(b, 1, -1))
+    x = x + o
+    h = L.rms_norm(x, lp["post_attention_layernorm"], eps, uo)
+    mlp = L._mlp_tail(cfg, lp, lambda name, t: _lin(lp, name, t), h, None)
+    return x + mlp, lat_layer
+
+
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("s_bucket",))
+def mla_decode_sample_step(
+    model: PackedLlama,
+    absorbed: AbsorbedKVB,
+    cache: MLACache,
+    tokens: jax.Array,  # (B,)
+    positions: jax.Array,  # (B,)
+    temperatures: jax.Array,  # (B,)
+    key: jax.Array,
+    s_bucket: Optional[int] = None,
+) -> Tuple[jax.Array, MLACache, jax.Array]:
+    """One absorbed decode step + sampling + key split in ONE dispatch
+    (mirrors ``decode.decode_sample_step``'s contract)."""
+    from gptq_v2_tpu.serving.decode import sample_per_row
+
+    cfg = model.cfg
+    s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
+    ropes = [(c[:, None, :], s_[:, None, :])
+             for c, s_ in L.rope_tables(cfg, positions)]
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+    key_mask = jnp.arange(s)[None, :] <= positions[:, None]
+    lat = cache.lat
+    for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
+        x, lat_li = _mla_absorbed_block(
+            cfg, lp, absorbed.wk[li], absorbed.wv[li], x, cos, sin,
+            lat[li, :, :s], positions, key_mask)
+        lat = lat.at[li, :, :s].set(lat_li)
+    x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                   cfg.norm_unit_offset)
+    logits = head_logits(cfg, model.lm_head, x)
+    key, sub = jax.random.split(key)
+    toks = sample_per_row(logits, sub, temperatures)
+    return toks, MLACache(lat=lat), key

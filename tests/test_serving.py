@@ -1060,3 +1060,59 @@ class TestW8A16:
         out = Engine(model, max_batch=2, max_seq_len=64).run(
             [Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
+
+
+class TestMLAAbsorbed:
+    """DeepSeek absorbed decode: the compressed-latent cache path."""
+
+    def _model(self):
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        return random_packed_llama(cfg, group_size=16, seed=55,
+                                   compute_dtype=jnp.float32)
+
+    def test_matches_naive_engine(self):
+        """Absorbed decode over the latent cache produces the same greedy
+        outputs as the naive padded-KV engine across slot reuse."""
+        model = self._model()
+        rng = np.random.default_rng(56)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 9, 4)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=64).run(reqs())
+        eng = Engine(model, max_batch=2, max_seq_len=64, mla_absorbed=True)
+        got = eng.run(reqs())
+        assert got == want
+        # the cache really is the compressed latent: one shared row of
+        # kv_lora + rope_dim per token, no per-head K/V
+        assert eng.cache.lat.shape == (2, 2, 64, 40)
+
+    def test_moe_deepseek_absorbed(self):
+        """Absorbed decode composes with the DeepSeek MoE MLP (shared
+        experts + sigmoid routing) and a dense first layer."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, moe_num_experts=8, moe_top_k=2,
+            moe_intermediate_size=32, moe_dense_layers=(0,),
+            moe_sigmoid_routing=True, moe_n_group=4, moe_topk_group=2,
+            moe_routed_scale=2.5, moe_shared_experts=1)
+        model = random_packed_llama(cfg, group_size=16, seed=57,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(58)
+        prompt = rng.integers(0, cfg.vocab_size, (7,)).tolist()
+        want = Engine(model, max_batch=1, max_seq_len=64).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        got = Engine(model, max_batch=1, max_seq_len=64,
+                     mla_absorbed=True).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert got == want

@@ -174,11 +174,14 @@ class Engine:
             assert cfg.mla, "mla_absorbed requires a DeepSeek MLA model"
             assert cache_kind == "contiguous" and scheduler == "phased"
             assert mesh is None and draft is None and not logprobs
-            assert kv_dtype == "native", "int8 latent cache not wired yet"
+            # int8 latent: per-layer calibrated scales, like the K/V path
+            self._mla_scales = (MLA.calibrate_mla_scales(model)
+                                if kv_dtype == "int8" else None)
             self.cache = MLA.init_mla_cache(
                 cfg.num_hidden_layers, max_batch, self.max_seq_len,
                 cfg.kv_lora_rank + cfg.qk_rope_head_dim,
-                dtype=model.embed_tokens.dtype)
+                dtype=jnp.int8 if kv_dtype == "int8"
+                else model.embed_tokens.dtype)
             self._absorbed = MLA.absorb_kv_b(model)
             self.free_pages = []
             self.block_tables = None
@@ -287,7 +290,8 @@ class Engine:
             from gptq_v2_tpu.serving import mla as MLA
 
             self._prefill = (lambda m, t, c, bt, lens, slot:
-                             MLA.mla_prefill(m, t, c, lens, slot))
+                             MLA.mla_prefill(m, t, c, lens, slot,
+                                             scales=self._mla_scales))
             self._decode = self._ragged = None
         else:
             self._prefill = D.prefill
@@ -904,7 +908,8 @@ class Engine:
 
             toks_dev, self.cache, self.key = MLA.mla_decode_sample_step(
                 self.model, self._absorbed, self.cache, d["tokens"],
-                d["positions"], d["temps"], self.key, s_bucket=s_bucket)
+                d["positions"], d["temps"], self.key, s_bucket=s_bucket,
+                scales=self._mla_scales)
             out_dev = toks_dev
         elif self.mesh is None:
             # decode + sample + key split in ONE dispatch (RTT-bound hosts)

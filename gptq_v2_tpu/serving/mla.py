@@ -65,6 +65,42 @@ def init_mla_cache(n_layers: int, batch: int, max_len: int, lat_dim: int,
     return MLACache(lat=jnp.zeros((n_layers, batch, max_len, lat_dim), dtype))
 
 
+def calibrate_mla_scales(model: PackedLlama, tokens=None,
+                         margin: float = 1.05) -> Tuple[float, ...]:
+    """Per-layer symmetric int8 scales for the latent rows, calibrated on
+    a short synthetic forward (mirrors ``model.calibrate_kv_scales``).
+    Returns a static tuple of Python floats — no extra compiles."""
+    cfg = model.cfg
+    if tokens is None:
+        tokens = jax.random.randint(
+            jax.random.key(0),
+            (2, min(128, cfg.max_position_embeddings)), 0, cfg.vocab_size)
+    ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+    scales = []
+    for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
+        sink: list = []
+
+        def attn_fn(q, k, v):
+            return L.attention(q, k, v, window=cfg.layer_window(li),
+                               sm_scale=cfg.sm_scale_), None
+
+        x, _ = L.block_core(cfg, lp, x, cos, sin,
+                            lambda name, h, lp=lp: _lin(lp, name, h),
+                            attn_fn, mla_lat_sink=sink)
+        amax = float(jnp.max(jnp.abs(sink[0])))
+        scales.append(max(amax * margin / 127.0, 1e-6))
+    return tuple(scales)
+
+
+def _quantize_row(row: jax.Array, scale: Optional[float]) -> jax.Array:
+    if scale is None:
+        return row
+    return jnp.clip(jnp.round(row.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
 def absorb_kv_b(model: PackedLlama) -> AbsorbedKVB:
     """Dequantize every layer's ``kv_b`` into its absorbed halves."""
     cfg = model.cfg
@@ -81,13 +117,15 @@ def absorb_kv_b(model: PackedLlama) -> AbsorbedKVB:
     return AbsorbedKVB(wk=tuple(wks), wv=tuple(wvs))
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("scales",))
 def mla_prefill(
     model: PackedLlama,
     tokens: jax.Array,  # (B, Lpad)
     cache: MLACache,
     lengths: jax.Array,  # (B,)
     slot: jax.Array,  # (B,)
+    scales: Optional[Tuple[float, ...]] = None,  # per-layer int8 scales
 ):
     """Exact naive-attention prompt pass that caches LATENT rows.
 
@@ -115,7 +153,9 @@ def mla_prefill(
         x, _ = L.block_core(cfg, lp, x, cos, sin,
                             lambda name, h, lp=lp: _lin(lp, name, h),
                             attn_fn, mla_lat_sink=sink)
-        row = sink[0].astype(lat.dtype)  # (B, Lpad, lat_dim)
+        row = sink[0]  # (B, Lpad, lat_dim)
+        row = (_quantize_row(row, scales[li]) if scales is not None
+               else row).astype(lat.dtype)
         wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
         rows = jnp.broadcast_to(slot[:, None], wpos.shape)
         lat = lat.at[li, rows, wpos].set(row)
@@ -125,7 +165,7 @@ def mla_prefill(
 
 
 def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
-                        key_mask):
+                        key_mask, scale=None):
     """One decoder layer of absorbed decode: (B, 1, D) -> (B, 1, D) plus
     the new latent row to store."""
     b = x.shape[0]
@@ -153,12 +193,19 @@ def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
                               axis=-1)  # (B, 1, lat)
     lat_layer = lat_layer.at[jnp.arange(b)[:, None],
                              positions[:, None]].set(
-        new_row.astype(lat_layer.dtype))
+        _quantize_row(new_row, scale).astype(lat_layer.dtype))
     keys = lat_layer[:, :, None, :]  # (B, S, 1, lat): MQA, one shared head
+    qk = q_eff
+    if scale is not None:  # int8 latent: fold the scale into q for the
+        # scores; the values' scale multiplies the ctx afterwards
+        qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)
+        keys = keys.astype(q_eff.dtype)
     # MQA over the shared latent: scores use the FULL qk head dim scale
-    ctx = L.attention(q_eff, keys, keys[..., :cfg.kv_lora_rank],
+    ctx = L.attention(qk, keys, keys[..., :cfg.kv_lora_rank],
                       causal_offset=None, key_mask=key_mask,
                       sm_scale=cfg.sm_scale_)  # (B, 1, nq, kv_lora)
+    if scale is not None:
+        ctx = ctx * jnp.asarray(scale, ctx.dtype)
     # apply the value half:  out_h = ctx_h W_uv_h
     out = jnp.einsum("bnhc,hcv->bnhv", ctx.astype(jnp.float32),
                      wv.astype(jnp.float32)).astype(x.dtype)
@@ -169,7 +216,8 @@ def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
     return x + mlp, lat_layer
 
 
-@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("s_bucket",))
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("s_bucket", "scales"))
 def mla_decode_sample_step(
     model: PackedLlama,
     absorbed: AbsorbedKVB,
@@ -179,6 +227,7 @@ def mla_decode_sample_step(
     temperatures: jax.Array,  # (B,)
     key: jax.Array,
     s_bucket: Optional[int] = None,
+    scales: Optional[Tuple[float, ...]] = None,
 ) -> Tuple[jax.Array, MLACache, jax.Array]:
     """One absorbed decode step + sampling + key split in ONE dispatch
     (mirrors ``decode.decode_sample_step``'s contract)."""
@@ -195,7 +244,8 @@ def mla_decode_sample_step(
         cos, sin = ropes[cfg.layer_rope(li)]
         x, lat_li = _mla_absorbed_block(
             cfg, lp, absorbed.wk[li], absorbed.wv[li], x, cos, sin,
-            lat[li, :, :s], positions, key_mask)
+            lat[li, :, :s], positions, key_mask,
+            scale=None if scales is None else scales[li])
         lat = lat.at[li, :, :s].set(lat_li)
     x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
                    cfg.norm_unit_offset)

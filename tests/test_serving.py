@@ -1116,3 +1116,21 @@ class TestMLAAbsorbed:
                      mla_absorbed=True).run(
             [Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert got == want
+
+    def test_int8_latent_cache(self):
+        """Absorbed MLA with an int8 latent cache: per-layer calibrated
+        scales, scale folded into q for scores and into the attended
+        context for values; greedy output stays near the full-precision
+        absorbed engine (int8-noise level)."""
+        model = self._model()
+        rng = np.random.default_rng(59)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        want = Engine(model, max_batch=1, max_seq_len=64,
+                      mla_absorbed=True).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=6)])[0]
+        eng = Engine(model, max_batch=1, max_seq_len=64, mla_absorbed=True,
+                     kv_dtype="int8")
+        assert eng.cache.lat.dtype == jnp.int8
+        got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=6)])[0]
+        agree = sum(a == b for a, b in zip(got, want))
+        assert agree >= 4, (got, want)  # int8 noise may flip a late token

@@ -48,6 +48,9 @@ def parse_serve_args(argv=None):
     p.add_argument("--prefix-cache", type=str2bool, default=False,
                    help="shared-prefix KV page reuse (paged cache + "
                         "ragged scheduler)")
+    p.add_argument("--mla-absorbed", type=str2bool, default=False,
+                   help="DeepSeek MLA: decode over the compressed latent "
+                        "cache (one kv_lora+rope row per token)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel ways over a device mesh (0 = off)")
     p.add_argument("--pp", type=int, default=0,
@@ -107,7 +110,8 @@ def build_engine(args):
                   mesh=mesh, kv_dtype=args.kv_dtype,
                   scheduler=args.scheduler,
                   token_budget=args.token_budget or None,
-                  prefix_cache=args.prefix_cache)
+                  prefix_cache=args.prefix_cache,
+                  mla_absorbed=args.mla_absorbed)
 
 
 def main(argv=None) -> dict:

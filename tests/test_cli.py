@@ -141,6 +141,32 @@ class TestServeCLI:
         assert stats["ticks"] <= 4  # ceil((6-1)/3) ticks + prefill slack
 
 
+class TestServeMLA:
+    def test_serve_mla_absorbed(self, tmp_path):
+        """--mla-absorbed serves a DeepSeek synthetic checkpoint over the
+        compressed latent cache."""
+        import subprocess, sys
+        from pathlib import Path
+
+        gen = (Path(__file__).resolve().parents[1] / "scripts"
+               / "make_synthetic_checkpoint.py")
+        subprocess.run(
+            [sys.executable, str(gen), "--out", str(tmp_path / "ds"),
+             "--model-type", "deepseek_v3", "--head-dim", "16",
+             "--hidden", "64", "--intermediate", "112", "--layers", "2",
+             "--heads", "4", "--kv-heads", "4", "--vocab", "256"],
+            check=True)
+        from gptq_v2_tpu.serve import main as serve_main
+
+        stats = serve_main([
+            "--model-dir", str(tmp_path / "ds"), "--results", "",
+            "--mla-absorbed", "true",
+            "--max-batch", "2", "--max-seq-len", "64",
+            "--bench-tokens", "4", "--prompt-tokens", "5",
+        ])
+        assert stats["new_tokens"] == 8 and stats["tok_s"] > 0
+
+
 class TestObservability:
     def test_phase_timer_and_profile_trace(self, tmp_path):
         """The CLI's observability plumbing: named phase wall-clocks plus a

@@ -58,7 +58,8 @@ def evaluate_ppl(
     del embed_w, xs
 
     for li in range(cfg.num_hidden_layers):
-        block_fwd = _block_fwd_for(cfg, window=cfg.layer_window(li))
+        block_fwd = _block_fwd_for(cfg, window=cfg.layer_window(li),
+                                   qk_l2=cfg.layer_qk_l2(li))
         cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
         lp = _device_layer(params["layers"][li])
         outs = [block_fwd(lp, x[b:b + batch_size], cos_sin)

@@ -98,6 +98,11 @@ class LlamaConfig:
     partial_rotary_factor: float = 1.0
     # GLM-4 checkpoints store a fused gate_up_proj ([gate | up] rows)
     fused_gate_up: bool = False
+    # GLM-4 / Llama-4: the checkpoint's rope pairing is interleaved
+    # (even/odd); the loader de-interleaves each head's rotary prefix of
+    # q/k out-features once (attention-invariant permutation), so runtime
+    # keeps the standard half-rotation convention
+    rope_interleaved: bool = False
     # --- DeepSeek-V2/V3 Multi-head Latent Attention -------------------------
     # q via a low-rank bottleneck (q_a -> norm -> q_b; None = direct q_proj),
     # kv via a compressed latent (kv_a_proj_with_mqa = [c_kv | shared rope
@@ -144,6 +149,27 @@ class LlamaConfig:
     # expert checkpoints with interleaved gate/up + per-expert biases, and
     # the clamped (up + 1) * gate * sigmoid(1.702 gate) GLU
     moe_gptoss: bool = False
+    # --- Llama-4 switches ---------------------------------------------------
+    # weightless L2 norm on q/k AFTER rope (HF Llama4TextL2Norm, eps 1e-6)
+    qk_l2_norm: bool = False
+    # temperature tuning on NoPE layers: q *= log1p(floor((pos+1)/floor))
+    # * scale + 1 (HF Llama4TextAttention / arXiv 2501.19399)
+    attn_temp_tuning: bool = False
+    attn_floor_scale: float = 8192.0
+    attn_scale_coef: float = 0.1
+    # chunked attention on "chunked_attention" layers: query i attends only
+    # keys in its own chunk of this size (AND causal) — unlike a sliding
+    # window the boundary is absolute-position-aligned
+    attn_chunk_size: Optional[int] = None
+    # Llama-4 dense/shared-MLP width differs from the expert width
+    # (intermediate_size_mlp vs intermediate_size); None = intermediate_size
+    intermediate_size_dense: Optional[int] = None
+    # Llama-4 MoE: top-k on logits, SIGMOID of the selected logits as
+    # scores, routed INPUT scaled by the score (outputs sum unweighted),
+    # plus one always-on shared expert; stacked [gate | up] checkpoints
+    moe_llama4: bool = False
+    # Llama-4 checkpoints name the MLP "feed_forward" (loader remap)
+    llama4_names: bool = False
 
     @property
     def head_dim_(self) -> int:
@@ -181,6 +207,22 @@ class LlamaConfig:
         return (self.moe_dense_layers is None
                 or layer_idx not in self.moe_dense_layers)
 
+    def layer_qk_l2(self, layer_idx: int) -> bool:
+        """Llama-4 applies the weightless QK L2 norm on ROPE layers only
+        (HF: ``use_qk_norm and use_rope``)."""
+        if not self.qk_l2_norm:
+            return False
+        return not (self.nope_layers and layer_idx in self.nope_layers)
+
+    def layer_chunk(self, layer_idx: int) -> Optional[int]:
+        """Llama-4 chunked-attention size for one layer (None = not
+        chunked)."""
+        if self.attn_chunk_size is None or self.layer_types is None:
+            return None
+        return (self.attn_chunk_size
+                if self.layer_types[layer_idx] == "chunked_attention"
+                else None)
+
     def layer_window(self, layer_idx: int) -> Optional[int]:
         """Sliding window for one layer (None = global attention)."""
         if self.sliding_window is None:
@@ -209,15 +251,17 @@ class LlamaConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "LlamaConfig":
         model_type = d.get("model_type", "llama")
-        if model_type == "gemma3" and "text_config" in d:
+        if model_type in ("gemma3", "llama4") and "text_config" in d:
             # multimodal wrapper config: serve the text tower
             inner = dict(d["text_config"])
             inner.setdefault("torch_dtype", d.get("torch_dtype", "float16"))
             return cls.from_hf_dict(inner)
+        if model_type == "llama4" and "text_config" not in d:
+            model_type = "llama4_text"  # already the text tower
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
                               "gemma3_text", "phi3", "mixtral", "qwen3_moe",
                               "smollm3", "olmo2", "glm4", "deepseek_v3",
-                              "gpt_oss"):
+                              "gpt_oss", "llama4_text"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -230,6 +274,18 @@ class LlamaConfig:
             moe_top_k = d["num_experts_per_tok"]
             # router: biased linear, softmax over the top-k values — equal
             # to softmax-then-renormalize, i.e. moe_renorm semantics
+        elif model_type == "llama4_text" and d.get("num_local_experts"):
+            moe_experts = d["num_local_experts"]
+            moe_top_k = d["num_experts_per_tok"]
+            moe_inter = d["intermediate_size"]  # expert width; the dense
+            # and shared MLPs use intermediate_size_mlp / intermediate_size
+            ml = d.get("moe_layers")
+            if ml is None:
+                step = d.get("interleave_moe_layer_step", 1)
+                ml = list(range(step - 1, d["num_hidden_layers"], step))
+            dense = tuple(i for i in range(d["num_hidden_layers"])
+                          if i not in set(ml))
+            moe_dense = dense or None
         elif model_type == "qwen3_moe":
             moe_experts = d["num_experts"]
             moe_top_k = d["num_experts_per_tok"]
@@ -279,7 +335,13 @@ class LlamaConfig:
         if model_type in ("qwen2", "qwen3", "qwen3_moe", "smollm3") and not \
                 d.get("use_sliding_window", False):
             sliding = None  # these families gate the window behind a flag
+        llama4 = model_type == "llama4_text"
         nope_layers = None
+        if llama4:
+            nr = d.get("no_rope_layers")  # 1 = rope ON, 0 = NoPE
+            if nr:
+                nope_layers = tuple(i for i, v in enumerate(nr)
+                                    if not v) or None
         if model_type == "smollm3":
             # HF no_rope_layers: 1 = rope ON for that layer, 0 = NoPE
             nr = d.get("no_rope_layers")
@@ -351,6 +413,7 @@ class LlamaConfig:
             partial_rotary_factor=d.get("partial_rotary_factor", 1.0)
             if glm4 else 1.0,
             fused_gate_up=glm4,
+            rope_interleaved=glm4 or llama4,
             mla=mla,
             q_lora_rank=d.get("q_lora_rank") if mla else None,
             kv_lora_rank=d.get("kv_lora_rank", 512) if mla else 512,
@@ -366,12 +429,23 @@ class LlamaConfig:
             moe_sigmoid_routing=ds_moe,
             attn_sinks=model_type == "gpt_oss",
             moe_gptoss=model_type == "gpt_oss",
+            qk_l2_norm=llama4 and d.get("use_qk_norm", True),
+            attn_temp_tuning=llama4 and d.get("attn_temperature_tuning",
+                                              False),
+            attn_floor_scale=d.get("floor_scale", 8192.0) or 8192.0,
+            attn_scale_coef=d.get("attn_scale", 0.1) or 0.1,
+            attn_chunk_size=d.get("attention_chunk_size") if llama4
+            else None,
+            intermediate_size_dense=d.get("intermediate_size_mlp")
+            if llama4 else None,
+            moe_llama4=llama4 and bool(d.get("num_local_experts")),
+            llama4_names=llama4,
             moe_n_group=d.get("n_group", 1) if ds_moe else 1,
             moe_topk_group=d.get("topk_group", 1) if ds_moe else 1,
             moe_routed_scale=d.get("routed_scaling_factor", 1.0)
             if ds_moe else 1.0,
-            moe_shared_experts=d.get("n_shared_experts") or 0
-            if ds_moe else 0,
+            moe_shared_experts=(d.get("n_shared_experts") or 0) if ds_moe
+            else 1 if (llama4 and d.get("num_local_experts")) else 0,
         )
 
     @classmethod
@@ -402,7 +476,8 @@ def layer_param_shapes(cfg: LlamaConfig,
     dominant layer type (MoE when configured); pass the index for models
     with interleaved dense MLP layers (``cfg.layer_is_moe``)."""
     d, hd = cfg.hidden_size, cfg.head_dim_
-    nq, nkv, i = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    i = cfg.intermediate_size_dense or cfg.intermediate_size
     shapes = {
         "input_layernorm": (d,),
         "self_attn.q_proj": (d, nq * hd),
@@ -657,6 +732,32 @@ def rope_tables(
     return tables
 
 
+def layer_q_scale(cfg: LlamaConfig, layer_idx: int,
+                  positions: jax.Array) -> Optional[jax.Array]:
+    """The per-query temperature factor for one layer, or None — Llama-4
+    applies it on NoPE layers only."""
+    if not cfg.attn_temp_tuning:
+        return None
+    if not (cfg.nope_layers and layer_idx in cfg.nope_layers):
+        return None
+    return llama4_q_scale(cfg, positions)
+
+
+def llama4_q_scale(cfg: LlamaConfig, positions: jax.Array) -> jax.Array:
+    """Llama-4 attention-temperature factor per query position (applied on
+    NoPE layers only): ``log1p(floor((pos+1)/floor_scale)) * coef + 1``."""
+    return (jnp.log1p(jnp.floor((positions.astype(jnp.float32) + 1.0)
+                                / cfg.attn_floor_scale))
+            * cfg.attn_scale_coef + 1.0)
+
+
+def _l2_norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Weightless RMS normalization (HF Llama4TextL2Norm)."""
+    x32 = x.astype(jnp.float32)
+    return (x32 * jax.lax.rsqrt(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)).astype(x.dtype)
+
+
 def _rotate_half(x: jax.Array) -> jax.Array:
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
@@ -726,6 +827,8 @@ def attention(
     sm_scale: Optional[float] = None,  # score scale; None = 1/sqrt(hd)
     logit_cap: Optional[float] = None,  # Gemma-2 attn softcapping
     sinks: Optional[jax.Array] = None,  # (Hq,) GPT-OSS attention sinks
+    chunk: Optional[int] = None,  # Llama-4 chunked attention size
+    q_scale: Optional[jax.Array] = None,  # (N,) | (B, N) per-query scale
 ) -> jax.Array:
     """Dense attention with GQA; fp32 softmax. Returns (B, N, Hq, hd).
 
@@ -743,9 +846,13 @@ def attention(
     Long causal self-attention dispatches to the Pallas flash kernel.
     """
     if (isinstance(causal_offset, int) and causal_offset == 0
-            and key_mask is None and sinks is None
-            and _use_flash(q, k, window, logit_cap)):
+            and key_mask is None and sinks is None and chunk is None
+            and q_scale is None and _use_flash(q, k, window, logit_cap)):
         return _flash_attention(q, k, v, sm_scale)
+    if q_scale is not None:  # Llama-4 NoPE temperature tuning scales q
+        qs = (q_scale[None, :, None, None] if q_scale.ndim == 1
+              else q_scale[:, :, None, None])
+        q = q * qs.astype(q.dtype)
     b, n, hq, hd = q.shape
     s, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
@@ -762,6 +869,8 @@ def attention(
         mask = kj <= qi + off  # (n, s) or (B, n, s)
         if window is not None:
             mask &= kj > qi + off - window
+        if chunk is not None:  # Llama-4: same absolute-position chunk only
+            mask &= (kj // chunk) == ((qi + off) // chunk)
         scores = jnp.where(mask[:, None, None] if per_row
                            else mask[None, None, None], scores, neg)
     if key_mask is not None:
@@ -832,18 +941,52 @@ def moe_combine_deepseek(cfg: LlamaConfig, router_w: jax.Array,
     return jnp.sum(one_hot * vals[..., None], axis=-2)
 
 
+def moe_combine_llama4(cfg: LlamaConfig, router_w: jax.Array,
+                       h: jax.Array) -> jax.Array:
+    """Llama-4 router scores ``(B, N, E)``: top-k on the logits, SIGMOID of
+    the selected logits, zero elsewhere (HF Llama4Router — sigmoid(-inf)
+    of the masked logits), NO renormalization."""
+    logits = (h @ router_w).astype(jnp.float32)
+    _, idx = jax.lax.top_k(logits, cfg.moe_top_k)
+    sel = jnp.sum(jax.nn.one_hot(idx, cfg.moe_num_experts,
+                                 dtype=logits.dtype), axis=-2)
+    return jax.nn.sigmoid(logits) * sel
+
+
+def moe_apply_llama4(cfg: LlamaConfig, lin, h: jax.Array,
+                     scores: jax.Array) -> jax.Array:
+    """Llama-4 masked-dense experts: the routed INPUT is scaled by the
+    router score (``x * s`` feeds the expert; outputs sum unweighted —
+    NOT equivalent to output-weighting through the SwiGLU nonlinearity).
+    Unrouted rows carry score 0, so their expert compute is exactly zero
+    (no biases) and each expert's captured Hessian sees only its routed,
+    score-scaled activations — the serving-time input distribution."""
+    out = None
+    for e in range(cfg.moe_num_experts):
+        he = h * scores[..., e:e + 1].astype(h.dtype)
+        g = lin(f"mlp.experts.{e}.gate_proj", he)
+        u = lin(f"mlp.experts.{e}.up_proj", he)
+        d = lin(f"mlp.experts.{e}.down_proj", moe_glu(cfg, g, u))
+        out = d if out is None else out + d
+    return out
+
+
 def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
     """The block's MLP: dense SwiGLU/GeGLU, or the layer's sparse MoE
     (router present in ``lp``) plus DeepSeek's always-on shared experts."""
     if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
-        if cfg.moe_sigmoid_routing:
-            comb = moe_combine_deepseek(cfg, lp["mlp.router"],
-                                        lp["mlp.router_bias"], h)
+        if cfg.moe_llama4:
+            scores = moe_combine_llama4(cfg, lp["mlp.router"], h)
+            mlp = moe_apply_llama4(cfg, lin, h, scores)
         else:
-            comb = moe_combine(cfg, lp["mlp.router"], h,
-                               lp.get("mlp.router.bias"))
-        mlp = (moe_fn(h, comb) if moe_fn is not None
-               else moe_apply_dense(cfg, lin, h, comb))
+            if cfg.moe_sigmoid_routing:
+                comb = moe_combine_deepseek(cfg, lp["mlp.router"],
+                                            lp["mlp.router_bias"], h)
+            else:
+                comb = moe_combine(cfg, lp["mlp.router"], h,
+                                   lp.get("mlp.router.bias"))
+            mlp = (moe_fn(h, comb) if moe_fn is not None
+                   else moe_apply_dense(cfg, lin, h, comb))
         if "mlp.shared_experts.gate_proj" in lp:
             sg = lin("mlp.shared_experts.gate_proj", h)
             su = lin("mlp.shared_experts.up_proj", h)
@@ -909,6 +1052,7 @@ def block_core(
     moe_fn=None,  # moe_fn(h, comb) -> mlp output (EP/sharded variants)
     qk_norm_fn=None,  # flat-QK-norm override (TP: global mean-of-squares)
     mla_lat_sink=None,  # list: receives the MLA [latent | rope-key] row
+    qk_l2=None,  # Llama-4 L2 norm for THIS layer; None = cfg.qk_l2_norm
 ):
     """Family-generic decoder block skeleton shared by every forward path
     (dense, packed serving, cache decode, ragged, TP).  The caller supplies
@@ -941,6 +1085,9 @@ def block_core(
         k = rms_norm(k, lp["self_attn.k_norm"], eps, uo)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if cfg.qk_l2_norm if qk_l2 is None else qk_l2:
+        # Llama-4: weightless L2 norm AFTER rope (rope layers only)
+        q, k = _l2_norm(q, eps), _l2_norm(k, eps)
     attn, aux = attn_fn(q, k, v.reshape(b, n, -1, hd))
     o = lin("self_attn.o_proj", attn.reshape(b, n, -1))
     if cfg.sandwich_norms or cfg.postnorm_only:
@@ -1030,6 +1177,9 @@ def block_apply(
     capture: Sequence[str] = (),
     inject: Optional[Dict[str, jax.Array]] = None,
     window: Optional[int] = AUTO_WINDOW,
+    chunk: Optional[int] = None,  # Llama-4 chunked attention
+    q_scale: Optional[jax.Array] = None,  # Llama-4 NoPE temperature
+    qk_l2: Optional[bool] = None,  # Llama-4 per-layer L2 norm
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decoder block. Returns ``(hidden, {name: linear_input})``.
 
@@ -1067,9 +1217,10 @@ def block_apply(
     def attn_fn(q, k, v):
         return attention(q, k, v, window=window, sm_scale=cfg.sm_scale_,
                          sinks=lp.get("self_attn.sinks"),
+                         chunk=chunk, q_scale=q_scale,
                          logit_cap=cfg.attn_logit_softcap), None
 
-    x, _ = block_core(cfg, lp, x, cos, sin, lin, attn_fn)
+    x, _ = block_core(cfg, lp, x, cos, sin, lin, attn_fn, qk_l2=qk_l2)
     return x, caps
 
 
@@ -1098,7 +1249,10 @@ def forward_hidden(
     x = embed(cfg, params, tokens)
     for li, lp in enumerate(params["layers"]):
         cos, sin = ropes[cfg.layer_rope(li)]
-        x, _ = block_apply(cfg, lp, x, cos, sin, window=cfg.layer_window(li))
+        x, _ = block_apply(cfg, lp, x, cos, sin, window=cfg.layer_window(li),
+                           chunk=cfg.layer_chunk(li),
+                           q_scale=layer_q_scale(cfg, li, positions),
+                           qk_l2=cfg.layer_qk_l2(li))
     return rms_norm(x, params["norm"], cfg.rms_norm_eps, cfg.norm_unit_offset)
 
 

@@ -103,7 +103,38 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
             w = np.asarray(goss_get(f"{base}.mlp.experts.gate_up_proj_bias"))
             return w[e][sel]
 
-    if cfg.moe_num_experts and not cfg.moe_gptoss:
+    if cfg.llama4_names:  # Llama-4: feed_forward.* names, stacked experts
+        l4_get = get
+        inter_e = cfg.moe_intermediate_
+
+        def get(key: str):
+            m = re.match(
+                r"(model\.layers\.\d+)\.mlp\.experts\.(\d+)\."
+                r"(gate|up|down)_proj\.weight", key)
+            if m:
+                base, e, kind = m.groups()
+                e = int(e)
+                if kind == "down":  # (E, inter, d) = (in, out)
+                    w = np.asarray(l4_get(
+                        f"{base}.feed_forward.experts.down_proj"))
+                    return w[e].T
+                w = np.asarray(l4_get(
+                    f"{base}.feed_forward.experts.gate_up_proj"))
+                half = (slice(0, inter_e) if kind == "gate"
+                        else slice(inter_e, None))
+                return w[e][:, half].T  # [gate | up] halves, (in, out)
+            m = re.match(r"(model\.layers\.\d+)\.mlp\."
+                         r"shared_experts\.(\w+)\.weight", key)
+            if m:
+                return l4_get(f"{m.group(1)}.feed_forward."
+                              f"shared_expert.{m.group(2)}.weight")
+            m = re.match(r"(model\.layers\.\d+)\.mlp\.(\w+)\.weight", key)
+            if m:  # dense gate/up/down + router live under feed_forward
+                return l4_get(
+                    f"{m.group(1)}.feed_forward.{m.group(2)}.weight")
+            return l4_get(key)
+
+    if cfg.moe_num_experts and not cfg.moe_gptoss and not cfg.moe_llama4:
         moe_get = get
 
         def get(key: str):
@@ -165,14 +196,16 @@ def params_from_flat(cfg: LlamaConfig, get, lazy: bool = False) -> Params:
                         else fused[inter_gu:])
             return gu_get(key)
 
-    if cfg.partial_rotary_factor != 1.0:
-        # GLM-4 interleaved partial rope → de-interleave each head's rotary
-        # prefix of q/k out-features at load (q·k is invariant under a
-        # simultaneous per-head permutation), so the standard half-rotation
+    if cfg.rope_interleaved:
+        # GLM-4 (partial) / Llama-4 (full-dim) interleaved rope →
+        # de-interleave each head's rotary prefix of q/k out-features at
+        # load (q·k is invariant under a simultaneous per-head
+        # permutation; Llama-4's weightless post-rope L2 norm is
+        # permutation-invariant too), so the standard half-rotation
         # convention applies at runtime with no per-step cost
         pr_get = get
         hd = cfg.head_dim_
-        rd = int(hd * cfg.partial_rotary_factor)
+        rd = cfg.rope_dim_
         dim_perm = np.concatenate([np.arange(0, rd, 2), np.arange(1, rd, 2),
                                    np.arange(rd, hd)])
 

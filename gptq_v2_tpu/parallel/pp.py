@@ -220,6 +220,8 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     assert not cfg.mla, "MLA (DeepSeek) pipeline parallelism not wired yet"
     assert not cfg.attn_sinks and not cfg.moe_gptoss, \
         "GPT-OSS pipeline parallelism not wired yet"
+    assert not (cfg.attn_chunk_size or cfg.attn_temp_tuning
+                or cfg.moe_llama4), "Llama-4 pipeline parallelism not wired"
     assert tp == 1 or not cfg.qk_norm_flat, (
         "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
         " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")

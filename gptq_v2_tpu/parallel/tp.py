@@ -182,6 +182,8 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
         "GPT-OSS (sinks / biased stacked experts) is single-device for"
         " now: sinks shard per query head and expert biases need EP"
         " plumbing")
+    assert not (cfg.attn_chunk_size or cfg.attn_temp_tuning
+                or cfg.moe_llama4), "Llama-4 is single-device for now"
     assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
     assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
     if cfg.moe_num_experts:

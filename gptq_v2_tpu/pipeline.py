@@ -268,14 +268,14 @@ _inc_step_cache: Dict = {}
 def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
                        members_map: tuple, want_capture: bool,
                        donate_inj: tuple, use_kernel: bool,
-                       window=L.AUTO_WINDOW):
+                       window=L.AUTO_WINDOW, qk_l2=None):
     """Jitted Hessian step with activation injection.
 
     Args at call time: ``(lp, xb, cos_sin, inj_tuple, h)``.  Donates the
     accumulator and any injected cache buffers at their last use.
     """
     key = ("hess", cfg, stage_linears, inject_firsts, members_map,
-           want_capture, donate_inj, use_kernel, window)
+           want_capture, donate_inj, use_kernel, window, qk_l2)
     if key not in _inc_step_cache:
         first = stage_linears[0]
         members = dict(members_map)
@@ -289,6 +289,7 @@ def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
             injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                     for m in members[f]}
             _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                    qk_l2=qk_l2,
                                     capture=(first,), inject=injd,
                                     window=window)
             act = caps[first]
@@ -302,9 +303,10 @@ def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
 
 
 def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
-                   uses_input: bool, donate_inj: tuple, window=L.AUTO_WINDOW):
+                   uses_input: bool, donate_inj: tuple, window=L.AUTO_WINDOW,
+                   qk_l2=None):
     key = ("final", cfg, inject_firsts, members_map, uses_input, donate_inj,
-           window)
+           window, qk_l2)
     if key not in _inc_step_cache:
         members = dict(members_map)
         donate = tuple(i + 3 for i, d in enumerate(donate_inj) if d)
@@ -316,7 +318,7 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
             injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                     for m in members[f]}
             out, _ = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                   inject=injd, window=window)
+                                   inject=injd, window=window, qk_l2=qk_l2)
             return out
 
         _inc_step_cache[key] = fwd
@@ -324,17 +326,18 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
 
 
 def _wave_hess_step_for(cfg, firsts: tuple, use_kernel: bool,
-                        window=L.AUTO_WINDOW):
+                        window=L.AUTO_WINDOW, qk_l2=None):
     """Jitted multi-stage Hessian step: ONE block forward captures every
     wave member's input and accumulates all their Hessians (independent
     stages — ``graph.stage_waves``).  Collapses a MoE block's ``2E``
     per-expert stage forwards into two."""
-    key = ("wave", cfg, firsts, use_kernel, window)
+    key = ("wave", cfg, firsts, use_kernel, window, qk_l2)
     if key not in _inc_step_cache:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(lp, xb, cos_sin, hs_t):
             _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                    qk_l2=qk_l2,
                                     capture=firsts, window=window)
             out = []
             for f, h in zip(firsts, hs_t):
@@ -368,7 +371,7 @@ def _split_wave_by_budget(wave, d_ins, budget_bytes: int):
 
 def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
                           solve_stage, pending, mesh=None,
-                          window=L.AUTO_WINDOW,
+                          window=L.AUTO_WINDOW, qk_l2=None,
                           hessian_budget: int = 4 << 30) -> list:
     """One block via wave-fused Hessian passes; returns next-block inputs.
 
@@ -382,7 +385,8 @@ def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
             firsts = tuple(st.linears[0] for st in chunk)
             if mesh is None:
                 step = _wave_hess_step_for(cfg, firsts,
-                                           qcfg.use_hessian_kernel, window)
+                                           qcfg.use_hessian_kernel, window,
+                                           qk_l2=qk_l2)
                 hs_t = tuple(
                     jnp.zeros((lp[f].shape[0],) * 2, jnp.float32)
                     for f in firsts)
@@ -411,7 +415,7 @@ def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
             del hs_t
 
     if mesh is None:
-        fwd = _block_fwd_for(cfg, window=window)
+        fwd = _block_fwd_for(cfg, window=window, qk_l2=qk_l2)
     else:
         from gptq_v2_tpu.parallel import dp as DP
 
@@ -427,16 +431,16 @@ def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
 _hess_step_cache: Dict = {}
 
 
-def _hess_step_for(cfg, capture: tuple, use_kernel: bool,
+def _hess_step_for(cfg, capture: tuple, use_kernel: bool, qk_l2=None,
                    window=L.AUTO_WINDOW):
-    key = (cfg, capture, use_kernel, window)
+    key = (cfg, capture, use_kernel, window, qk_l2)
     if key not in _hess_step_cache:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(lp, xb, cos_sin, h):
             cos, sin = cos_sin
             _, caps = L.block_apply(cfg, lp, xb, cos, sin, capture=capture,
-                                    window=window)
+                                    window=window, qk_l2=qk_l2)
             act = caps[capture[0]]
             st = hs.accumulate(
                 hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
@@ -451,14 +455,15 @@ def _hess_step_for(cfg, capture: tuple, use_kernel: bool,
 _block_fwd_cache: Dict = {}
 
 
-def _block_fwd_for(cfg, window=L.AUTO_WINDOW):
-    key = (cfg, window)
+def _block_fwd_for(cfg, window=L.AUTO_WINDOW, qk_l2=None):
+    key = (cfg, window, qk_l2)
     if key not in _block_fwd_cache:
 
         @jax.jit
         def fwd(lp, xb, cos_sin):
             cos, sin = cos_sin
-            out, _ = L.block_apply(cfg, lp, xb, cos, sin, window=window)
+            out, _ = L.block_apply(cfg, lp, xb, cos, sin, window=window,
+                                   qk_l2=qk_l2)
             return out
 
         _block_fwd_cache[key] = fwd
@@ -607,6 +612,9 @@ def quantize_model(
         save_path.mkdir(parents=True, exist_ok=True)
 
     if mesh is not None:
+        assert not cfg.qk_l2_norm, (
+            "Llama-4 data-parallel calibration is not wired (per-layer"
+            " QK-L2 threading); quantize single-device")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from gptq_v2_tpu.parallel import dp as DP
@@ -773,6 +781,7 @@ def quantize_model(
     for li in range(cfg.num_hidden_layers):
         t0 = time.time()
         win = cfg.layer_window(li)  # per-layer attention window (Gemma-2)
+        ql2 = cfg.layer_qk_l2(li)  # Llama-4 L2 norm on rope layers only
         cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
         stage_list, waves, use_waves, plan, members_map = _block_schedule(
             dict(params["layers"][li]))
@@ -789,7 +798,7 @@ def quantize_model(
         if use_waves and not resumed_stages:
             xs = _quantize_block_waves(
                 cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq, solve_stage,
-                pending, mesh=mesh, window=win)
+                pending, mesh=mesh, window=win, qk_l2=ql2)
             _finish_block(results, pending, save_path, qcfg, params, lp, li,
                           offload, dt)
             logger.info("finished block %d in %.2f s", li, time.time() - t0)
@@ -799,7 +808,7 @@ def quantize_model(
             xs = _quantize_block_incremental(
                 cfg, qcfg, lp, li, xs, cos_sin, stage_list, plan,
                 members_map, n_seq, solve_stage, pending, mesh=mesh,
-                window=win)
+                window=win, qk_l2=ql2)
             _finish_block(results, pending, save_path, qcfg, params, lp, li,
                           offload, dt)
             logger.info("finished block %d in %.2f s", li, time.time() - t0)
@@ -828,7 +837,8 @@ def quantize_model(
                     del h_parts
                 else:
                     step = _hess_step_for(cfg, (first,),
-                                          qcfg.use_hessian_kernel, window=win)
+                                          qcfg.use_hessian_kernel, window=win,
+                                          qk_l2=ql2)
                     h = jnp.zeros((d_in, d_in), jnp.float32)
                     for xb in xs:
                         h = step(lp, xb, cos_sin, h)
@@ -845,7 +855,7 @@ def quantize_model(
         # Inputs of the next block, computed with fully quantized weights
         # (reference llama.py:184-191).
         fwd = (dp_fwd_for(win) if mesh is not None
-               else _block_fwd_for(cfg, window=win))
+               else _block_fwd_for(cfg, window=win, qk_l2=ql2))
         xs = [fwd(lp, xb, cos_sin) for xb in xs]
 
         _finish_block(results, pending, save_path, qcfg, params, lp, li,
@@ -859,7 +869,7 @@ def quantize_model(
 def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
                                 plan: _IncPlan, members_map, n_seq,
                                 solve_stage, pending, mesh=None,
-                                window=L.AUTO_WINDOW) -> list:
+                                window=L.AUTO_WINDOW, qk_l2=None) -> list:
     """One block under the incremental plan; returns the next block's inputs.
 
     Per stage: one injected forward per batch accumulates the Hessian and
@@ -880,7 +890,8 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
         if mesh is None:
             step = _inc_hess_step_for(cfg, stage.linears, inj_names,
                                       members_map, plan.cache[k], donate_inj,
-                                      qcfg.use_hessian_kernel, window=window)
+                                      qcfg.use_hessian_kernel, window=window,
+                                      qk_l2=qk_l2)
             h = jnp.zeros((d_in, d_in), jnp.float32)
             reduce_h = lambda h: h
         else:
@@ -923,7 +934,7 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
     if mesh is None:
         fwd = _inc_final_for(cfg, inj_names, members_map,
                              plan.uses_input[n_final], donate_inj,
-                             window=window)
+                             window=window, qk_l2=qk_l2)
     else:
         key = ("dp-final", mesh, cfg, inj_names, plan.uses_input[n_final],
                donate_inj, window)

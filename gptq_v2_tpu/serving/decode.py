@@ -44,8 +44,11 @@ def prefill(
     contiguous = isinstance(cache, kvc.ContiguousKVCache)
     for li, lp in enumerate(model.layers):
         cos, sin = ropes[cfg.layer_rope(li)]
-        x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin,
-                                       window=cfg.layer_window(li))
+        x, (k, v) = packed_block_apply(
+            cfg, lp, x, cos, sin, window=cfg.layer_window(li),
+            chunk=cfg.layer_chunk(li),
+            q_scale=L.layer_q_scale(cfg, li, positions),
+            qk_l2=cfg.layer_qk_l2(li))
         n_kv, hd = k.shape[2], k.shape[3]
         if contiguous:
             # pad writes clamp to the last position; any real token landing
@@ -105,20 +108,29 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
     # valid-key masks per attention kind (Gemma-2 alternates sliding/global;
     # each distinct window builds its mask once, shared by its layers)
     base_mask = jnp.arange(s)[None, :] <= positions[:, None]  # (B, S)
-    masks = {None: base_mask}
+    masks = {(None, None): base_mask}
     for li in range(cfg.num_hidden_layers):
-        w = cfg.layer_window(li)
-        if w is not None and w not in masks:
-            masks[w] = base_mask & (jnp.arange(s)[None, :]
-                                    > positions[:, None] - w)
+        mk = (cfg.layer_window(li), cfg.layer_chunk(li))
+        if mk not in masks:
+            w, c = mk
+            m = base_mask
+            if w is not None:
+                m = m & (jnp.arange(s)[None, :] > positions[:, None] - w)
+            if c is not None:  # Llama-4: keys in the query's chunk only
+                m = m & ((jnp.arange(s)[None, :] // c)
+                         == (positions[:, None] // c))
+            masks[mk] = m
 
     for li, lp in enumerate(model.layers):
         # write this token's K/V first, then attend over the full cache
         # (the new token's slot is included and valid by the mask).
         win = cfg.layer_window(li)
         cos, sin = ropes[cfg.layer_rope(li)]
+        qs = L.layer_q_scale(cfg, li, positions)
         x, cache = _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables,
-                                 positions, masks[win], s, win)
+                                 positions, masks[(win, cfg.layer_chunk(li))],
+                                 s, win,
+                                 None if qs is None else qs[:, None])
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
     from gptq_v2_tpu.serving.model import head_logits
 
@@ -126,7 +138,8 @@ def _decode_step_impl(model, tokens, cache, block_tables, positions,
 
 
 def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
-                  key_mask, s, window):
+                  key_mask, s, window, q_scale=None):
+    qk_l2 = cfg.layer_qk_l2(li)
     from gptq_v2_tpu.serving.model import _lin
 
     def attn_fn(q, k, v):
@@ -148,7 +161,8 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             attn = L.attention(qq, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
                                logit_cap=cfg.attn_logit_softcap,
-                               sinks=lp.get("self_attn.sinks"))
+                               sinks=lp.get("self_attn.sinks"),
+                               q_scale=q_scale)
             if cache.v_scales is not None:
                 attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
         else:
@@ -180,7 +194,8 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
         return attn, new_cache
 
     return L.block_core(cfg, lp, x, cos, sin,
-                        lambda name, h: _lin(lp, name, h), attn_fn)
+                        lambda name, h: _lin(lp, name, h), attn_fn,
+                        qk_l2=qk_l2)
 
 
 @functools.partial(jax.jit, static_argnames=("s_bucket", "return_logprobs"),

@@ -111,6 +111,9 @@ def packed_block_apply(
     sin: jax.Array,
     kv_override: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     window: Optional[int] = L.AUTO_WINDOW,
+    chunk: Optional[int] = None,  # Llama-4 chunked attention
+    q_scale: Optional[jax.Array] = None,  # Llama-4 NoPE temperature
+    qk_l2: Optional[bool] = None,  # Llama-4 per-layer L2 norm
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder block on packed weights.
 
@@ -130,16 +133,19 @@ def packed_block_apply(
             attn = L.attention(q, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
                                logit_cap=cfg.attn_logit_softcap,
-                               sinks=lp.get("self_attn.sinks"))
+                               sinks=lp.get("self_attn.sinks"),
+                               q_scale=q_scale)
         else:
             attn = L.attention(q, k, v, window=window,
                                sm_scale=cfg.sm_scale_,
                                logit_cap=cfg.attn_logit_softcap,
-                               sinks=lp.get("self_attn.sinks"))
+                               sinks=lp.get("self_attn.sinks"),
+                               chunk=chunk, q_scale=q_scale)
         return attn, (k, v)
 
     return L.block_core(cfg, lp, x, cos, sin,
-                        lambda name, h: _lin(lp, name, h), attn_fn)
+                        lambda name, h: _lin(lp, name, h), attn_fn,
+                        qk_l2=qk_l2)
 
 
 def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
@@ -147,10 +153,14 @@ def packed_forward_logits(model: PackedLlama, tokens: jax.Array) -> jax.Array:
     cfg = model.cfg
     ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+    positions = jnp.arange(tokens.shape[1])
     for li, lp in enumerate(model.layers):
         cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = packed_block_apply(cfg, lp, x, cos, sin,
-                                  window=cfg.layer_window(li))
+                                  window=cfg.layer_window(li),
+                                  chunk=cfg.layer_chunk(li),
+                                  q_scale=L.layer_q_scale(cfg, li, positions),
+                                  qk_l2=cfg.layer_qk_l2(li))
     x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
     return head_logits(cfg, model.lm_head, x)
 

@@ -507,6 +507,39 @@ class TestModelFamilies:
         assert "mlp.router.bias" in lp0
         assert "mlp.experts.3.down_proj.bias" in lp0
 
+    def test_llama4_logits_match_transformers(self):
+        """Llama-4: interleaved full-dim rope (de-interleaved at load),
+        weightless post-rope QK L2 norm, NoPE layers with attention-
+        temperature tuning (floor_scale shrunk so it BITES at test
+        length), chunked attention (chunk 8 < seqlen), and the MoE with
+        sigmoid-of-top-k scores scaling the routed INPUT plus a shared
+        expert; dense layer at a different MLP width."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.Llama4TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            intermediate_size_mlp=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            num_local_experts=4, num_experts_per_tok=2, moe_layers=[1],
+            interleave_moe_layer_step=2, no_rope_layers=[1, 0],
+            attention_chunk_size=8, attn_temperature_tuning=True,
+            floor_scale=8.0, attn_scale=0.2, use_qk_norm=True,
+            max_position_embeddings=128, rms_norm_eps=1e-5, pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(47)
+        hf_model = transformers.Llama4ForCausalLM(hf_cfg).eval()
+        cfg, params = self._parity(hf_model, hf_cfg.to_dict(), 24, 48,
+                                   rtol=5e-4)
+        assert cfg.qk_l2_norm and cfg.attn_temp_tuning
+        assert cfg.nope_layers == (1,) and cfg.layer_chunk(0) == 8
+        assert cfg.layer_chunk(1) is None  # NoPE layer = full attention
+        assert cfg.moe_llama4 and cfg.moe_dense_layers == (0,)
+        lp0, lp1 = params["layers"]
+        assert lp0["mlp.gate_proj"].shape == (64, 128)  # dense width
+        assert lp1["mlp.experts.0.gate_proj"].shape == (64, 112)
+        assert "mlp.shared_experts.up_proj" in lp1
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -267,6 +267,36 @@ class TestEngine:
         with pytest.raises(AssertionError, match="sinks"):
             Engine(model, max_batch=2, max_seq_len=64, cache_kind="paged")
 
+    def test_llama4_style_decode_matches_full_recompute(self):
+        """Llama-4 switches through the serving stack (contiguous cache):
+        chunked attention crossing a chunk boundary, NoPE layer with
+        temperature tuning biting at test positions, rope-layer-only QK
+        L2 norm, input-scaled MoE + shared expert."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, nope_layers=(1,),
+            layer_types=("chunked_attention", "full_attention"),
+            attn_chunk_size=8, qk_l2_norm=True, attn_temp_tuning=True,
+            attn_floor_scale=8.0, attn_scale_coef=0.2,
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            moe_dense_layers=(0,), moe_llama4=True, moe_shared_experts=1,
+            intermediate_size_dense=48)
+        assert cfg.layer_qk_l2(0) and not cfg.layer_qk_l2(1)
+        model = random_packed_llama(cfg, group_size=16, seed=63,
+                                    compute_dtype=jnp.float32)
+        assert "mlp.shared_experts.gate_proj" in model.layers[1]
+        rng = np.random.default_rng(64)
+        # prompt + generation crosses the chunk boundary (8) and the
+        # temperature floor (8)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 5)
+        eng = Engine(model, max_batch=2, max_seq_len=64)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected
+        with pytest.raises(AssertionError, match="Llama-4"):
+            Engine(model, max_batch=2, max_seq_len=64, cache_kind="paged")
+
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):
         """Mixtral-style MoE through the whole serving stack: masked-dense

@@ -170,6 +170,12 @@ class LlamaConfig:
     moe_llama4: bool = False
     # Llama-4 checkpoints name the MLP "feed_forward" (loader remap)
     llama4_names: bool = False
+    # --- Granite switches ---------------------------------------------------
+    # four scalar knobs (HF GraniteConfig "main diff with Llama" lines)
+    embed_multiplier: Optional[float] = None  # embeds *= this
+    residual_multiplier: Optional[float] = None  # x += sublayer * this
+    attn_multiplier: Optional[float] = None  # sm_scale = this (direct)
+    logits_divider: Optional[float] = None  # logits /= this
 
     @property
     def head_dim_(self) -> int:
@@ -195,7 +201,10 @@ class LlamaConfig:
 
     @property
     def sm_scale_(self) -> float:
-        """Attention score scale (Gemma-2 overrides 1/sqrt(head_dim))."""
+        """Attention score scale (Gemma-2 overrides 1/sqrt(head_dim);
+        Granite sets it directly)."""
+        if self.attn_multiplier is not None:
+            return self.attn_multiplier
         if self.query_pre_attn_scalar is not None:
             return self.query_pre_attn_scalar ** -0.5
         return 1.0 / math.sqrt(self.head_dim_)
@@ -261,7 +270,7 @@ class LlamaConfig:
         if model_type not in ("llama", "mistral", "qwen2", "qwen3", "gemma2",
                               "gemma3_text", "phi3", "mixtral", "qwen3_moe",
                               "smollm3", "olmo2", "glm4", "deepseek_v3",
-                              "gpt_oss", "llama4_text"):
+                              "gpt_oss", "llama4_text", "granite"):
             raise NotImplementedError(f"model_type {model_type!r}")
         # Mixture-of-Experts switches (Mixtral / Qwen3-MoE)
         moe_experts, moe_top_k, moe_inter, moe_renorm = 0, 2, None, True
@@ -440,6 +449,14 @@ class LlamaConfig:
             if llama4 else None,
             moe_llama4=llama4 and bool(d.get("num_local_experts")),
             llama4_names=llama4,
+            embed_multiplier=d.get("embedding_multiplier")
+            if model_type == "granite" else None,
+            residual_multiplier=d.get("residual_multiplier")
+            if model_type == "granite" else None,
+            attn_multiplier=d.get("attention_multiplier")
+            if model_type == "granite" else None,
+            logits_divider=d.get("logits_scaling")
+            if model_type == "granite" else None,
             moe_n_group=d.get("n_group", 1) if ds_moe else 1,
             moe_topk_group=d.get("topk_group", 1) if ds_moe else 1,
             moe_routed_scale=d.get("routed_scaling_factor", 1.0)
@@ -1092,6 +1109,8 @@ def block_core(
     o = lin("self_attn.o_proj", attn.reshape(b, n, -1))
     if cfg.sandwich_norms or cfg.postnorm_only:
         o = rms_norm(o, lp["post_attention_layernorm"], eps, uo)
+    if cfg.residual_multiplier is not None:  # Granite
+        o = o * jnp.asarray(cfg.residual_multiplier, o.dtype)
     x = x + o
 
     if cfg.postnorm_only:  # OLMo-2: the MLP consumes the raw residual
@@ -1103,6 +1122,8 @@ def block_core(
     mlp = _mlp_tail(cfg, lp, lin, h, moe_fn)
     if cfg.sandwich_norms or cfg.postnorm_only:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
+    if cfg.residual_multiplier is not None:  # Granite
+        mlp = mlp * jnp.asarray(cfg.residual_multiplier, mlp.dtype)
     return x + mlp, aux
 
 
@@ -1165,6 +1186,8 @@ def _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn,
     mlp = _mlp_tail(cfg, lp, lin, h, moe_fn)
     if cfg.sandwich_norms or cfg.postnorm_only:
         mlp = rms_norm(mlp, lp["post_feedforward_layernorm"], eps, uo)
+    if cfg.residual_multiplier is not None:  # Granite
+        mlp = mlp * jnp.asarray(cfg.residual_multiplier, mlp.dtype)
     return x + mlp, aux
 
 
@@ -1235,6 +1258,8 @@ def embed_lookup(cfg: LlamaConfig, embed_w: jax.Array,
     x = jnp.take(embed_w, tokens, axis=0)
     if cfg.embed_normalizer:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    if cfg.embed_multiplier is not None:  # Granite
+        x = x * jnp.asarray(cfg.embed_multiplier, x.dtype)
     return x
 
 
@@ -1257,7 +1282,10 @@ def forward_hidden(
 
 
 def lm_logits(cfg: LlamaConfig, params: Params, hidden: jax.Array) -> jax.Array:
-    return soft_cap(hidden @ params["lm_head"], cfg.final_logit_softcap)
+    logits = soft_cap(hidden @ params["lm_head"], cfg.final_logit_softcap)
+    if cfg.logits_divider is not None:  # Granite
+        logits = logits / cfg.logits_divider
+    return logits
 
 
 def forward_logits(cfg: LlamaConfig, params: Params, tokens: jax.Array) -> jax.Array:

@@ -474,6 +474,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
         logits = _plain_linear(model.lm_head,
                                out.astype(model.embed_tokens.dtype))
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            logits = logits / cfg.logits_divider
         return logits, cache._replace(k=ck, v=cv)
 
     ks, vs = kv_scales if kv_scales is not None else (None, None)
@@ -574,6 +576,8 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
         logits = _plain_linear(model.lm_head,
                                out.astype(model.embed_tokens.dtype))
         logits = L.soft_cap(logits, cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            logits = logits / cfg.logits_divider
         return logits, cache._replace(k=ck, v=cv)
 
     ks, vs = kv_scales if kv_scales is not None else (None, None)

@@ -473,8 +473,11 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
                                                pos_b, pad_mask)
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
-        return L.soft_cap(_plain_linear(model.lm_head, last),
-                          cfg.final_logit_softcap), cache
+        lgp = L.soft_cap(_plain_linear(model.lm_head, last),
+                         cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            lgp = lgp / cfg.logits_divider
+        return lgp, cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -574,8 +577,11 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
                                 qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
-        return L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
-                          cfg.final_logit_softcap), cache
+        lgx = L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
+                         cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            lgx = lgx / cfg.logits_divider
+        return lgx, cache
 
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
@@ -646,6 +652,8 @@ def build_tp_ragged_step(mesh):
             last = jnp.take(x, sample_rows, axis=0)
             logits = L.soft_cap(_plain_linear(model.lm_head, last),
                                 cfg.final_logit_softcap)
+            if cfg.logits_divider is not None:
+                logits = logits / cfg.logits_divider
             key, sub = jax.random.split(key)
             toks = sample_per_row(logits, sub, temperatures,
                                   top_ks=top_ks, top_ps=top_ps,
@@ -727,8 +735,11 @@ def build_tp_verify_chunk(mesh, cache_template):
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
                                 qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
-        return L.soft_cap(_plain_linear(model.lm_head, x),
-                          cfg.final_logit_softcap), cache
+        lgx = L.soft_cap(_plain_linear(model.lm_head, x),
+                         cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            lgx = lgx / cfg.logits_divider
+        return lgx, cache
 
     csp = cache_pspec(cache_template)
 
@@ -755,8 +766,10 @@ def build_tp_forward_logits(mesh):
             x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin,
                              window=cfg.layer_window(li))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
-        return L.soft_cap(_plain_linear(model.lm_head, x),
-                          cfg.final_logit_softcap)
+        lgx = L.soft_cap(_plain_linear(model.lm_head, x),
+                         cfg.final_logit_softcap)
+        return (lgx if cfg.logits_divider is None
+                else lgx / cfg.logits_divider)
 
     def sharded(model, tokens):
         return jax.shard_map(

@@ -99,8 +99,12 @@ def _lin(lp: Dict[str, Any], name: str, x: jax.Array) -> jax.Array:
 
 
 def head_logits(cfg: L.LlamaConfig, lm_head, hidden: jax.Array) -> jax.Array:
-    """lm_head projection + the family's final-logit softcap (Gemma-2)."""
-    return L.soft_cap(_linear(lm_head, hidden), cfg.final_logit_softcap)
+    """lm_head projection + the family's final-logit softcap (Gemma-2) /
+    logits divider (Granite)."""
+    logits = L.soft_cap(_linear(lm_head, hidden), cfg.final_logit_softcap)
+    if cfg.logits_divider is not None:
+        logits = logits / cfg.logits_divider
+    return logits
 
 
 def packed_block_apply(

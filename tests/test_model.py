@@ -540,6 +540,25 @@ class TestModelFamilies:
         assert lp1["mlp.experts.0.gate_proj"].shape == (64, 112)
         assert "mlp.shared_experts.up_proj" in lp1
 
+    def test_granite_logits_match_transformers(self):
+        """Granite: the four scalar multipliers (embedding, residual,
+        attention sm-scale, logits divider) set to non-identity values."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.GraniteConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            embedding_multiplier=4.0, residual_multiplier=0.7,
+            attention_multiplier=0.2, logits_scaling=3.0,
+            pad_token_id=0, attn_implementation="eager",
+        )
+        torch.manual_seed(51)
+        hf_model = transformers.GraniteForCausalLM(hf_cfg).eval()
+        cfg, _ = self._parity(hf_model, hf_cfg.to_dict(), 24, 52)
+        assert cfg.embed_multiplier == 4.0 and cfg.logits_divider == 3.0
+        assert cfg.sm_scale_ == 0.2 and cfg.residual_multiplier == 0.7
+
     def test_qwen2_quantize_pipeline(self):
         """End-to-end GPTQ on a biased-QKV model: biases survive, ppl sane."""
         torch = pytest.importorskip("torch")

@@ -46,7 +46,10 @@ from gptq_v2_tpu.serving import kv_cache as kvc
 COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
                    "mlp.gate_proj", "mlp.up_proj",
                    "mlp.shared_experts.gate_proj",
-                   "mlp.shared_experts.up_proj")
+                   "mlp.shared_experts.up_proj",
+                   # MLA: the per-head halves shard by whole heads; the
+                   # small latent projections (q_a, kv_a) replicate
+                   "self_attn.q_b_proj", "self_attn.kv_b_proj")
 ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj",
                 "mlp.shared_experts.down_proj")
 
@@ -135,6 +138,10 @@ class TPPackedLlama:
         def leaf_spec(k, w):
             if isinstance(w, TPPacked):
                 return w.spec_like()
+            if isinstance(w, PackedLinear):  # replicated packed (MLA q_a/kv_a)
+                return PackedLinear(
+                    P(), P(), P(), None if w.perm is None else P(),
+                    w.group_size, w.in_features, w.bits)
             if k == "mlp.router":
                 return P()  # replicated: every device routes identically
             if hasattr(w, "ndim") and w.ndim >= 2:  # stacked dense/bias shard
@@ -174,10 +181,6 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
     ``model`` axis and place every array on its devices."""
     cfg = model.cfg
     tp = tp_size(mesh)
-    assert not cfg.mla, (
-        "MLA (DeepSeek) tensor parallelism is not wired yet: the shared"
-        " KV latent replicates while q_b/kv_b shard by head — serve MLA"
-        " single-device for now")
     assert not cfg.attn_sinks and not cfg.moe_gptoss, (
         "GPT-OSS (sinks / biased stacked experts) is single-device for"
         " now: sinks shard per query head and expert biases need EP"
@@ -268,9 +271,13 @@ def shard_cache(cache, mesh, data_parallel: bool = False):
 
 
 def _col_linear(w, x: jax.Array) -> jax.Array:
-    """Column-parallel: replicated x → locally sharded output features."""
+    """Column-parallel: replicated x → locally sharded output features.
+    A plain (unstacked) :class:`PackedLinear` is a REPLICATED weight (MLA
+    q_a / kv_a): every device computes the full, identical output."""
     if isinstance(w, TPPacked):
         return w4a16_matmul(x, w.local())
+    if isinstance(w, PackedLinear):
+        return w4a16_matmul(x, w)
     return x @ w[0]
 
 

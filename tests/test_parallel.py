@@ -139,6 +139,31 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_mla_deepseek(self):
+        """DeepSeek MLA under TP: q_b/kv_b shard by whole heads, the small
+        latent projections (q_a, kv_a) replicate, o row-parallel — TP2
+        forward matches single-device."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=23,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(24)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp2_moe_expert_parallel(self):
         """MoE under TP is expert-parallel: each device holds E/tp WHOLE
         experts (no intra-expert split), the router replicates, and the
@@ -364,6 +389,31 @@ class TestTPEngine:
                         for i, p in enumerate(prompts)]
         want = mk().run(reqs())
         got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+
+class TestTPMLAEngine:
+    def test_mla_engine_over_mesh_matches_single_device(self):
+        """DeepSeek MLA serving through Engine(mesh=...): TP prefill +
+        decode over the head-sharded padded-KV cache == single-device."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=25,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(26)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 9, 4)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=64).run(reqs())
+        got = Engine(model, max_batch=2, max_seq_len=64,
+                     mesh=make_mesh(tp=2, dp=1)).run(reqs())
         assert got == want
 
 

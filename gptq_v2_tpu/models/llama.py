@@ -994,7 +994,11 @@ def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
     if "mlp.router" in lp:  # this layer's MLP is the sparse-MoE block
         if cfg.moe_llama4:
             scores = moe_combine_llama4(cfg, lp["mlp.router"], h)
-            mlp = moe_apply_llama4(cfg, lin, h, scores)
+            # moe_fn (EP/sharded variants) receives the scores as its
+            # combine weights; make_ep_moe_fn applies the Llama-4
+            # input-scaling semantics when cfg.moe_llama4 is set
+            mlp = (moe_fn(h, scores) if moe_fn is not None
+                   else moe_apply_llama4(cfg, lin, h, scores))
         else:
             if cfg.moe_sigmoid_routing:
                 comb = moe_combine_deepseek(cfg, lp["mlp.router"],

@@ -142,37 +142,58 @@ class PPPackedLlama:
 def _is_tp_sharded(name: str) -> bool:
     """Layer entries that carry a TP-shard axis under composition: the
     column/row linears, column-parallel biases (row-parallel biases add
-    post-psum and stay replicated over ``model``), and expert-parallel
-    expert weights (whole experts per device; the router is replicated)."""
+    post-psum and stay replicated over ``model``), expert-parallel expert
+    weights AND their per-expert biases (whole experts per device; the
+    router is replicated), and GPT-OSS sinks (per query head)."""
+    if _is_expert(name):  # incl. per-expert biases (GPT-OSS)
+        return True
+    if name == "self_attn.sinks":
+        return True
     if name.endswith(".bias"):
         return name[:-5] in COLUMN_PARALLEL
-    return (name in COLUMN_PARALLEL or name in ROW_PARALLEL
-            or _is_expert(name))
+    return name in COLUMN_PARALLEL or name in ROW_PARALLEL
+
+
+def _stage_periodic(cfg: L.LlamaConfig, l_loc: int, j: int, fn, what: str):
+    """The per-layer property ``fn(layer_idx)`` of local layer ``j`` — must
+    be identical on every stage (true for uniform models and alternating
+    patterns when ``layers_per_stage`` matches the pattern period), because
+    PP stacks local layer ``j`` of every stage into ONE program."""
+    vals = {fn(s * l_loc + j) for s in range(cfg.num_hidden_layers // l_loc)}
+    assert len(vals) == 1, (
+        f"per-layer {what} is not stage-periodic (local layer {j}: {vals});"
+        " choose a stage count whose layers_per_stage matches the pattern")
+    return vals.pop()
 
 
 def _stage_window(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
-    """The sliding window of local layer ``j`` — must be identical on every
-    stage (true for uniform windows and for alternating patterns when
-    ``layers_per_stage`` is even)."""
-    wins = {cfg.layer_window(s * l_loc + j)
-            for s in range(cfg.num_hidden_layers // l_loc)}
-    assert len(wins) == 1, (
-        f"per-layer windows are not stage-periodic (local layer {j}: {wins});"
-        " choose a stage count whose layers_per_stage matches the pattern")
-    return wins.pop()
+    """Sliding window of local layer ``j`` (stage-periodic)."""
+    return _stage_periodic(cfg, l_loc, j, cfg.layer_window, "windows")
 
 
 def _stage_rope(cfg: L.LlamaConfig, l_loc: int, j: int) -> int:
     """Rope-table index of local layer ``j`` (Gemma-3 local/global rope,
-    SmolLM3 NoPE layers) — must be identical on every stage, like the
-    window pattern ``_stage_window`` asserts."""
-    rs = {cfg.layer_rope(s * l_loc + j)
-          for s in range(cfg.num_hidden_layers // l_loc)}
-    assert len(rs) == 1, (
-        f"per-layer rope selection is not stage-periodic (local layer {j}:"
-        f" {rs}); choose a stage count whose layers_per_stage matches the"
-        " pattern")
-    return rs.pop()
+    SmolLM3 NoPE layers) — stage-periodic."""
+    return _stage_periodic(cfg, l_loc, j, cfg.layer_rope, "rope selection")
+
+
+def _stage_chunk(cfg: L.LlamaConfig, l_loc: int, j: int) -> Optional[int]:
+    """Llama-4 chunked-attention size of local layer ``j`` (stage-periodic)."""
+    return _stage_periodic(cfg, l_loc, j, cfg.layer_chunk, "chunk size")
+
+
+def _stage_qk_l2(cfg: L.LlamaConfig, l_loc: int, j: int) -> bool:
+    """Llama-4 rope-layer QK L2 norm of local layer ``j`` (stage-periodic)."""
+    return _stage_periodic(cfg, l_loc, j, cfg.layer_qk_l2, "QK L2 norm")
+
+
+def _stage_temp_tuned(cfg: L.LlamaConfig, l_loc: int, j: int) -> bool:
+    """Whether local layer ``j`` applies the Llama-4 NoPE attention
+    temperature (stage-periodic)."""
+    return _stage_periodic(
+        cfg, l_loc, j,
+        lambda li: bool(cfg.attn_temp_tuning and cfg.nope_layers
+                        and li in cfg.nope_layers), "temperature tuning")
 
 
 def _tp_split_layer(cfg, lp: Dict[str, Any], tp: int) -> list:
@@ -194,18 +215,22 @@ def _tp_split_layer(cfg, lp: Dict[str, Any], tp: int) -> list:
             parts = np.split(np.asarray(w), tp, axis=0)
         elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
             parts = np.split(np.asarray(w), tp, axis=0)
+        elif name == "self_attn.sinks":  # GPT-OSS: per query head
+            parts = np.split(np.asarray(w), tp, axis=0)
         else:
             parts = [w] * tp  # norms, router, row-parallel bias: replicated
         for s, part in zip(shards, parts):
             s[name] = part
-    if cfg.moe_num_experts:
+    if cfg.moe_num_experts and any(_is_expert(k) for k in lp):
         assert cfg.moe_num_experts % tp == 0, (cfg.moe_num_experts, tp)
         e_loc = cfg.moe_num_experts // tp
         for d, s in enumerate(shards):
             for j in range(e_loc):
                 for proj in ("gate_proj", "up_proj", "down_proj"):
-                    s[f"mlp.experts.{j}.{proj}"] = (
-                        lp[f"mlp.experts.{d * e_loc + j}.{proj}"])
+                    for suffix in ("", ".bias"):
+                        src = f"mlp.experts.{d * e_loc + j}.{proj}{suffix}"
+                        if src in lp:  # biases: GPT-OSS only
+                            s[f"mlp.experts.{j}.{proj}{suffix}"] = lp[src]
     return shards
 
 
@@ -218,10 +243,6 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     n = cfg.num_hidden_layers
     assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
     assert not cfg.mla, "MLA (DeepSeek) pipeline parallelism not wired yet"
-    assert not cfg.attn_sinks and not cfg.moe_gptoss, \
-        "GPT-OSS pipeline parallelism not wired yet"
-    assert not (cfg.attn_chunk_size or cfg.attn_temp_tuning
-                or cfg.moe_llama4), "Llama-4 pipeline parallelism not wired"
     assert tp == 1 or not cfg.qk_norm_flat, (
         "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
         " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")
@@ -255,6 +276,11 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     layers = []
     for j in range(l_loc):
         per_stage = [prepped[s * l_loc + j] for s in range(pp)]
+        keysets = {frozenset(lp.keys()) for lp in per_stage}
+        assert len(keysets) == 1, (
+            f"layer parameter sets are not stage-periodic (local layer {j}):"
+            " interleaved dense/MoE patterns must repeat with period"
+            " layers_per_stage")
         names = per_stage[0].keys()
         layers.append({k: stack([lp[k] for lp in per_stage]) for k in names})
     ppm = PPPackedLlama(cfg, pp, tp, model.embed_tokens, tuple(layers),
@@ -355,15 +381,16 @@ def _store_kv(arr, j, rows_b, pos_b, val, scale_j):
 
 def _apply_local_layers(cfg, model: PPPackedLlama, x, ropes, cache_kv,
                         rows, wpos, key_masks, s_len, ks_loc=None,
-                        vs_loc=None):
+                        vs_loc=None, q_scales=None):
     """Run this stage's layers on one microbatch, updating the local cache.
 
     ``cache_kv = (k, v)`` local arrays ``(L_loc, n_slots, max_len, kv_loc,
     hd)``; ``rows`` (mb,) the microbatch's cache rows; ``wpos`` (mb,) write
     positions (trash-steered when the tick is inactive); ``key_masks[j]``
-    the valid-key mask of local layer ``j``; ``ks_loc/vs_loc`` (L_loc,)
-    per-local-layer int8 scales (None = full precision).  Returns
-    ``(x, cache_kv)``."""
+    the valid-key mask of local layer ``j`` (incl. window/chunk masking);
+    ``ks_loc/vs_loc`` (L_loc,) per-local-layer int8 scales (None = full
+    precision); ``q_scales[j]`` the (mb, 1) Llama-4 temperature factor of
+    local layer ``j`` or None.  Returns ``(x, cache_kv)``."""
     ck, cv = cache_kv
     l_loc = model.layers_per_stage
     n = x.shape[1]
@@ -371,7 +398,7 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, ropes, cache_kv,
         cos, sin = ropes[_stage_rope(cfg, l_loc, j)]
         lp = _local_layer(model.layers[j], model.tp)
 
-        def attn_fn(q, k, v, j=j):
+        def attn_fn(q, k, v, j=j, lp=lp):
             nonlocal ck, cv
             # write this token's K/V at (rows, wpos), then attend the
             # microbatch's rows over the first s_len positions
@@ -390,13 +417,17 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, ropes, cache_kv,
                                v_all.astype(q.dtype), causal_offset=None,
                                key_mask=key_masks[j],
                                sm_scale=cfg.sm_scale_,
+                               sinks=lp.get("self_attn.sinks"),
+                               q_scale=(None if q_scales is None
+                                        else q_scales[j]),
                                logit_cap=cfg.attn_logit_softcap)
             if cv.dtype == jnp.int8:
                 attn = attn * vs_j.astype(attn.dtype)
             return attn, None
 
         x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, model.tp),
-                            attn_fn, moe_fn=_pp_moe_fn(cfg, model.tp, lp))
+                            attn_fn, moe_fn=_pp_moe_fn(cfg, model.tp, lp),
+                            qk_l2=_stage_qk_l2(cfg, l_loc, j))
     return x, (ck, cv)
 
 
@@ -428,6 +459,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
         vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
 
         windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
+        chunks = [_stage_chunk(cfg, l_loc, j) for j in range(l_loc)]
+        temp_tuned = [_stage_temp_tuned(cfg, l_loc, j) for j in range(l_loc)]
         is_first = s_idx == 0
         is_last = s_idx == pp - 1
         perm = [(i, (i + 1) % pp) for i in range(pp)]
@@ -451,14 +484,20 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
             x = jnp.where(is_first, x_first, x_recv)
             base = jnp.arange(s_len)[None, :] <= pos[:, None]
             key_masks = []
-            for w in windows:
+            for w, c in zip(windows, chunks):
                 m = base
                 if w is not None:
                     m = m & (jnp.arange(s_len)[None, :] > pos[:, None] - w)
+                if c is not None:  # Llama-4: keys in the query's chunk only
+                    m = m & ((jnp.arange(s_len)[None, :] // c)
+                             == (pos[:, None] // c))
                 key_masks.append(m)
+            qs_t = (L.llama4_q_scale(cfg, pos)[:, None]
+                    if any(temp_tuned) else None)
+            q_scales = [qs_t if tt else None for tt in temp_tuned]
             x, (ck, cv) = _apply_local_layers(
                 cfg, model, x, ropes, (ck, cv), rows, wpos, key_masks,
-                s_len, ks_loc, vs_loc)
+                s_len, ks_loc, vs_loc, q_scales=q_scales)
             # the last stage finishes microbatch mbi: stash its hidden
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
                            cfg.norm_unit_offset)[:, 0]
@@ -518,11 +557,15 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
         vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
 
         windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
+        chunks = [_stage_chunk(cfg, l_loc, j) for j in range(l_loc)]
+        temp_tuned = [_stage_temp_tuned(cfg, l_loc, j) for j in range(l_loc)]
         is_first = s_idx == 0
         is_last = s_idx == pp - 1
         perm = [(i, (i + 1) % pp) for i in range(pp)]
         positions = jnp.arange(lpad)
         ropes = L.rope_tables(cfg, positions)
+        qs_prompt = (L.llama4_q_scale(cfg, positions)
+                     if any(temp_tuned) else None)
 
         x_recv = jnp.zeros((mb, lpad, d), model.embed_tokens.dtype)
         out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
@@ -543,7 +586,7 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
             for j in range(l_loc):
                 lp = _local_layer(model.layers[j], tp)
 
-                def attn_fn(q, k, v, j=j, pad=pad, rows=rows):
+                def attn_fn(q, k, v, j=j, pad=pad, rows=rows, lp=lp):
                     nonlocal ck, cv
                     wp = jnp.where(pad, s_len - 1, pos_b)
                     rows_b = jnp.broadcast_to(rows[:, None], wp.shape)
@@ -554,12 +597,17 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
                     # prompt attention runs on the fresh full-precision K/V
                     attn = L.attention(q, k, v, window=windows[j],
                                        sm_scale=cfg.sm_scale_,
+                                       sinks=lp.get("self_attn.sinks"),
+                                       chunk=chunks[j],
+                                       q_scale=(qs_prompt if temp_tuned[j]
+                                                else None),
                                        logit_cap=cfg.attn_logit_softcap)
                     return attn, None
 
                 cos, sin = ropes[_stage_rope(cfg, l_loc, j)]
                 x, _ = L.block_core(cfg, lp, x, cos, sin, _make_lin(lp, tp),
-                                    attn_fn, moe_fn=_pp_moe_fn(cfg, tp, lp))
+                                    attn_fn, moe_fn=_pp_moe_fn(cfg, tp, lp),
+                                    qk_l2=_stage_qk_l2(cfg, l_loc, j))
 
             h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
                            cfg.norm_unit_offset)

@@ -53,7 +53,8 @@ COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
 ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj",
                 "mlp.shared_experts.down_proj")
 
-_EXPERT_RE = re.compile(r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)$")
+_EXPERT_RE = re.compile(
+    r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)(\.bias)?$")
 
 
 def _is_expert(name: str) -> bool:
@@ -181,12 +182,6 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
     ``model`` axis and place every array on its devices."""
     cfg = model.cfg
     tp = tp_size(mesh)
-    assert not cfg.attn_sinks and not cfg.moe_gptoss, (
-        "GPT-OSS (sinks / biased stacked experts) is single-device for"
-        " now: sinks shard per query head and expert biases need EP"
-        " plumbing")
-    assert not (cfg.attn_chunk_size or cfg.attn_temp_tuning
-                or cfg.moe_llama4), "Llama-4 is single-device for now"
     assert cfg.num_attention_heads % tp == 0, (cfg.num_attention_heads, tp)
     assert cfg.num_key_value_heads % tp == 0, (cfg.num_key_value_heads, tp)
     if cfg.moe_num_experts:
@@ -216,23 +211,32 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
                 out[name] = shard_dense(w, 0)
             elif name.endswith(".bias") and name[:-5] in COLUMN_PARALLEL:
                 out[name] = shard_dense(w, 0)  # shards with the out features
+            elif name == "self_attn.sinks":
+                # GPT-OSS: one learned sink logit per QUERY head — shards
+                # with the column-parallel q heads
+                out[name] = shard_dense(w, 0)
             else:
                 out[name] = w  # norms + router + row-parallel bias: replicated
         # Expert parallelism: device d owns experts [d*e_loc, (d+1)*e_loc) —
         # whole experts, no intra-expert split, no per-expert all-gather.
         # Local names are slot indices; the combine weights are sliced by
-        # axis_index inside make_ep_moe_fn.
+        # axis_index inside make_ep_moe_fn.  Per-expert biases (GPT-OSS)
+        # travel with their expert's device.
         if cfg.moe_num_experts:
             e_loc = cfg.moe_num_experts // tp
             for j in range(e_loc):
                 for proj in ("gate_proj", "up_proj", "down_proj"):
-                    shards = [lp[f"mlp.experts.{d * e_loc + j}.{proj}"]
-                              for d in range(tp)]
-                    key = f"mlp.experts.{j}.{proj}"
-                    out[key] = (_stack_packed(shards)
-                                if isinstance(shards[0], PackedLinear)
-                                else jnp.stack([jnp.asarray(s)
-                                                for s in shards]))
+                    for suffix in ("", ".bias"):
+                        src = f"mlp.experts.{{}}.{proj}{suffix}"
+                        if src.format(0) not in lp:
+                            continue
+                        shards = [lp[src.format(d * e_loc + j)]
+                                  for d in range(tp)]
+                        key = f"mlp.experts.{j}.{proj}{suffix}"
+                        out[key] = (_stack_packed(shards)
+                                    if isinstance(shards[0], PackedLinear)
+                                    else jnp.stack([jnp.asarray(s)
+                                                    for s in shards]))
         layers.append(out)
     tpm = TPPackedLlama(cfg, tp, model.embed_tokens, tuple(layers),
                         model.norm, model.lm_head)
@@ -360,13 +364,27 @@ def make_ep_moe_fn(cfg: L.LlamaConfig, tp: int, lp, apply=None):
     every device, and each device slices its expert columns by
     ``axis_index``.  ``apply(w, h)`` applies one local weight entry —
     default handles the TPPacked / lead-stacked-dense layout of
-    :func:`shard_packed_llama`.  Returns ``None`` for dense (non-MoE)
-    configs so call sites can pass the result straight through."""
+    :func:`shard_packed_llama`.  Per-expert biases (GPT-OSS) ride their
+    expert's device (lead-stacked dense shards).  With ``cfg.moe_llama4``
+    the combine weights are the router SCORES and the Llama-4 semantics
+    apply: the expert INPUT is score-scaled and outputs sum unweighted
+    (``models.llama.moe_apply_llama4``).  Returns ``None`` for dense
+    (non-MoE) configs so call sites can pass the result straight
+    through."""
     if not cfg.moe_num_experts:
         return None
     if apply is None:
         apply = _col_linear
     e_loc = cfg.moe_num_experts // tp
+
+    def ep_lin(name: str, h: jax.Array) -> jax.Array:
+        y = apply(lp[name], h)
+        b = lp.get(name + ".bias")
+        if b is None:
+            return y
+        while b.ndim > 1:  # squeeze the lead mesh axes of the local shard
+            b = b[0]
+        return y + b
 
     def moe_fn(h: jax.Array, comb: jax.Array) -> jax.Array:
         idx = jax.lax.axis_index(MODEL_AXIS)
@@ -375,21 +393,41 @@ def make_ep_moe_fn(cfg: L.LlamaConfig, tp: int, lp, apply=None):
         out = None
         for j in range(e_loc):
             ce = comb_loc[..., j:j + 1]
-            mask = (ce > 0).astype(h.dtype)
-            he = h * mask
-            g = apply(lp[f"mlp.experts.{j}.gate_proj"], he)
-            u = apply(lp[f"mlp.experts.{j}.up_proj"], he)
-            d = apply(lp[f"mlp.experts.{j}.down_proj"],
-                      L.moe_glu(cfg, g, u) * mask)
-            d = ce.astype(d.dtype) * d
+            if cfg.moe_llama4:  # input score-scaled, outputs unweighted
+                he = h * ce.astype(h.dtype)
+                g = ep_lin(f"mlp.experts.{j}.gate_proj", he)
+                u = ep_lin(f"mlp.experts.{j}.up_proj", he)
+                d = ep_lin(f"mlp.experts.{j}.down_proj", L.moe_glu(cfg, g, u))
+            else:
+                mask = (ce > 0).astype(h.dtype)
+                he = h * mask
+                g = ep_lin(f"mlp.experts.{j}.gate_proj", he)
+                u = ep_lin(f"mlp.experts.{j}.up_proj", he)
+                # mask the down input too: biased experts (GPT-OSS) emit
+                # nonzero values for unrouted zero rows (moe_apply_dense)
+                d = ep_lin(f"mlp.experts.{j}.down_proj",
+                           L.moe_glu(cfg, g, u) * mask)
+                d = ce.astype(d.dtype) * d
             out = d if out is None else out + d
         return jax.lax.psum(out, MODEL_AXIS)
 
     return moe_fn
 
 
+def _local_sinks(lp):
+    """GPT-OSS sinks: the local q heads' shard (inside shard_map the
+    stacked (1, hq_loc) view squeezes to (hq_loc,))."""
+    s = lp.get("self_attn.sinks")
+    if s is None:
+        return None
+    while s.ndim > 1:
+        s = s[0]
+    return s
+
+
 def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
-              window=L.AUTO_WINDOW) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+              window=L.AUTO_WINDOW, chunk=None, q_scale=None,
+              qk_l2=None) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder block, device-local view.  Mirrors
     ``serving.model.packed_block_apply`` with TP collectives.
 
@@ -398,22 +436,26 @@ def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
     """
     if window == L.AUTO_WINDOW:
         window = cfg.sliding_window
+    sinks = _local_sinks(lp)
 
     def attn_fn(q, k, v):
         if kv_override is not None:
             k_all, v_all, key_mask = kv_override
             attn = L.attention(q, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
+                               sinks=sinks, chunk=chunk, q_scale=q_scale,
                                logit_cap=cfg.attn_logit_softcap)
         else:
             attn = L.attention(q, k, v, window=window,
                                sm_scale=cfg.sm_scale_,
+                               sinks=sinks, chunk=chunk, q_scale=q_scale,
                                logit_cap=cfg.attn_logit_softcap)
         return attn, (k, v)
 
     return L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
                         moe_fn=make_ep_moe_fn(cfg, tp, lp),
-                        qk_norm_fn=_tp_qk_norm_fn(cfg, tp))
+                        qk_norm_fn=_tp_qk_norm_fn(cfg, tp),
+                        qk_l2=qk_l2)
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +508,10 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
         for li, lp in enumerate(model.layers):
             cos, sin = ropes[cfg.layer_rope(li)]
             x, (k, v) = _tp_block(cfg, model.tp, lp, x, cos, sin,
-                                  window=cfg.layer_window(li))
+                                  window=cfg.layer_window(li),
+                                  chunk=cfg.layer_chunk(li),
+                                  q_scale=L.layer_q_scale(cfg, li, positions),
+                                  qk_l2=cfg.layer_qk_l2(li))
             if contiguous:
                 kq, vq = kvc.quantize_kv_write(cache, li, k, v)
                 wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
@@ -510,6 +555,9 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions,
                    s_bucket=None):
         cfg = model.cfg
+        assert contiguous or not (cfg.attn_sinks or cfg.attn_chunk_size), (
+            "sinks (GPT-OSS) / chunked attention (Llama-4) need the dense"
+            " contiguous-cache TP path; the paged kernel has no support")
         b = tokens.shape[0]
         ropes = [(c[:, None, :], s_[:, None, :])
                  for c, s_ in L.rope_tables(cfg, positions)]
@@ -521,18 +569,27 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
         if s_bucket is not None:
             s = min(s, s_bucket)
         base_mask = jnp.arange(s)[None, :] <= positions[:, None]
-        masks = {None: base_mask}
+        masks = {(None, None): base_mask}
         for li in range(cfg.num_hidden_layers):
-            w = cfg.layer_window(li)
-            if w is not None and w not in masks:
-                masks[w] = base_mask & (jnp.arange(s)[None, :]
-                                        > positions[:, None] - w)
+            mk = (cfg.layer_window(li), cfg.layer_chunk(li))
+            if mk not in masks:
+                w, c = mk
+                m = base_mask
+                if w is not None:
+                    m = m & (jnp.arange(s)[None, :] > positions[:, None] - w)
+                if c is not None:  # Llama-4: keys in the query's chunk only
+                    m = m & ((jnp.arange(s)[None, :] // c)
+                             == (positions[:, None] // c))
+                masks[mk] = m
         for li, lp in enumerate(model.layers):
             # write the new token's local-head K/V, then attend over the cache
             win = cfg.layer_window(li)
-            key_mask = masks[win]
+            key_mask = masks[(win, cfg.layer_chunk(li))]
+            qs = L.layer_q_scale(cfg, li, positions)
+            q_scale = None if qs is None else qs[:, None]
 
-            def attn_fn(q, k, v, li=li, win=win, key_mask=key_mask):
+            def attn_fn(q, k, v, li=li, win=win, key_mask=key_mask,
+                        lp=lp, q_scale=q_scale):
                 nonlocal cache
                 if contiguous:
                     cache, (k_all, v_all) = _write_then_read_kv(
@@ -546,6 +603,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                     attn = L.attention(qq, k_all, v_all, causal_offset=None,
                                        key_mask=key_mask,
                                        sm_scale=cfg.sm_scale_,
+                                       sinks=_local_sinks(lp),
+                                       q_scale=q_scale,
                                        logit_cap=cfg.attn_logit_softcap)
                     if cache.v_scales is not None:
                         attn = attn * jnp.asarray(cache.v_scales[li],
@@ -582,7 +641,8 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
             cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
                                 moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
-                                qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
+                                qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp),
+                                qk_l2=cfg.layer_qk_l2(li))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         lgx = L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
                          cfg.final_logit_softcap)
@@ -732,6 +792,7 @@ def build_tp_verify_chunk(mesh, cache_template):
                     v_all = v_all.astype(q.dtype)
                 attn = L.attention(qq, k_all, v_all, causal_offset=positions,
                                    window=win, sm_scale=cfg.sm_scale_,
+                                   sinks=_local_sinks(lp),
                                    logit_cap=cfg.attn_logit_softcap)
                 if cache.v_scales is not None:
                     attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
@@ -766,12 +827,16 @@ def build_tp_forward_logits(mesh):
 
     def local_fwd(model: TPPackedLlama, tokens):
         cfg = model.cfg
-        ropes = L.rope_tables(cfg, jnp.arange(tokens.shape[1]))
+        positions = jnp.arange(tokens.shape[1])
+        ropes = L.rope_tables(cfg, positions)
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)
         for li, lp in enumerate(model.layers):
             cos, sin = ropes[cfg.layer_rope(li)]
             x, _ = _tp_block(cfg, model.tp, lp, x, cos, sin,
-                             window=cfg.layer_window(li))
+                             window=cfg.layer_window(li),
+                             chunk=cfg.layer_chunk(li),
+                             q_scale=L.layer_q_scale(cfg, li, positions),
+                             qk_l2=cfg.layer_qk_l2(li))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         lgx = L.soft_cap(_plain_linear(model.lm_head, x),
                          cfg.final_logit_softcap)

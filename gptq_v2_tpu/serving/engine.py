@@ -151,10 +151,9 @@ class Engine:
             "attention sinks (GPT-OSS) run on the dense contiguous-cache"
             " paths; the paged/ragged Pallas kernels have no sink support")
         if cfg.attn_chunk_size or cfg.attn_temp_tuning:
-            assert cache_kind == "contiguous" and draft is None and \
-                mesh is None, (
-                    "Llama-4 chunked attention / temperature tuning run on"
-                    " the dense contiguous-cache single-device paths")
+            assert cache_kind == "contiguous" and draft is None, (
+                "Llama-4 chunked attention / temperature tuning run on"
+                " the dense contiguous-cache paths (single-device or TP)")
         self.max_batch = max_batch
         self.cache_kind = cache_kind
         self.page_size = page_size

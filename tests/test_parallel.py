@@ -192,6 +192,64 @@ class TestTPForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=2e-4 * scale)
 
+    def test_tp2_gptoss_style(self):
+        """GPT-OSS under TP: sinks shard per query head, the biased router
+        replicates, per-expert biases ride their expert's device (EP), and
+        the clamped GLU runs locally — TP2 forward matches single-device."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"),
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=71,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        lp0 = tpm.layers[0]
+        assert lp0["self_attn.sinks"].shape == (2, 2)  # (tp, hq_loc)
+        assert "mlp.experts.1.gate_proj.bias" in lp0  # local expert slots
+        assert "mlp.experts.2.gate_proj.bias" not in lp0
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(72)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
+    def test_tp2_llama4_style(self):
+        """Llama-4 under TP: chunked attention masks + NoPE temperature
+        tuning + rope-layer-only QK L2 + input-scaled sigmoid MoE with a
+        shared expert — TP2 forward matches single-device."""
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, nope_layers=(1,),
+            layer_types=("chunked_attention", "full_attention"),
+            attn_chunk_size=8, qk_l2_norm=True, attn_temp_tuning=True,
+            attn_floor_scale=8.0, attn_scale_coef=0.2,
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            moe_dense_layers=(0,), moe_llama4=True, moe_shared_experts=1,
+            intermediate_size_dense=48)
+        model = random_packed_llama(cfg, group_size=16, seed=73,
+                                    compute_dtype=jnp.float32)
+        mesh = make_mesh(tp=2, dp=1)
+        tpm = shard_packed_llama(model, mesh)
+        fwd = build_tp_forward_logits(mesh)
+        rng = np.random.default_rng(74)
+        # 12 tokens crosses the chunk boundary (8) and the temp floor (8)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        got = fwd(tpm, tokens)
+        want = packed_forward_logits(model, tokens)
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-4 * scale)
+
     def test_tp4_gqa(self):
         """tp=4 with 4 KV heads exercises 1-head shards + act-order rows."""
         from gptq_v2_tpu.serving.model import packed_forward_logits
@@ -352,6 +410,54 @@ class TestPPServing:
                                     compute_dtype=jnp.float32)
         self._roundtrip(model, pp=2, n_steps=3, seed=14)
 
+    def test_pp2_gptoss_style(self):
+        """GPT-OSS over PP stages: sinks + biased router + per-expert
+        biases + clamped GLU stack by layer; prefill + decode match
+        single-device."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, moe_num_experts=4, moe_top_k=2,
+            moe_intermediate_size=32, attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=81,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=82)
+
+    def test_pp2_llama4_style(self):
+        """Llama-4 over PP stages: a stage-periodic pattern (period 2 =
+        layers_per_stage) of chunked/full attention, rope-QK-L2/NoPE-temp
+        layers, and dense/input-scaled-MoE MLPs; prefill + decode match
+        single-device."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=4, nope_layers=(1, 3),
+            layer_types=("chunked_attention", "full_attention") * 2,
+            attn_chunk_size=8, qk_l2_norm=True, attn_temp_tuning=True,
+            attn_floor_scale=8.0, attn_scale_coef=0.2,
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            moe_dense_layers=(0, 2), moe_llama4=True, moe_shared_experts=1,
+            intermediate_size_dense=48)
+        model = random_packed_llama(cfg, group_size=16, seed=83,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=84)
+
+    def test_pp2_tp2_gptoss_composed(self):
+        """TPxPP for GPT-OSS: sinks shard per query head over ``model``
+        while layers stack over ``stage``; expert biases ride their
+        expert's device."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, moe_num_experts=4, moe_top_k=2,
+            moe_intermediate_size=32, attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=85,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=2, seed=86,
+                        mesh=make_pp_mesh(2, 2))
+
     def test_pp4_gemma2_style(self):
         """4 stages x 2 layers/stage with the Gemma-2 switches (alternating
         windows are stage-periodic at an even layers_per_stage)."""
@@ -386,6 +492,59 @@ class TestTPEngine:
             return Engine(model, max_batch=2, page_size=8, max_seq_len=32,
                           cache_kind=kind, mesh=mesh)
         reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+    def test_gptoss_engine_over_mesh_matches_single_device(self):
+        """GPT-OSS end-to-end serving over a TP mesh (contiguous cache —
+        sinks need the dense path): greedy outputs == single-device."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"),
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=75,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(76)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (11, 5)]
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, max_seq_len=32, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+    def test_llama4_engine_over_mesh_matches_single_device(self):
+        """Llama-4 end-to-end serving over a TP mesh (contiguous cache):
+        chunk masks + temperature tuning in the TP decode step, EP
+        input-scaled MoE — greedy outputs == single-device."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, nope_layers=(1,),
+            layer_types=("chunked_attention", "full_attention"),
+            attn_chunk_size=8, qk_l2_norm=True, attn_temp_tuning=True,
+            attn_floor_scale=8.0, attn_scale_coef=0.2,
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            moe_dense_layers=(0,), moe_llama4=True, moe_shared_experts=1,
+            intermediate_size_dense=48)
+        model = random_packed_llama(cfg, group_size=16, seed=77,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(78)
+        # generation crosses the chunk boundary (8) and the temp floor
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (11, 6)]
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, max_seq_len=32, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
                         for i, p in enumerate(prompts)]
         want = mk().run(reqs())
         got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())

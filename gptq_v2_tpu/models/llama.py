@@ -263,7 +263,8 @@ class LlamaConfig:
         if model_type in ("gemma3", "llama4") and "text_config" in d:
             # multimodal wrapper config: serve the text tower
             inner = dict(d["text_config"])
-            inner.setdefault("torch_dtype", d.get("torch_dtype", "float16"))
+            inner.setdefault("torch_dtype", d.get("torch_dtype")
+                             or d.get("dtype") or "float16")
             return cls.from_hf_dict(inner)
         if model_type == "llama4" and "text_config" not in d:
             model_type = "llama4_text"  # already the text tower
@@ -307,7 +308,9 @@ class LlamaConfig:
             dense = tuple(i for i in range(d["num_hidden_layers"])
                           if i in only or (i + 1) % step)
             moe_dense = dense or None
-        dtype = d.get("torch_dtype", "float16")
+        # transformers >=4.56 writes the checkpoint dtype under "dtype";
+        # older checkpoints use "torch_dtype"
+        dtype = d.get("torch_dtype") or d.get("dtype") or "float16"
         rs = d.get("rope_scaling")
         rope_scaling = None
         if rs is not None:

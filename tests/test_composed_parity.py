@@ -1,0 +1,337 @@
+"""Composed-pipeline parity against the reference implementation.
+
+Runs the reference's OWN ``quantize_llama`` + ``evaluate_llama``
+(reference ``llama.py:64-204,207-247``, pure-torch paths, CPU) on a tiny
+random HF Llama, then runs this framework's ``quantize_model`` +
+``evaluate_ppl`` on the same checkpoint and calibration tokens, and
+asserts the *composition* matches: stage schedule x Hessian propagation
+through quantized predecessors x solver x eval protocol.
+
+This is the strongest ppl-parity evidence obtainable without a real
+Llama-2 checkpoint: the component-level solver/Hessian/quantizer parity
+tests (test_gptq.py, test_quantizer.py) already pin each piece bit-exactly
+against the reference; this test pins the full path.
+
+Two configurations, different strength of assertion:
+
+* ``act_order=False`` — the quantization trajectory is deterministic
+  given the weights (scales/zeros depend only on weight values, which are
+  identical), so quantized codes must match **near-exactly**: the only
+  admissible flips are values landing within float-forward noise
+  (~1e-6 rel, torch sdpa vs jnp dense attention) of a rounding boundary.
+* ``act_order=True`` (the reference's hard-coded run config,
+  ``llama.py:138``) — the argsort over the Hessian diagonal is chaotic
+  under that same noise when diagonal entries tie (random tiny-model
+  activations tie often), and a single transposition changes group
+  membership and the whole downstream column order.  Codes therefore
+  CANNOT be compared elementwise across frameworks; what must match is
+  quantization *quality* (per-layer gptq/l2 error metrics) and the final
+  perplexity.  (On real checkpoints the diagonal is well-separated and
+  the permutation is stable; the tie-chaos is an artifact of random
+  weights, verified by the act_order=False exactness.)
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE_DIR = Path("/root/reference")
+
+SEQLEN = 64
+N_CALIB = 8
+N_EVAL = 4
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def ref_pipeline(reference_modules):
+    """Import the reference's llama.py + model_utils.py (CPU paths only)."""
+    import types
+
+    sys.path.insert(0, str(REFERENCE_DIR))
+    saved = {n: sys.modules.get(n) for n in ("llama", "model_utils")}
+    try:
+        import llama as ref_llama
+        import model_utils as ref_mu  # noqa: F401
+
+        yield types.SimpleNamespace(
+            llama=ref_llama, mu=ref_mu,
+            gptq=reference_modules.gptq, quant=reference_modules.quant)
+    finally:
+        sys.path.remove(str(REFERENCE_DIR))
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_llama(tmp_path_factory):
+    """A tiny random HF Llama checkpoint on disk + token sets."""
+    import torch
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, torch_dtype=torch.float32,
+        # sdpa keeps attention_mask=None for pure-causal unpadded inputs
+        # (the reference-era behavior its Catcher-captured kwargs assume;
+        # eager on transformers 4.57 materializes a 4-D mask whose batch
+        # dim breaks quantize_llama's kwarg reuse across batch sizes).
+        attn_implementation="sdpa",
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    out = tmp_path_factory.mktemp("hf_llama")
+    model.save_pretrained(out, safe_serialization=True)
+
+    rng = np.random.default_rng(7)
+    calib = rng.integers(0, hf_cfg.vocab_size, (N_CALIB, SEQLEN))
+    evalset = rng.integers(0, hf_cfg.vocab_size, (N_EVAL, SEQLEN))
+    return {"dir": str(out), "calib": calib, "eval": evalset}
+
+
+def _fresh_model(model_dir):
+    import torch
+    from transformers import LlamaForCausalLM
+
+    return LlamaForCausalLM.from_pretrained(
+        model_dir, torch_dtype=torch.float32,
+        attn_implementation="sdpa").eval()
+
+
+def _run_reference(ref, model, calib, evalset, monkeypatch, act_order):
+    """Reference quantize_llama + evaluate_llama, pure-torch (CPU) paths."""
+    import torch
+
+    # Force the CPU code paths: RecorderWrapper hardcodes
+    # add_batch(..., use_kernel=True) (model_utils.py:102) and
+    # quantize_llama hardcodes gptq_use_kernel=True (llama.py:153); the
+    # CUDA/Triton kernels are stubbed out in tests (conftest).
+    orig_add = ref.gptq.HessianHook.add_batch
+
+    def add_batch_cpu(self, inp, use_kernel=True):
+        return orig_add(self, inp, use_kernel=False)
+
+    monkeypatch.setattr(ref.gptq.HessianHook, "add_batch", add_batch_cpu)
+
+    def gptq_quant_cpu(**kw):
+        kw["gptq_use_kernel"] = False
+        return ref.gptq.gptq_quant(**kw)
+
+    monkeypatch.setattr(ref.llama, "gptq_quant", gptq_quant_cpu)
+
+    # quantize_llama hardcodes invert(act_order=True) (llama.py:138);
+    # override for the deterministic exact-codes configuration.
+    orig_invert = ref.gptq.HessianHook.invert
+
+    def invert_cfg(self, damp_ratio=1e-2, act_order=True):
+        return orig_invert(self, damp_ratio=damp_ratio, act_order=act_order
+                           and invert_cfg.act_order)
+
+    invert_cfg.act_order = act_order
+    monkeypatch.setattr(ref.gptq.HessianHook, "invert", invert_cfg)
+
+    # transformers 4.57 materializes the causal sdpa mask as a 4-D tensor
+    # whose batch dim breaks quantize_llama's kwarg reuse across batch
+    # sizes (the reference era captured attention_mask=None for unpadded
+    # causal inputs — its own docstring, llama.py:33).  Verify the captured
+    # mask is purely causal, then restore the era behavior: sdpa with a
+    # None mask sets is_causal=True, which is numerically identical.
+    orig_gii = ref.llama.get_initial_inputs
+
+    def gii_no_mask(*a, **k):
+        inps, kwargs = orig_gii(*a, **k)
+        mask = kwargs.get("attention_mask")
+        if mask is not None:
+            n = mask.shape[-1]
+            if mask.dtype == torch.bool:  # True = attend
+                causal = torch.ones((n, n), dtype=torch.bool).tril()
+            else:  # additive float mask: -inf above the diagonal
+                causal = torch.zeros((n, n), dtype=mask.dtype)
+                causal.masked_fill_(
+                    torch.ones((n, n), dtype=torch.bool).triu(1),
+                    torch.finfo(mask.dtype).min)
+            assert torch.equal(mask, causal.expand_as(mask)), \
+                "captured mask is not purely causal — cannot drop it"
+            kwargs = dict(kwargs)
+            kwargs["attention_mask"] = None
+        return inps, kwargs
+
+    monkeypatch.setattr(ref.llama, "get_initial_inputs", gii_no_mask)
+
+    _patch_decoder_tuple(monkeypatch)
+
+    dev = torch.device("cpu")
+    with torch.no_grad():
+        results = ref.llama.quantize_llama(
+            model, torch.from_numpy(calib), dev, batch_size=BATCH)
+        ppl = float(ref.llama.evaluate_llama(
+            model, torch.from_numpy(evalset), dev, batch_size=BATCH))
+    return results, ppl
+
+
+def _patch_decoder_tuple(monkeypatch):
+    """transformers 4.57 decoder layers return a bare tensor; the
+    reference-era convention it unpacks (`outs, = gpt_block(...)`,
+    llama.py:188,224) was a 1-tuple.  Restore the tuple return."""
+    from transformers.models.llama.modeling_llama import LlamaDecoderLayer
+
+    orig_fwd = LlamaDecoderLayer.forward
+
+    def fwd_tuple(self, *a, **k):
+        out = orig_fwd(self, *a, **k)
+        return out if isinstance(out, tuple) else (out,)
+
+    monkeypatch.setattr(LlamaDecoderLayer, "forward", fwd_tuple)
+
+
+def _run_ours(model_dir, calib, evalset, act_order):
+    from gptq_v2_tpu.evaluate import evaluate_ppl
+    from gptq_v2_tpu.models.loader import load_hf_model
+    from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+    cfg, params = load_hf_model(model_dir)
+    # The reference's hard-coded run config (llama.py:138,146-161), with
+    # feedback_dtype=None to match the pure-torch solver (no fp16
+    # round-trip — that emulates the CUDA kernel, gptq_cpp_kernel.cu:55-66).
+    qcfg = QuantConfig(bits=4, group_size=128, sym=False,
+                       act_order=act_order, damp_ratio=1e-2, mse=False,
+                       feedback_dtype=None)
+    results = quantize_model(cfg, params, calib.astype(np.int32), qcfg,
+                             batch_size=BATCH)
+    ppl = evaluate_ppl(cfg, params, evalset.astype(np.int32),
+                       batch_size=BATCH)
+    return results, ppl
+
+
+def _run_pair(ref_pipeline, tiny_hf_llama, request, act_order):
+    mp = pytest.MonkeyPatch()
+    request.addfinalizer(mp.undo)
+    ref_results, ref_ppl = _run_reference(
+        ref_pipeline, _fresh_model(tiny_hf_llama["dir"]),
+        tiny_hf_llama["calib"], tiny_hf_llama["eval"], mp, act_order)
+    our_results, our_ppl = _run_ours(
+        tiny_hf_llama["dir"], tiny_hf_llama["calib"], tiny_hf_llama["eval"],
+        act_order)
+    return ref_results, ref_ppl, our_results, our_ppl
+
+
+class TestComposedExact:
+    """act_order=False: quantized codes must match near-exactly."""
+
+    @pytest.fixture(scope="class")
+    def both(self, ref_pipeline, tiny_hf_llama, request):
+        return _run_pair(ref_pipeline, tiny_hf_llama, request,
+                         act_order=False)
+
+    def test_layer_names_match(self, both):
+        ref_results, _, our_results, _ = both
+        assert set(our_results["data"]) == set(ref_results["data"])
+
+    def test_per_layer_quant_meta_matches(self, both):
+        ref_results, _, our_results, _ = both
+        total = mismatched = 0
+        for name, ref_meta in ref_results["data"].items():
+            ours = our_results["data"][name]
+            np.testing.assert_array_equal(
+                ours["perm_inv"], ref_meta["perm_inv"].numpy(),
+                err_msg=f"{name}: identity permutation expected")
+            np.testing.assert_array_equal(
+                ours["group_sizes"], ref_meta["group_sizes"].numpy())
+            # scales/zeros derive from the (identical) weight values only
+            np.testing.assert_allclose(
+                ours["scale"], ref_meta["scale"].numpy(), rtol=1e-6,
+                err_msg=f"{name}: scales diverged")
+            np.testing.assert_array_equal(
+                ours["qzero"], ref_meta["qzero"].numpy(),
+                err_msg=f"{name}: zero-points diverged")
+            rq = ref_meta["qweight"].numpy()
+            mismatched += int((ours["qweight"] != rq).sum())
+            total += rq.size
+        frac = mismatched / total
+        assert frac <= 2e-3, (
+            f"{mismatched}/{total} quantized codes differ ({frac:.2e}) — "
+            "beyond float-noise rounding flips")
+
+    def test_metrics_match(self, both):
+        ref_results, _, our_results, _ = both
+        for name, ref_m in ref_results["metrics"].items():
+            ours = our_results["metrics"][name]
+            np.testing.assert_allclose(ours["gptq_error"],
+                                       ref_m["gptq_error"], rtol=2e-2)
+            np.testing.assert_allclose(ours["l2_error"],
+                                       ref_m["l2.0_error"], rtol=2e-2)
+
+    def test_ppl_matches(self, both):
+        _, ref_ppl, _, our_ppl = both
+        assert abs(our_ppl - ref_ppl) / ref_ppl < 2e-3, (
+            f"composed ppl diverged: ours={our_ppl} ref={ref_ppl}")
+
+
+class TestComposedActOrder:
+    """act_order=True (the reference run config): quality parity.
+
+    Codes are not elementwise-comparable here — see module docstring —
+    so the assertions are the quantization-quality metrics and ppl.
+    """
+
+    @pytest.fixture(scope="class")
+    def both(self, ref_pipeline, tiny_hf_llama, request):
+        return _run_pair(ref_pipeline, tiny_hf_llama, request,
+                         act_order=True)
+
+    def test_perm_is_permutation(self, both):
+        ref_results, _, our_results, _ = both
+        for name, ref_meta in ref_results["data"].items():
+            ours = our_results["data"][name]
+            n = ref_meta["perm_inv"].numpy().size
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(ours["perm_inv"])), np.arange(n))
+            np.testing.assert_array_equal(
+                ours["group_sizes"], ref_meta["group_sizes"].numpy())
+
+    def test_metrics_match(self, both):
+        ref_results, _, our_results, _ = both
+        for name, ref_m in ref_results["metrics"].items():
+            ours = our_results["metrics"][name]
+            np.testing.assert_allclose(ours["gptq_error"],
+                                       ref_m["gptq_error"], rtol=5e-2)
+            np.testing.assert_allclose(ours["l2_error"],
+                                       ref_m["l2.0_error"], rtol=5e-2)
+
+    def test_ppl_matches(self, both):
+        _, ref_ppl, _, our_ppl = both
+        assert abs(our_ppl - ref_ppl) / ref_ppl < 1e-2, (
+            f"composed ppl diverged: ours={our_ppl} ref={ref_ppl}")
+
+
+def test_fp_ppl_matches_reference_evaluator(ref_pipeline, tiny_hf_llama,
+                                            monkeypatch):
+    """Eval protocol alone (no quantization): identical ppl on the
+    unquantized model — pins the evaluator incl. the batch-NLL
+    accumulation (reference llama.py:236-243 replicates each batch
+    mean len(batch) times, i.e. a batch-size-weighted mean; ours
+    accumulates nll*bs / sum(bs), the same statistic — asserted here
+    with a batch size that does NOT divide n_seq)."""
+    import torch
+
+    from gptq_v2_tpu.evaluate import evaluate_ppl
+    from gptq_v2_tpu.models.loader import load_hf_model
+
+    _patch_decoder_tuple(monkeypatch)
+    fp_model = _fresh_model(tiny_hf_llama["dir"])
+    evalset = tiny_hf_llama["eval"]
+    with torch.no_grad():
+        ref_ppl = float(ref_pipeline.llama.evaluate_llama(
+            fp_model, torch.from_numpy(evalset),
+            torch.device("cpu"), batch_size=3))
+    cfg, params = load_hf_model(tiny_hf_llama["dir"])
+    our_ppl = evaluate_ppl(cfg, params, evalset.astype(np.int32),
+                           batch_size=3)
+    assert abs(our_ppl - ref_ppl) / ref_ppl < 1e-3, (our_ppl, ref_ppl)

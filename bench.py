@@ -64,22 +64,18 @@ STEPS = 20
 
 
 def measure_hbm_bw(on_tpu: bool, dev) -> float:
-    """Sustained HBM read bandwidth via a streaming reduce of a 2 GB array
-    (completion forced by a tiny host readback — block_until_ready is not
-    reliable on the tunneled axon platform)."""
+    """Sustained HBM bandwidth ceiling via the multi-method multi-footprint
+    best-of-N probe (``scripts/bench_hbm.py``).  Round-1's single-stream
+    reduce understated the ceiling (246 GB/s vs the 344 GB/s the decode
+    step itself streamed); the ceiling probe takes the max across reduce /
+    thin-matmul weight-stream / copy methods at 2-6 GiB footprints so it at
+    least matches the best stream any real program achieves here."""
     if not on_tpu:
         return HBM_BW_SPEC.get(dev.device_kind, 819e9)
-    n = 1 << 30  # 2 GB of bf16
-    x = jnp.ones((n,), jnp.bfloat16)
-    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    np.asarray(red(x))  # compile + warm
-    reps = 5
-    t0 = time.time()
-    s = [red(x) for _ in range(reps)]
-    np.asarray(s[-1])
-    bw = reps * x.nbytes / (time.time() - t0)
-    del x
-    return bw
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent
+                           / "scripts"))
+    from bench_hbm import probe_ceiling
+    return probe_ceiling(verbose=True)
 
 
 def _device_watchdog(timeout_s: float = 240.0) -> bool:
@@ -192,13 +188,20 @@ def run(batch):
     roofline_tok_s = batch / (bytes_per_step / spec_bw)
     target = 0.8 * roofline_tok_s
     util = tok_s / roofline_tok_s
+    # Probe-proven ceiling: what this chip can actually stream today (the
+    # tunneled dev chip sustains 30-50% of spec).  vs_ceiling >= 0.95 means
+    # the step runs at the measured-hardware roofline even when the
+    # spec-normalized vs_baseline is capped by co-tenancy.
+    ceiling_tok_s = batch / (bytes_per_step / bw)
+    vs_ceiling = tok_s / ceiling_tok_s
 
     print(
         f"device={dev.device_kind} bytes/step={bytes_per_step / 1e9:.2f}GB "
         f"spec_bw={spec_bw / 1e9:.0f}GB/s probe_bw={bw / 1e9:.0f}GB/s "
         f"observed_stream={bytes_per_step / (dt / STEPS) / 1e9:.0f}GB/s "
         f"roofline={roofline_tok_s:.0f}tok/s "
-        f"measured={tok_s:.1f}tok/s util={util:.1%}",
+        f"measured={tok_s:.1f}tok/s util={util:.1%} "
+        f"vs_probe_ceiling={vs_ceiling:.1%}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -206,6 +209,8 @@ def run(batch):
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / target, 4),
+        "vs_ceiling": round(vs_ceiling, 4),
+        "probe_bw_gbps": round(bw / 1e9, 1),
     }))
 
 

@@ -21,9 +21,15 @@ GPTQ is row-independent, so callers may stack several same-input layers
 (e.g. q/k/v) along the row axis and solve them in one call — fewer, larger
 TPU ops than the reference's per-layer loop.
 
-Blocked updates use ``gptq_block == group`` (the only configuration the
-reference ever runs: ``llama.py:146-161`` passes
-``gptq_block_sizes=group_sizes``).
+Blocked updates default to ``gptq_block == group`` (the only configuration
+the reference ever runs: ``llama.py:146-161`` passes
+``gptq_block_sizes=group_sizes``); the general path — non-uniform group
+sizes and/or block boundaries decoupled from group boundaries, reference
+``gptq_py.py:158-193`` — is :func:`_solve_blocked`, which reproduces the
+reference's exact update schedule: ``find_params`` reads the *outer*
+weight (updated by previous blocks' tail updates only, never by in-block
+rank-1 updates), MSE refinement reads the current *block* slice, and a
+group spanning a block boundary carries its quantizer across it.
 """
 from __future__ import annotations
 
@@ -196,6 +202,160 @@ def _rtn_uniform(weight, maxq_per_group, group_size, sym, scale_bits,
     return result
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_sizes", "group_bit_widths", "block_sizes", "sym",
+                     "scale_bits", "fb_dtype_name", "mse", "mse_max_shrink",
+                     "mse_n_grid", "mse_norm"),
+)
+def _solve_blocked(
+    weight,  # (R, C) fp32, already act-order permuted
+    hinv,  # (C, C) fp32 upper Cholesky factor of H⁻¹
+    group_sizes: tuple,  # static, need not be uniform
+    group_bit_widths: tuple,  # static, per group
+    block_sizes: tuple,  # static, decoupled from group boundaries
+    sym: bool,
+    scale_bits: Optional[int],
+    fb_dtype_name: Optional[str],
+    mse: bool,
+    mse_max_shrink: float,
+    mse_n_grid: int,
+    mse_norm: float,
+):
+    """General GPTQ solve: arbitrary group sizes and block boundaries.
+
+    Reproduces the reference's pure-Python general path exactly
+    (``gptq_py.py:158-193``): block ids from ``gptq_block_sizes``, a new
+    quantizer created at each group-start column from the *outer* weight
+    (which carries previous blocks' tail updates but never in-block rank-1
+    updates), MSE refinement on the current *block* slice, quantization of
+    the in-block running weight, rank-1 update of the in-block suffix, and
+    one tail matmul per block over the remaining columns.  Groups may span
+    block boundaries (the quantizer carries across).  Blocks are unrolled
+    in Python (static boundaries); columns run in ``lax.scan``.
+    """
+    R, C = weight.shape
+    fb_dtype = jnp.dtype(fb_dtype_name) if fb_dtype_name else None
+    group_ids = np.concatenate([[0], np.cumsum(group_sizes)])
+    block_ids = np.concatenate([[0], np.cumsum(block_sizes)])
+    assert group_ids[-1] == C and block_ids[-1] == C, (group_sizes, block_sizes, C)
+    G = len(group_sizes)
+    col_ids = jnp.arange(C)
+
+    w = weight
+    params_per_group: list = [None] * G
+    q_parts, dq_parts, err_parts = [], [], []
+
+    def _col_of_group(j):  # group index owning column j
+        return int(np.searchsorted(group_ids, j, side="right") - 1)
+
+    for i1, i2 in zip(block_ids[:-1], block_ids[1:]):
+        blk = int(i2 - i1)
+        # quantizers whose group starts inside this block: find_params on
+        # the outer weight's group slice (reference gptq_py.py:168-186)
+        for gi in range(G):
+            gs, ge = int(group_ids[gi]), int(group_ids[gi + 1])
+            if i1 <= gs < i2:
+                maxq = jnp.asarray(2.0 ** group_bit_widths[gi] - 1.0, jnp.float32)
+                p = _find_params_maxq(w[:, gs:ge], maxq, sym, scale_bits)
+                if mse:
+                    p = qz.mse_refine(p, w[:, i1:i2], mse_max_shrink,
+                                      mse_n_grid, mse_norm)
+                params_per_group[gi] = p
+
+        # per-column parameter tables for the block (params are fixed per
+        # group, so this is a static gather of (R,1) tensors)
+        gidx = [_col_of_group(j) for j in range(i1, i2)]
+        scale_cols = jnp.concatenate(
+            [params_per_group[gi].scale for gi in gidx], axis=1)  # (R, blk)
+        qzero_cols = jnp.concatenate(
+            [params_per_group[gi].qzero for gi in gidx], axis=1)
+        maxq_cols = jnp.asarray(
+            [2.0 ** group_bit_widths[gi] - 1.0 for gi in gidx], jnp.float32)
+
+        wblk = w[:, i1:i2]
+        hblk = hinv[i1:i2, i1:i2]
+        jidx = jnp.arange(blk)
+
+        def col_body(wb, j, scale_cols=scale_cols, qzero_cols=qzero_cols,
+                     maxq_cols=maxq_cols, hblk=hblk, jidx=jidx):
+            w_j = jax.lax.dynamic_slice(wb, (0, j), (R, 1))
+            s_j = jax.lax.dynamic_slice(scale_cols, (0, j), (R, 1))
+            z_j = jax.lax.dynamic_slice(qzero_cols, (0, j), (R, 1))
+            q_j = jnp.clip(jnp.round(w_j / s_j) + z_j, 0.0, maxq_cols[j])
+            dq_j = _feedback_dequantize(q_j, s_j, z_j, fb_dtype)
+            err_j = (w_j - dq_j) / hblk[j, j]
+            hrow = jnp.where(jidx > j, hblk[j, :], 0.0)[None, :]
+            wb = wb - err_j * hrow
+            return wb, (q_j[:, 0], dq_j[:, 0], err_j[:, 0])
+
+        _, (q_cols, dq_cols, err_cols) = jax.lax.scan(col_body, wblk, jidx)
+
+        hrows = jnp.where(col_ids[None, :] >= i2, hinv[i1:i2, :], 0.0)
+        w = w - jax.lax.dot_general(
+            err_cols, hrows, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32,
+        )
+        q_parts.append(q_cols)
+        dq_parts.append(dq_cols)
+        err_parts.append(err_cols)
+
+    def to_rc(parts):  # list of (blk, R) -> (R, C)
+        return jnp.concatenate([p.T for p in parts], axis=1)
+
+    result = {
+        "qweight": to_rc(q_parts),
+        "quant": to_rc(dq_parts),
+        "error": to_rc(err_parts),
+        # ragged groups: per-group params are (R, 1); stack to (R, G)
+        "scale": jnp.concatenate([p.scale for p in params_per_group], axis=1),
+        "qzero": jnp.concatenate([p.qzero for p in params_per_group], axis=1),
+    }
+    if scale_bits is not None:
+        result["qscale"] = jnp.concatenate(
+            [p.qscale for p in params_per_group], axis=1)
+        result["sscale"] = jnp.concatenate(
+            [p.sscale[0] for p in params_per_group], axis=0)
+    return result
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_sizes", "group_bit_widths", "sym", "scale_bits",
+                     "mse", "mse_max_shrink", "mse_n_grid", "mse_norm"),
+)
+def _rtn_general(weight, group_sizes: tuple, group_bit_widths: tuple, sym,
+                 scale_bits, mse, mse_max_shrink, mse_n_grid, mse_norm):
+    """RTN with non-uniform group sizes: per-group slices, unrolled
+    (reference gptq_py.py:101-124's loop, which never assumes uniformity)."""
+    group_ids = np.concatenate([[0], np.cumsum(group_sizes)])
+    q_parts, dq_parts, scales, qzeros, qscales, sscales = [], [], [], [], [], []
+    for gi, (i1, i2) in enumerate(zip(group_ids[:-1], group_ids[1:])):
+        wg = weight[:, int(i1):int(i2)]
+        maxq = jnp.asarray(2.0 ** group_bit_widths[gi] - 1.0, jnp.float32)
+        p = _find_params_maxq(wg, maxq, sym, scale_bits)
+        if mse:
+            p = qz.mse_refine(p, wg, mse_max_shrink, mse_n_grid, mse_norm)
+        q = qz.params_quantize(p, wg)
+        q_parts.append(q)
+        dq_parts.append(qz.params_dequantize(p, q))
+        scales.append(p.scale)
+        qzeros.append(p.qzero)
+        if scale_bits is not None:
+            qscales.append(p.qscale)
+            sscales.append(p.sscale[0])
+    result = {
+        "qweight": jnp.concatenate(q_parts, axis=1),
+        "quant": jnp.concatenate(dq_parts, axis=1),
+        "scale": jnp.concatenate(scales, axis=1),
+        "qzero": jnp.concatenate(qzeros, axis=1),
+    }
+    if scale_bits is not None:
+        result["qscale"] = jnp.concatenate(qscales, axis=1)
+        result["sscale"] = jnp.concatenate(sscales, axis=0)
+    return result
+
+
 def gptq_quant(
     weight: jax.Array,  # (R=out_features, C=in_features)
     inverted: Optional[InvertedHessian],
@@ -211,6 +371,7 @@ def gptq_quant(
     save_dtype=jnp.float16,
     use_solver_kernel: Optional[bool] = None,
     keep_on_device: bool = False,
+    gptq_block_sizes: Optional[Sequence[int]] = None,
 ) -> dict:
     """Quantize one weight matrix. Returns ``{'quant_meta', 'metrics', 'quant'}``.
 
@@ -236,9 +397,13 @@ def gptq_quant(
     group_bit_widths = [int(b) for b in group_bit_widths]
     n_rows, n_cols = weight.shape
     assert sum(group_sizes) == n_cols, (group_sizes, n_cols)
-    if len(set(group_sizes)) != 1:
-        raise NotImplementedError("non-uniform group sizes: split the call per size")
+    uniform = len(set(group_sizes)) == 1
     g = group_sizes[0]
+    if gptq_block_sizes is None:
+        gptq_block_sizes = group_sizes  # reference default (llama.py:146-161)
+    gptq_block_sizes = [int(s) for s in gptq_block_sizes]
+    assert sum(gptq_block_sizes) == n_cols, (gptq_block_sizes, n_cols)
+    blocks_eq_groups = gptq_block_sizes == group_sizes
 
     weight_ref = weight
     w32 = weight.astype(jnp.float32)
@@ -267,12 +432,18 @@ def gptq_quant(
         and not quant_mse
         and scale_bit_width is None
         and len(set(group_bit_widths)) == 1
+        and uniform
+        and blocks_eq_groups
     )
     if use_solver_kernel is None:
         use_solver_kernel = kernel_eligible and jax.default_backend() == "tpu"
 
     if inverted is None:
-        out = _rtn_uniform(w32, maxq_arr, group_size=g, **common)
+        if uniform:
+            out = _rtn_uniform(w32, maxq_arr, group_size=g, **common)
+        else:
+            out = _rtn_general(w32, tuple(group_sizes),
+                               tuple(group_bit_widths), **common)
         error_sq_mean = jnp.zeros((), dtype=jnp.float32)
         gptq_norm_src = out["quant"] * 0.0  # reference uses `error` here (0-init path)
     else:
@@ -283,9 +454,15 @@ def gptq_quant(
                 w32.T, inverted.hessian_inv, g, 2.0 ** group_bit_widths[0] - 1.0,
                 sym=quant_symmetric, feedback_dtype=feedback_dtype,
             )
-        else:
+        elif uniform and blocks_eq_groups:
             out = _solve_uniform(
                 w32, inverted.hessian_inv, maxq_arr, group_size=g,
+                fb_dtype_name=feedback_dtype, **common,
+            )
+        else:
+            out = _solve_blocked(
+                w32, inverted.hessian_inv, tuple(group_sizes),
+                tuple(group_bit_widths), tuple(gptq_block_sizes),
                 fb_dtype_name=feedback_dtype, **common,
             )
         # the kernel reports mean(err²) directly (it never materializes the
@@ -316,8 +493,10 @@ def gptq_quant(
     order = list(range(n_groups))
     if scale_bit_width is not None:
         order.sort(key=lambda ig: (group_bit_widths[ig], group_sizes[ig], -ig), reverse=True)
+    group_ids = np.concatenate([[0], np.cumsum(group_sizes)])
     col_order = np.concatenate(
-        [np.arange(ig * g, (ig + 1) * g, dtype=np.int64) for ig in order]
+        [np.arange(group_ids[ig], group_ids[ig + 1], dtype=np.int64)
+         for ig in order]
     )
 
     def host(a):

@@ -236,6 +236,124 @@ class TestGPTQSolver:
             ours["quant_meta"]["scale"], ref["quant_meta"]["scale"].numpy(), rtol=1e-5
         )
 
+    def _ref_solve(self, reference_modules, w, inv, st, sizes, bws,
+                   block_sizes=None, mse=False):
+        import torch
+
+        hook = reference_modules.gptq.HessianHook()
+        hook.hessian = torch.from_numpy(np.asarray(inv.hessian))
+        hook.hessian_inv = torch.from_numpy(np.asarray(inv.hessian_inv))
+        hook.perm = torch.from_numpy(np.asarray(inv.perm)).long()
+        hook.perm_inv = torch.from_numpy(np.asarray(inv.perm_inv)).long()
+        hook.n_samples = int(st.n_samples)
+        t_sizes = torch.tensor(sizes, dtype=torch.int32)
+        t_blocks = torch.tensor(block_sizes if block_sizes is not None
+                                else sizes, dtype=torch.int32)
+        return reference_modules.gptq.gptq_quant(
+            weight=torch.from_numpy(w), hessian_hook=hook,
+            group_sizes=t_sizes,
+            group_bit_widths=torch.tensor(bws, dtype=torch.int32),
+            scale_bit_width=None, gptq_use_kernel=False,
+            gptq_block_sizes=t_blocks, quant_symmetric=False, quant_mse=mse,
+        )
+
+    def _assert_meta_parity(self, ours, ref):
+        ref_meta, our_meta = ref["quant_meta"], ours["quant_meta"]
+        np.testing.assert_array_equal(our_meta["qweight"],
+                                      ref_meta["qweight"].numpy())
+        np.testing.assert_allclose(our_meta["scale"],
+                                   ref_meta["scale"].numpy(), rtol=1e-6)
+        np.testing.assert_array_equal(our_meta["qzero"],
+                                      ref_meta["qzero"].numpy())
+        np.testing.assert_array_equal(our_meta["group_sizes"],
+                                      ref_meta["group_sizes"].numpy())
+        np.testing.assert_allclose(ours["metrics"]["gptq_error"],
+                                   ref["metrics"]["gptq_error"],
+                                   rtol=1e-4, atol=1e-9)
+
+    def test_parity_nonuniform_groups(self, reference_modules):
+        """Non-uniform group sizes + mixed bit widths vs the reference loop
+        (gptq_py.py:158-193) — the EXL2 mixed-precision use case."""
+        R, C = 16, 64
+        sizes, bws = [8, 24, 16, 16], [2, 4, 3, 8]
+        w = rand((R, C), seed=41)
+        inv, st, _ = make_inverted(C, seed=41)
+        ref = self._ref_solve(reference_modules, w, inv, st, sizes, bws)
+        ours = gq.gptq_quant(jnp.asarray(w), inv, sizes, bws,
+                             quant_mse=False, feedback_dtype=None,
+                             save_dtype=jnp.float32)
+        self._assert_meta_parity(ours, ref)
+
+    def test_parity_blocks_coarser_than_groups(self, reference_modules):
+        """gptq_block_sizes spanning several groups: tail updates fire at
+        block — not group — boundaries (reference gptq_py.py:165-193)."""
+        R, C, g = 16, 64, 16
+        sizes, bws = [g] * (C // g), [4] * (C // g)
+        blocks = [32, 32]
+        w = rand((R, C), seed=43)
+        inv, st, _ = make_inverted(C, seed=43)
+        ref = self._ref_solve(reference_modules, w, inv, st, sizes, bws,
+                              block_sizes=blocks)
+        ours = gq.gptq_quant(jnp.asarray(w), inv, sizes, bws,
+                             gptq_block_sizes=blocks, quant_mse=False,
+                             feedback_dtype=None, save_dtype=jnp.float32)
+        self._assert_meta_parity(ours, ref)
+        # and the composition really differs from block==group
+        base = gq.gptq_quant(jnp.asarray(w), inv, sizes, bws,
+                             quant_mse=False, feedback_dtype=None,
+                             save_dtype=jnp.float32, use_solver_kernel=False)
+        assert (np.asarray(ours["quant_meta"]["qweight"])
+                != np.asarray(base["quant_meta"]["qweight"])).any()
+
+    def test_parity_blocks_finer_than_groups(self, reference_modules):
+        """A group spanning a block boundary carries its quantizer across
+        (reference gptq_py.py:168-186's ``cur_group`` walk)."""
+        R, C, g = 8, 64, 32
+        sizes, bws = [g] * (C // g), [4] * (C // g)
+        blocks = [16] * (C // 16)
+        w = rand((R, C), seed=47)
+        inv, st, _ = make_inverted(C, seed=47)
+        ref = self._ref_solve(reference_modules, w, inv, st, sizes, bws,
+                              block_sizes=blocks)
+        ours = gq.gptq_quant(jnp.asarray(w), inv, sizes, bws,
+                             gptq_block_sizes=blocks, quant_mse=False,
+                             feedback_dtype=None, save_dtype=jnp.float32)
+        self._assert_meta_parity(ours, ref)
+
+    def test_parity_nonuniform_mse(self, reference_modules):
+        """MSE search through the general path: the reference refines on the
+        *block* slice, not the group slice (gptq_py.py:180-186)."""
+        R, C = 8, 48
+        sizes, bws = [16, 8, 24], [4, 2, 4]
+        w = rand((R, C), seed=53)
+        inv, st, _ = make_inverted(C, seed=53)
+        ref = self._ref_solve(reference_modules, w, inv, st, sizes, bws,
+                              mse=True)
+        ours = gq.gptq_quant(jnp.asarray(w), inv, sizes, bws,
+                             quant_mse=True, feedback_dtype=None,
+                             save_dtype=jnp.float32)
+        self._assert_meta_parity(ours, ref)
+
+    def test_parity_rtn_nonuniform(self, reference_modules):
+        import torch
+
+        R, C = 8, 48
+        sizes, bws = [16, 8, 24], [4, 2, 8]
+        w = rand((R, C), seed=59)
+        ref = reference_modules.gptq.gptq_quant(
+            weight=torch.from_numpy(w), hessian_hook=None,
+            group_sizes=torch.tensor(sizes, dtype=torch.int32),
+            group_bit_widths=torch.tensor(bws, dtype=torch.int32),
+            quant_mse=True, save_device=torch.device("cpu"),
+        )
+        ours = gq.gptq_quant(jnp.asarray(w), None, sizes, bws,
+                             quant_mse=True, save_dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            ours["quant_meta"]["qweight"], ref["quant_meta"]["qweight"].numpy())
+        np.testing.assert_allclose(
+            ours["quant_meta"]["scale"], ref["quant_meta"]["scale"].numpy(),
+            rtol=1e-5)
+
     def test_fp16_feedback_changes_low_bits_only(self):
         R, C, g = 8, 32, 8
         w = rand((R, C), seed=37)

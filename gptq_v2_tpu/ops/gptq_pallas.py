@@ -242,6 +242,230 @@ def _solve_pallas(weight_t, hinv, group_size: int, maxq: float, sym: bool,
     return q_t[:, :r], err2_t[:, :r], sc_t[:, :r], zr_t[:, :r]
 
 
+def _kernel_step(i1_ref, w_ref, hblk_ref, hblkT_ref, hinvTg_ref, sc_ref,
+                 zr_ref, mq_ref, w_out, q_out, err2_ref,
+                 w0_scr, hd_scr, e_scr, q_scr, *, group_size, fb):
+    """One GPTQ group step: column loop + tail update, with externally
+    supplied quantization params (scale/qzero/maxq as inputs, not in-kernel
+    find_params) — the worker kernel of :func:`gptq_solve_stepped`.
+
+    ``w_ref``/``w_out`` are HBM-aliased (C, Rt) blocks: the tail-updated
+    running weight flushes back between group calls so the host-side
+    find_params (MSE grid / EXL2 / per-group maxq) can read the correct
+    state for the next group — the same schedule as the reference's kernel
+    path (find_params between ``gptq_quantize_range`` calls,
+    reference ``gptq_py.py:125-157``).
+    """
+    g = group_size
+    # the scalar input carries the GROUP INDEX; multiplying by the static
+    # group size in-kernel lets Mosaic prove the slice start's alignment
+    i1 = i1_ref[0] * g
+    w0_scr[:] = w_ref[pl.ds(i1, g), :]  # (g, Rt) current block
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (g, g), 1))
+    hd_scr[:] = jnp.sum(jnp.where(eye, hblk_ref[:], 0.0), axis=1,
+                        keepdims=True)  # (g, 1) diag
+    e_scr[:] = jnp.zeros_like(e_scr)
+    scale = sc_ref[:]  # (1, Rt)
+    qzero = zr_ref[:]
+    maxq = mq_ref[0]
+
+    def col(j, _):
+        corr = jax.lax.dot_general(
+            hblkT_ref[pl.ds(j, 1), :], e_scr[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        w_j = w0_scr[pl.ds(j, 1), :] - corr  # (1, Rt)
+        q_j = jnp.clip(jnp.round(w_j / scale) + qzero, 0.0, maxq)
+        dq = _feedback_dq(q_j - qzero, scale, fb)
+        hjj = hd_scr[pl.ds(j, 1), :]  # (1, 1)
+        e_j = (w_j - dq) / hjj
+        q_scr[pl.ds(j, 1), :] = q_j
+        e_scr[pl.ds(j, 1), :] = e_j
+        return 0
+
+    jax.lax.fori_loop(0, g, col, 0, unroll=False)
+
+    # tail update: W_out = W - masked(hinv[group, :]^T @ E); whole block
+    # rewritten (aliased buffer), chunked to bound temporaries
+    c_total = hinvTg_ref.shape[0]
+    chunk = _tail_chunk(c_total, g)
+    rows0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def tail(ci, _):
+        c0 = ci * chunk
+        hseg = hinvTg_ref[pl.ds(c0, chunk), :]  # (chunk, g)
+        upd = jax.lax.dot_general(
+            hseg, e_scr[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        keep = (rows0 + c0) >= (i1 + g)
+        seg = w_ref[pl.ds(c0, chunk), :]
+        w_out[pl.ds(c0, chunk), :] = seg - jnp.where(keep, upd, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, c_total // chunk, tail, 0, unroll=False)
+    q_out[:] = q_scr[:]
+    err2_ref[:] = jnp.sum(e_scr[:] * e_scr[:], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "fb", "block_r",
+                                             "interpret"))
+def _step_call(w, i1, hblk, hblkT, hinvTg, scale_row, qzero_row, maxq,
+               group_size: int, fb: Optional[str], block_r: int,
+               interpret: bool):
+    """One Pallas group step over the full (C, R) weight; returns
+    ``(w_updated, q_group (g, R), err2 (1, R))``.  One compilation serves
+    every group (``i1`` is a scalar input)."""
+    c, r = w.shape
+    g = group_size
+    rt = block_r
+    grid = (r // rt,)
+    kernel = functools.partial(_kernel_step, group_size=g, fb=fb)
+    w_new, q_g, err2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # i1 (1,)
+            pl.BlockSpec((c, rt), lambda rb: (0, rb)),           # W
+            pl.BlockSpec((g, g), lambda rb: (0, 0)),             # hblk
+            pl.BlockSpec((g, g), lambda rb: (0, 0)),             # hblkT
+            pl.BlockSpec((c, g), lambda rb: (0, 0)),             # hinv[grp,:]^T
+            pl.BlockSpec((1, rt), lambda rb: (0, rb)),           # scale
+            pl.BlockSpec((1, rt), lambda rb: (0, rb)),           # qzero
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # maxq (1,)
+        ],
+        out_specs=[
+            pl.BlockSpec((c, rt), lambda rb: (0, rb)),           # W out
+            pl.BlockSpec((g, rt), lambda rb: (0, rb)),           # q out
+            pl.BlockSpec((1, rt), lambda rb: (0, rb)),           # err² sums
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, r), jnp.float32),
+            jax.ShapeDtypeStruct((g, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g, rt), jnp.float32),   # w0
+            pltpu.VMEM((g, 1), jnp.float32),    # hdiag
+            pltpu.VMEM((g, rt), jnp.float32),   # E
+            pltpu.VMEM((g, rt), jnp.float32),   # q
+        ],
+        input_output_aliases={1: 0},  # W updates in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(i1, w, hblk, hblkT, hinvTg, scale_row, qzero_row, maxq)
+    return w_new, q_g, err2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "group_bit_widths", "sym", "scale_bits",
+                     "mse", "mse_max_shrink", "mse_n_grid", "mse_norm",
+                     "feedback_dtype", "block_r", "interpret"))
+def gptq_solve_stepped(
+    weight_t: jax.Array,  # (C, R) f32, act-order-permuted, transposed
+    hinv: jax.Array,  # (C, C) f32
+    group_size: int,
+    group_bit_widths,  # (G,) ints — mixed widths supported
+    sym: bool = False,
+    scale_bits: Optional[int] = None,  # EXL2 scale-of-scales
+    mse: bool = False,
+    mse_max_shrink: float = 0.8,
+    mse_n_grid: int = 100,
+    mse_norm: float = 2.4,
+    feedback_dtype: Optional[str] = "float16",
+    block_r: int = 256,
+    interpret: Optional[bool] = None,
+) -> dict:
+    """Group-stepped GPTQ solve: per-group find_params (incl. MSE grid
+    search, EXL2 scale quantization, per-group bit widths) runs in jnp on
+    the host-side trace *between* Pallas group kernels, inside one jit.
+
+    This covers every solver configuration the monolithic kernel
+    (:func:`gptq_solve`) cannot — MSE, EXL2, mixed bit widths — at
+    kernel speed (the latency-bound column loop stays in Pallas; only the
+    embarrassingly parallel find_params runs as XLA ops).  Matches the
+    reference's kernel-path schedule (``gptq_py.py:125-157``): params for
+    group *i* are computed from the weight state carrying groups
+    ``< i``'s tail updates.  Returns the same fields as
+    ``quant.gptq._solve_uniform``.
+    """
+    from gptq_v2_tpu.quant import quantizer as qz
+    from gptq_v2_tpu.quant.gptq import _find_params_maxq
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, r = weight_t.shape
+    g = group_size
+    assert c % g == 0, (c, g)
+    n_groups = c // g
+    assert len(group_bit_widths) == n_groups
+
+    rt = min(block_r, max(128, r))
+    while rt > 128 and 4 * c * rt * 4 + 8 * c * g > 88e6:
+        rt //= 2
+    r_pad = -(-r // rt) * rt
+    w = weight_t.astype(jnp.float32)
+    if r_pad != r:
+        w = jnp.pad(w, ((0, 0), (0, r_pad - r)))
+    hinv = hinv.astype(jnp.float32)
+
+    q_parts, err2_parts, params_per_group = [], [], []
+    for gi in range(n_groups):
+        i1 = gi * g
+        wblk = w[i1:i1 + g, :r].T  # (R, g) current state
+        maxq = jnp.asarray(2.0 ** float(group_bit_widths[gi]) - 1.0,
+                           jnp.float32)
+        p = _find_params_maxq(wblk, maxq, sym, scale_bits)
+        if mse:
+            p = qz.mse_refine(p, wblk, mse_max_shrink, mse_n_grid, mse_norm)
+        params_per_group.append(p)
+        scale_row = p.scale[:, 0][None]  # (1, R)
+        zr_row = p.qzero[:, 0][None]
+        if r_pad != r:
+            scale_row = jnp.pad(scale_row, ((0, 0), (0, r_pad - r)),
+                                constant_values=1.0)
+            zr_row = jnp.pad(zr_row, ((0, 0), (0, r_pad - r)))
+        hblk = hinv[i1:i1 + g, i1:i1 + g]
+        w, q_g, err2 = _step_call(
+            w, jnp.asarray([gi], jnp.int32), hblk, hblk.T,
+            hinv[i1:i1 + g, :].T, scale_row, zr_row,
+            jnp.asarray([2.0 ** float(group_bit_widths[gi]) - 1.0],
+                        jnp.float32),
+            group_size=g, fb=feedback_dtype, block_r=rt,
+            interpret=bool(interpret))
+        q_parts.append(q_g[:, :r])
+        err2_parts.append(err2[:, :r])
+
+    q_t = jnp.concatenate(q_parts, axis=0)  # (C, R)
+    scale = jnp.concatenate([p.scale for p in params_per_group], axis=1)  # (R, G)
+    qzero = jnp.concatenate([p.qzero for p in params_per_group], axis=1)
+    sc_cols = jnp.repeat(scale.T, g, axis=0)  # (C, R)
+    zr_cols = jnp.repeat(qzero.T, g, axis=0)
+    if feedback_dtype is None:
+        dq_t = (q_t - zr_cols) * sc_cols
+    else:
+        dt = jnp.dtype(feedback_dtype)
+        dq_t = ((q_t.astype(dt) - zr_cols.astype(dt)) * sc_cols.astype(dt)
+                ).astype(jnp.float32)
+    out = {
+        "qweight": q_t.T,
+        "quant": dq_t.T,
+        "error_sq_mean": sum(jnp.sum(e) for e in err2_parts) / (r * c),
+        "scale": scale,
+        "qzero": qzero,
+    }
+    if scale_bits is not None:
+        out["qscale"] = jnp.concatenate(
+            [p.qscale for p in params_per_group], axis=1)
+        out["sscale"] = jnp.concatenate(
+            [p.sscale[0] for p in params_per_group], axis=0)
+    return out
+
+
 def gptq_solve(
     weight_t: jax.Array,  # (C, R) f32, act-order-permuted, transposed
     hinv: jax.Array,  # (C, C) f32

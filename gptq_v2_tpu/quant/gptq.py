@@ -435,8 +435,16 @@ def gptq_quant(
         and uniform
         and blocks_eq_groups
     )
+    # Configs the monolithic kernel can't take (MSE grid search, EXL2 scale
+    # quantization, mixed per-group bit widths) run the group-stepped Pallas
+    # solver: find_params in jnp between per-group kernels, one jit program.
+    stepped_eligible = (
+        inverted is not None and uniform and blocks_eq_groups
+        and not kernel_eligible
+    )
     if use_solver_kernel is None:
-        use_solver_kernel = kernel_eligible and jax.default_backend() == "tpu"
+        use_solver_kernel = ((kernel_eligible or stepped_eligible)
+                             and jax.default_backend() == "tpu")
 
     if inverted is None:
         if uniform:
@@ -453,6 +461,16 @@ def gptq_quant(
             out = gptq_solve(
                 w32.T, inverted.hessian_inv, g, 2.0 ** group_bit_widths[0] - 1.0,
                 sym=quant_symmetric, feedback_dtype=feedback_dtype,
+            )
+        elif use_solver_kernel and stepped_eligible:
+            from gptq_v2_tpu.ops.gptq_pallas import gptq_solve_stepped
+
+            out = gptq_solve_stepped(
+                w32.T, inverted.hessian_inv, g, tuple(group_bit_widths),
+                sym=quant_symmetric, scale_bits=scale_bit_width,
+                mse=quant_mse, mse_max_shrink=quant_max_shrink,
+                mse_n_grid=quant_n_grid, mse_norm=quant_norm,
+                feedback_dtype=feedback_dtype,
             )
         elif uniform and blocks_eq_groups:
             out = _solve_uniform(

@@ -129,3 +129,102 @@ class TestSolverKernel:
                                       b["quant_meta"]["perm"])
         assert a["metrics"]["l2_error"] == pytest.approx(
             b["metrics"]["l2_error"], rel=1e-5)
+
+
+class TestSteppedSolver:
+    """Group-stepped Pallas solver (MSE / EXL2 / mixed bit widths) vs the
+    jnp scan solver at the same config."""
+
+    def _ref(self, p, maxqs, g, **kw):
+        base = dict(sym=False, scale_bits=None, fb_dtype_name=None,
+                    mse=False, mse_max_shrink=0.8, mse_n_grid=100,
+                    mse_norm=2.4)
+        base.update(kw)
+        return _solve_uniform(p["w_p"], p["inv"].hessian_inv,
+                              jnp.asarray(maxqs, jnp.float32), g, **base)
+
+    def test_mse_uniform(self, problem):
+        from gptq_v2_tpu.ops.gptq_pallas import gptq_solve_stepped
+
+        p = problem
+        g = p["g"]
+        n_g = p["C"] // g
+        ref = self._ref(p, [15.0] * n_g, g, mse=True)
+        got = gptq_solve_stepped(p["w_p"].T, p["inv"].hessian_inv, g,
+                                 (4,) * n_g, mse=True, feedback_dtype=None)
+        np.testing.assert_allclose(np.asarray(ref["scale"])[:, 0],
+                                   np.asarray(got["scale"])[:, 0], rtol=1e-6)
+        flips = np.mean(np.asarray(ref["qweight"]) != np.asarray(got["qweight"]))
+        assert flips < 1e-3, flips
+        o_ref = _objective(ref["quant"], p["w_p"], p["inv"].hessian)
+        o_got = _objective(got["quant"], p["w_p"], p["inv"].hessian)
+        assert o_got == pytest.approx(o_ref, rel=1e-3)
+
+    def test_mixed_bits(self, problem):
+        from gptq_v2_tpu.ops.gptq_pallas import gptq_solve_stepped
+
+        p = problem
+        g = p["g"]
+        n_g = p["C"] // g
+        bits = tuple(8 if i % 2 == 0 else 3 for i in range(n_g))
+        maxqs = [2.0 ** b - 1.0 for b in bits]
+        ref = self._ref(p, maxqs, g)
+        got = gptq_solve_stepped(p["w_p"].T, p["inv"].hessian_inv, g,
+                                 bits, feedback_dtype=None)
+        flips = np.mean(np.asarray(ref["qweight"]) != np.asarray(got["qweight"]))
+        assert flips < 1e-3, flips
+        o_ref = _objective(ref["quant"], p["w_p"], p["inv"].hessian)
+        o_got = _objective(got["quant"], p["w_p"], p["inv"].hessian)
+        assert o_got == pytest.approx(o_ref, rel=1e-3)
+
+    def test_exl2_scale_quant(self, problem):
+        from gptq_v2_tpu.ops.gptq_pallas import gptq_solve_stepped
+
+        p = problem
+        g = p["g"]
+        n_g = p["C"] // g
+        ref = self._ref(p, [15.0] * n_g, g, scale_bits=4, sym=True)
+        got = gptq_solve_stepped(p["w_p"].T, p["inv"].hessian_inv, g,
+                                 (4,) * n_g, sym=True, scale_bits=4,
+                                 feedback_dtype=None)
+        np.testing.assert_allclose(np.asarray(ref["sscale"]),
+                                   np.asarray(got["sscale"]), rtol=1e-6)
+        flips = np.mean(np.asarray(ref["qweight"]) != np.asarray(got["qweight"]))
+        assert flips < 1e-3, flips
+        o_ref = _objective(ref["quant"], p["w_p"], p["inv"].hessian)
+        o_got = _objective(got["quant"], p["w_p"], p["inv"].hessian)
+        assert o_got == pytest.approx(o_ref, rel=1e-3)
+
+    def test_f16_feedback(self, problem):
+        from gptq_v2_tpu.ops.gptq_pallas import gptq_solve_stepped
+
+        p = problem
+        g = p["g"]
+        n_g = p["C"] // g
+        ref = self._ref(p, [15.0] * n_g, g, mse=True, fb_dtype_name="float16")
+        got = gptq_solve_stepped(p["w_p"].T, p["inv"].hessian_inv, g,
+                                 (4,) * n_g, mse=True,
+                                 feedback_dtype="float16")
+        flips = np.mean(np.asarray(ref["qweight"]) != np.asarray(got["qweight"]))
+        assert flips < 0.05, flips
+        o_ref = _objective(ref["quant"], p["w_p"], p["inv"].hessian)
+        o_got = _objective(got["quant"], p["w_p"], p["inv"].hessian)
+        assert o_got == pytest.approx(o_ref, rel=0.02)
+
+    def test_gptq_quant_routes_stepped(self, problem, monkeypatch):
+        """gptq_quant picks the stepped solver for MSE/mixed/EXL2 configs
+        when kernels are requested, and its output matches the scan path."""
+        p = problem
+        w = jnp.take(p["w_p"], p["inv"].perm_inv, axis=1)
+        g = p["g"]
+        n_g = p["C"] // g
+        a = gptq_quant(w, p["inv"], [g] * n_g, [4] * n_g, quant_mse=True,
+                       use_solver_kernel=False, feedback_dtype=None)
+        b = gptq_quant(w, p["inv"], [g] * n_g, [4] * n_g, quant_mse=True,
+                       use_solver_kernel=True, feedback_dtype=None)
+        flips = np.mean(a["quant_meta"]["qweight"] != b["quant_meta"]["qweight"])
+        assert flips < 1e-3, flips
+        np.testing.assert_array_equal(a["quant_meta"]["perm"],
+                                      b["quant_meta"]["perm"])
+        assert a["metrics"]["l2_error"] == pytest.approx(
+            b["metrics"]["l2_error"], rel=1e-3)

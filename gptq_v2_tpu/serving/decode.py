@@ -233,6 +233,47 @@ def decode_sample_step(
     return toks, cache, key
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "s_bucket", "return_logprobs"),
+                   donate_argnums=(2,))
+def decode_sample_multi(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B,) last sampled token per slot
+    cache,
+    block_tables: Optional[jax.Array],
+    positions: jax.Array,  # (B,) position of the FIRST new token
+    temperatures: jax.Array,  # (B,) — <=0 greedy per row
+    key: jax.Array,
+    n_steps: int,
+    s_bucket: Optional[int] = None,  # must cover positions + n_steps
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
+) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
+    """``n_steps`` fused decode+sample steps in ONE dispatch — the engine's
+    multi-step tick (``Engine(multi_step=k)``).
+
+    Python-unrolled (straight-line, donation-chained) rather than
+    ``lax.scan``: XLA double-buffers a scanned KV-cache carry (measured ~6x
+    slower per step), while unrolled steps update the donated cache in
+    place.  Compile time grows ~linearly in ``n_steps`` — one-time, and the
+    host-sync count per token drops by ``n_steps`` (the engine's dominant
+    cost on remote/tunneled runtimes, and a real per-token tax everywhere).
+    Returns ``(out (n_steps, B[, 2]), cache, key)`` — one transfer.
+    """
+    outs = []
+    for i in range(n_steps):
+        logits, cache = _decode_step_impl(model, tokens, cache, block_tables,
+                                          positions + i, s_bucket)
+        key, sub = jax.random.split(key)
+        tokens = sample_per_row(logits, sub, temperatures,
+                                top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+        outs.append(pack_tok_logprob(tokens, chosen_logprob(logits, tokens))
+                    if return_logprobs else tokens)
+    return jnp.stack(outs), cache, key
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "s_bucket"),
                    donate_argnums=(2,))
 def decode_multi(

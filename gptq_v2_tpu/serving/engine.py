@@ -86,6 +86,7 @@ class Engine:
         prefix_cache: bool = False,
         logprobs: bool = False,
         mla_absorbed: bool = False,
+        multi_step: int = 1,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -156,6 +157,15 @@ class Engine:
                 " the dense contiguous-cache paths (single-device or TP)")
         self.max_batch = max_batch
         self.cache_kind = cache_kind
+        # multi-step decode ticks: k fused decode+sample steps per host
+        # sync (decode.decode_sample_multi).  Phased scheduler only;
+        # admission/EOS handling runs every k tokens, tokens sampled after
+        # a mid-chunk stop are discarded host-side (the same semantics as
+        # the speculative engine's chunk tail).
+        self.multi_step = max(1, int(multi_step))
+        if self.multi_step > 1:
+            assert scheduler == "phased" and draft is None and not mla_absorbed, (
+                "multi_step rides the phased non-speculative decode tick")
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.max_seq_len = self.max_pages_per_seq * page_size
@@ -903,6 +913,37 @@ class Engine:
             self._dirty = False
         d = self._dev
         max_pos = max(self.slots[si].length for si in active)
+        # multi-step ticks: k fused decode+sample steps, ONE host sync —
+        # k x fewer per-token round trips (the dominant engine cost on
+        # remote runtimes).  Falls back to single steps near the sequence
+        # cap so the chunk never writes past max_seq_len.
+        k_steps = self.multi_step
+        if (k_steps > 1 and self.mesh is None and not self.mla_absorbed
+                and max_pos + k_steps <= self.max_seq_len):
+            s_bucket = min(_bucket(max_pos + k_steps, lo=self.page_size),
+                           self.max_seq_len)
+            out_dev, self.cache, self.key = D.decode_sample_multi(
+                self.model, d["tokens"], self.cache, self._bt(),
+                d["positions"], d["temps"], self.key, k_steps,
+                s_bucket=s_bucket, top_ks=d["top_ks"], top_ps=d["top_ps"],
+                min_ps=d["min_ps"], return_logprobs=self.logprobs,
+            )
+            toks_dev = out_dev[-1, :, 0] if self.logprobs else out_dev[-1]
+            self._dev = {**d, "tokens": toks_dev,
+                         "positions": d["positions"] + k_steps * d["mask"]}
+            arr = np.asarray(out_dev)  # the one host sync per tick
+            self.steps += 1
+            for i in range(k_steps):
+                toks, lps = (D.unpack_tok_logprob(arr[i]) if self.logprobs
+                             else (arr[i], None))
+                for si in active:
+                    if self.slots[si] is None:  # stopped mid-chunk:
+                        continue  # the tail of its chunk is discarded
+                    self.slots[si].length += 1
+                    self.decode_tokens += 1
+                    self._emit(si, int(toks[si]),
+                               None if lps is None else float(lps[si]))
+            return
         # power-of-two context bucket: short sequences skip max_seq_len KV
         # traffic; O(log max_len) decode compilations per session
         s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),

@@ -1164,3 +1164,65 @@ class TestMLAAbsorbed:
         got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=6)])[0]
         agree = sum(a == b for a, b in zip(got, want))
         assert agree >= 4, (got, want)  # int8 noise may flip a late token
+
+
+class TestMultiStep:
+    """Engine(multi_step=k): k fused decode+sample steps per host sync."""
+
+    def test_greedy_matches_single_step(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(11)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (7, 5, 9)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=10)
+                        for i, p in enumerate(prompts)]
+        ref = Engine(model, max_batch=2, page_size=8,
+                     max_seq_len=64).run(reqs())
+        got = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     multi_step=4).run(reqs())
+        assert got == ref
+
+    def test_eos_mid_chunk_discards_tail(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(12)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        ref_out = greedy_full_recompute(model, prompt, 8)
+        eos = ref_out[2]  # force a stop on the 3rd generated token
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     multi_step=4, eos_token_id=eos)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert out[0] == ref_out[:3]  # truncated AT the stop, tail dropped
+
+    def test_near_cap_falls_back(self, packed_model):
+        """A slot within k of max_seq_len must still finish correctly."""
+        model, _ = packed_model
+        rng = np.random.default_rng(13)
+        prompt = rng.integers(0, model.cfg.vocab_size, (24,)).tolist()
+        expected = greedy_full_recompute(model, prompt, 7)
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=32,
+                     multi_step=4)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=7)])
+        assert out[0] == expected
+
+    def test_sampling_matches_with_logprobs(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(14)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        req = lambda: Request(uid=0, prompt=prompt, max_new_tokens=6,
+                              temperature=0.8, top_k=8)
+        ref = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     logprobs=True, seed=7)
+        r1 = ref.run([req()])
+        got = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     logprobs=True, seed=7, multi_step=3)
+        r2 = got.run([req()])
+        # PRNG key schedules differ between tick shapes, so sampled tokens
+        # may differ; assert structure: logprobs recorded per token, finite
+        assert len(r2[0]) == 6
+        eng_req = Request(uid=0, prompt=prompt, max_new_tokens=6,
+                          temperature=0.8, top_k=8)
+        got.add_request(eng_req)
+        while got.queue or any(s is not None for s in got.slots):
+            got.step()
+        assert len(eng_req.logprobs) == len(eng_req.output)
+        assert all(np.isfinite(lp) for lp in eng_req.logprobs)

@@ -119,7 +119,7 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
 def w4a16_matmul(
     x: jax.Array,  # (..., C) in original column order
     p: PackedLinear,
-    block_n: int = 1024,
+    block_n: int = 2048,
     interpret: bool | None = None,
 ) -> jax.Array:
     """``y = x @ dequantize(p)`` — fused, reading packed low-bit weights
@@ -148,14 +148,13 @@ def w4a16_matmul(
         b_pad = -(-b // 512) * 512
     if b_pad != b:
         xb = jnp.pad(xb, ((0, b_pad - b), (0, 0)))
-    # Mosaic tiling contract: the output-feature block must be a multiple of
-    # 128 or equal to R exactly (full-dim tiles are always legal).
+    # Non-dividing output blocks are legal (Pallas masks the edge tile) and
+    # measured FASTER than shrinking to a divisor: 4096->11008 streams
+    # 313 GB/s at bn=1024 vs 232 GB/s at the old bn=256 divisor fallback
+    # (v5e device-trace sweep, scripts/bench_w4a16_layouts.py).  bn=2048
+    # adds ~5% on the dividing shapes (344/352 GB/s on q/down).
     r = p.out_features
     bn = min(block_n, r)
-    while bn >= 128 and r % bn != 0:
-        bn //= 2
-    if bn < 128 or r % bn != 0:
-        bn = r
     out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
                     group_size=p.group_size, block_n=bn, interpret=interpret,
                     bits=p.bits)

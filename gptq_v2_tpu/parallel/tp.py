@@ -285,17 +285,50 @@ def _col_linear(w, x: jax.Array) -> jax.Array:
     return x @ w[0]
 
 
+# Row-parallel outputs are psum'd in chunks along the output-feature axis
+# so the all-reduce of chunk i overlaps the dequant-GEMM of chunk i+1
+# under XLA's latency-hiding scheduler (async all-reduce-start/done) —
+# SURVEY §7.8's "collectives overlapped with the dequant-GEMM".  Chunks
+# stay multiples of the kernel's 128-lane tile; small outputs keep one
+# psum (chunking below ~2048 features just adds launch overhead).
+ROW_PSUM_CHUNKS = 4
+
+
+def _row_chunk_bounds(r: int):
+    n = min(ROW_PSUM_CHUNKS, r // 2048)
+    if n <= 1:
+        return [(0, r)]
+    step = -(-r // n)
+    step = -(-step // 128) * 128  # kernel-tile-aligned chunk edges
+    return [(c0, min(c0 + step, r)) for c0 in range(0, r, step)]
+
+
 def _row_linear(w, x_full: jax.Array) -> jax.Array:
-    """Row-parallel: gathered full x → psum'd full output."""
+    """Row-parallel: gathered full x → psum'd full output (chunked)."""
+    import dataclasses as _dc
+
     if isinstance(w, TPPacked):
-        part = w4a16_matmul(x_full, w.local())
-    else:
-        wl = w[0]  # (C_loc, R); no act-order on dense weights
-        c_loc = wl.shape[0]
-        idx = jax.lax.axis_index(MODEL_AXIS)
-        x_loc = jax.lax.dynamic_slice_in_dim(x_full, idx * c_loc, c_loc, axis=-1)
-        part = x_loc @ wl
-    return jax.lax.psum(part, MODEL_AXIS)
+        p = w.local()
+        bounds = _row_chunk_bounds(p.out_features)
+        if len(bounds) == 1:
+            return jax.lax.psum(w4a16_matmul(x_full, p), MODEL_AXIS)
+        outs = []
+        for c0, c1 in bounds:
+            pc = _dc.replace(p, qweight=p.qweight[:, c0:c1],
+                             scales=p.scales[:, c0:c1],
+                             zeros=p.zeros[:, c0:c1])
+            outs.append(jax.lax.psum(w4a16_matmul(x_full, pc), MODEL_AXIS))
+        return jnp.concatenate(outs, axis=-1)
+    wl = w[0]  # (C_loc, R); no act-order on dense weights
+    c_loc = wl.shape[0]
+    idx = jax.lax.axis_index(MODEL_AXIS)
+    x_loc = jax.lax.dynamic_slice_in_dim(x_full, idx * c_loc, c_loc, axis=-1)
+    bounds = _row_chunk_bounds(wl.shape[1])
+    if len(bounds) == 1:
+        return jax.lax.psum(x_loc @ wl, MODEL_AXIS)
+    return jnp.concatenate(
+        [jax.lax.psum(x_loc @ wl[:, c0:c1], MODEL_AXIS)
+         for c0, c1 in bounds], axis=-1)
 
 
 def _col_lin(lp, name: str, x: jax.Array) -> jax.Array:

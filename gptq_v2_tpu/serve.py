@@ -78,6 +78,14 @@ def parse_serve_args(argv=None):
     p.add_argument("--profile-dir", type=str, default="",
                    help="capture a jax.profiler trace of the timed "
                         "benchmark run (TensorBoard/Perfetto)")
+    p.add_argument("--multi-step", type=int, default=1,
+                   help="k fused decode+sample steps per host sync "
+                        "(phased scheduler; k x fewer per-token RTTs)")
+    # multi-host entry (jax.distributed): one process per host
+    p.add_argument("--coordinator", type=str, default="",
+                   help="host:port of process 0's coordinator service")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -111,7 +119,8 @@ def build_engine(args):
                   scheduler=args.scheduler,
                   token_budget=args.token_budget or None,
                   prefix_cache=args.prefix_cache,
-                  mla_absorbed=args.mla_absorbed)
+                  mla_absorbed=args.mla_absorbed,
+                  multi_step=args.multi_step)
 
 
 def main(argv=None) -> dict:
@@ -122,6 +131,11 @@ def main(argv=None) -> dict:
 
     enable_compilation_cache()
     args = parse_serve_args(argv)
+    if args.num_processes > 1:  # multi-host: join the cluster before any
+        from gptq_v2_tpu.parallel.mesh import init_distributed  # device use
+
+        init_distributed(args.coordinator or None, args.num_processes,
+                         args.process_id)
     if args.draft_dir:
         return _speculative_main(args)
     eng = build_engine(args)

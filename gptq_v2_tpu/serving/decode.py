@@ -149,20 +149,25 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             # attend over the slot's region in place — no gather
             new_cache = kvc.write_kv_contiguous(new_cache, li, k, v,
                                                 positions[:, None])
-            k_all, v_all = new_cache.k[li, :, :s], new_cache.v[li, :, :s]
             qq = q
+            if q_scale is not None:  # Llama-4 NoPE temperature (fold into q)
+                qq = qq * q_scale[..., None, None].astype(qq.dtype)
             if cache.k_scales is not None:  # int8 KV: fold k_scale into q,
-                # cast inline (XLA fuses the convert into the attention dot —
-                # the int8 cache is what streams from HBM, halving traffic)
-                qq = q * jnp.asarray(cache.k_scales[li],
-                                     jnp.float32).astype(q.dtype)
-                k_all = k_all.astype(q.dtype)
-                v_all = v_all.astype(q.dtype)
+                # cast inline (the int8 cache is what streams from HBM,
+                # halving traffic; the convert fuses into the score math)
+                qq = qq * jnp.asarray(cache.k_scales[li],
+                                      jnp.float32).astype(q.dtype)
+            # NB: a fused Pallas decode-attention kernel exists
+            # (ops/contiguous_attention.py, tested) but measured SLOWER
+            # than this XLA einsum path on v5e (457 vs 515 GB/s on the
+            # int8 KV stream, scripts — the einsum already runs at ~93%
+            # of the probed HBM ceiling), so the einsum stays production.
+            k_all = new_cache.k[li, :, :s].astype(q.dtype)
+            v_all = new_cache.v[li, :, :s].astype(q.dtype)
             attn = L.attention(qq, k_all, v_all, causal_offset=None,
                                key_mask=key_mask, sm_scale=cfg.sm_scale_,
                                logit_cap=cfg.attn_logit_softcap,
-                               sinks=lp.get("self_attn.sinks"),
-                               q_scale=q_scale)
+                               sinks=lp.get("self_attn.sinks"))
             if cache.v_scales is not None:
                 attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
         else:

@@ -45,13 +45,20 @@ def paged_decode_attention(
     num_kv_pages_per_block: int | None = None,  # kernel tile tuning
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
+    sinks: jax.Array | None = None,  # (Hq,) GPT-OSS attention sinks
 ) -> jax.Array:
     """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
-    else to the jnp twin."""
+    else to the jnp twin.  ``sinks`` routes to the in-repo sink-extended
+    fork of the kernel (``ops/_ragged_sink_kernel.py``)."""
     if kernel_eligible(kv_pages):
-        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
-            ragged_paged_attention,
-        )
+        if sinks is not None:
+            from gptq_v2_tpu.ops._ragged_sink_kernel import (
+                ragged_paged_attention,
+            )
+        else:
+            from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+                ragged_paged_attention,
+            )
 
         b, hq, hd = q.shape
         # decode: each sequence contributes exactly one query token
@@ -67,11 +74,12 @@ def paged_decode_attention(
             num_kv_pages_per_block=num_kv_pages_per_block,
             num_queries_per_block=num_queries_per_block,
             vmem_limit_bytes=vmem_limit_bytes,
+            **({"sinks": sinks} if sinks is not None else {}),
         )
     return paged_decode_attention_reference(q, kv_pages, lengths,
                                             block_tables, sliding_window,
                                             k_scale, v_scale, soft_cap,
-                                            sm_scale)
+                                            sm_scale, sinks=sinks)
 
 
 def paged_ragged_attention(
@@ -89,6 +97,7 @@ def paged_ragged_attention(
     num_kv_pages_per_block: int | None = None,
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
+    sinks: jax.Array | None = None,  # (Hq,) GPT-OSS attention sinks
 ) -> jax.Array:
     """Mixed prefill+decode attention over the page pool (vLLM-style
     chunked-prefill): sequence i's rows ``[cu_q_lens[i], cu_q_lens[i+1])``
@@ -96,9 +105,14 @@ def paged_ragged_attention(
     new-token run.  One program serves every (prefill chunk x decode)
     mix — no per-bucket recompiles.  Returns (T, Hq, hd)."""
     if kernel_eligible(kv_pages):
-        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
-            ragged_paged_attention,
-        )
+        if sinks is not None:
+            from gptq_v2_tpu.ops._ragged_sink_kernel import (
+                ragged_paged_attention,
+            )
+        else:
+            from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+                ragged_paged_attention,
+            )
 
         hd = q.shape[-1]
         return ragged_paged_attention(
@@ -112,10 +126,11 @@ def paged_ragged_attention(
             num_kv_pages_per_block=num_kv_pages_per_block,
             num_queries_per_block=num_queries_per_block,
             vmem_limit_bytes=vmem_limit_bytes,
+            **({"sinks": sinks} if sinks is not None else {}),
         )
     return paged_ragged_attention_reference(
         q, kv_pages, kv_lens, block_tables, cu_q_lens, num_seqs,
-        sliding_window, k_scale, v_scale, soft_cap, sm_scale)
+        sliding_window, k_scale, v_scale, soft_cap, sm_scale, sinks=sinks)
 
 
 def paged_ragged_attention_reference(
@@ -130,6 +145,7 @@ def paged_ragged_attention_reference(
     v_scale: float | None = None,
     soft_cap: float | None = None,
     sm_scale: float | None = None,
+    sinks: jax.Array | None = None,
 ) -> jax.Array:
     """jnp twin: per-token gather of its sequence's pages + masked GQA.
 
@@ -170,7 +186,13 @@ def paged_ragged_attention_reference(
     mask &= valid_row[:, None]
     scores = jnp.where(mask[:, None, None, :], scores,
                        jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if sinks is not None:  # per-head sink logit joins the softmax; its
+        sk = jnp.asarray(sinks, jnp.float32).reshape(n_kv, groups)
+        sk = jnp.broadcast_to(sk[None, :, :, None], (t, n_kv, groups, 1))
+        probs = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1),
+                               axis=-1)[..., :-1].astype(v.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     # fully-masked (padding) rows produce garbage probs; zero them
     probs = jnp.where(valid_row[:, None, None, None], probs, 0)
     out = jnp.einsum("tkgs,tskh->tkgh", probs, v)
@@ -187,6 +209,7 @@ def paged_decode_attention_reference(
     v_scale: float | None = None,
     soft_cap: float | None = None,
     sm_scale: float | None = None,
+    sinks: jax.Array | None = None,
 ) -> jax.Array:
     """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
     _, ps, n_comb, hd = kv_pages.shape
@@ -213,6 +236,12 @@ def paged_decode_attention_reference(
         mask &= jnp.arange(s)[None, :] > lengths[:, None] - 1 - sliding_window
     scores = jnp.where(mask[:, None, None, :], scores,
                        jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(n_kv, groups)
+        sk = jnp.broadcast_to(sk[None, :, :, None], (b, n_kv, groups, 1))
+        probs = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1),
+                               axis=-1)[..., :-1].astype(v.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgs,bskh->bkgh", probs, v)
     return out.reshape(b, hq, hd)

@@ -242,7 +242,15 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     pp, tp = pp_size(mesh), tp_of(mesh)
     n = cfg.num_hidden_layers
     assert n % pp == 0, f"{n} layers not divisible by {pp} stages"
-    assert not cfg.mla, "MLA (DeepSeek) pipeline parallelism not wired yet"
+    # MLA (DeepSeek) rides PP unchanged: block_core builds q/k/v from the
+    # latent projections internally and the PP attn_fn is generic over the
+    # resulting (q, k, padded-v) heads; the cache head dim is cfg.head_dim_
+    # (= qk_nope + qk_rope) everywhere.  Megatron TP composition is the
+    # part that is not wired (q_a/q_b/kv_a/kv_b are not in the col/row
+    # split sets), so TPxPP stays rejected for MLA.
+    assert not (cfg.mla and tp > 1), (
+        "MLA TPxPP not wired (latent projections have no Megatron split);"
+        " use PP-only meshes for MLA")
     assert tp == 1 or not cfg.qk_norm_flat, (
         "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
         " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")

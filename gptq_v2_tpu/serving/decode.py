@@ -190,6 +190,7 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                 sliding_window=window,
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
+                sinks=lp.get("self_attn.sinks"),
                 k_scale=None if cache.k_scales is None else cache.k_scales[li],
                 v_scale=None if cache.v_scales is None else cache.v_scales[li],
                 num_kv_pages_per_block=min(n_pages, 128) if whole else None,
@@ -388,6 +389,7 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                 sliding_window=cfg.layer_window(li),
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
+                sinks=lp.get("self_attn.sinks"),
                 k_scale=None if cache.k_scales is None else cache.k_scales[li],
                 v_scale=None if cache.v_scales is None else cache.v_scales[li],
             )[:, None]

@@ -148,9 +148,9 @@ class Engine:
         draft stays single-device."""
         self.model = model
         cfg = model.cfg
-        assert not (cfg.attn_sinks and cache_kind != "contiguous"), (
-            "attention sinks (GPT-OSS) run on the dense contiguous-cache"
-            " paths; the paged/ragged Pallas kernels have no sink support")
+        # GPT-OSS attention sinks ride every cache layout: the contiguous
+        # einsum path handles them natively, and the paged/ragged kernels
+        # use the sink-extended fork (ops/_ragged_sink_kernel.py)
         if cfg.attn_chunk_size or cfg.attn_temp_tuning:
             assert cache_kind == "contiguous" and draft is None, (
                 "Llama-4 chunked attention / temperature tuning run on"

@@ -423,6 +423,37 @@ class TestPPServing:
                                     compute_dtype=jnp.float32)
         self._roundtrip(model, pp=2, n_steps=3, seed=82)
 
+    def test_pp2_mla_deepseek(self):
+        """DeepSeek MLA under pure PP (tp=1): the latent projections run
+        inside block_core on each stage unchanged; the padded-v cache
+        shards by layer like any contiguous cache."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=91,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=92)
+
+    def test_pp2_mla_moe_deepseek_v3(self):
+        """Full DeepSeek-V3 shape under PP: MLA + sigmoid-routed MoE with
+        shared experts (stage-periodic layer pattern)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, moe_num_experts=4, moe_top_k=2,
+            moe_intermediate_size=32, moe_sigmoid_routing=True,
+            moe_shared_experts=1)
+        model = random_packed_llama(cfg, group_size=16, seed=93,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=94)
+
     def test_pp2_llama4_style(self):
         """Llama-4 over PP stages: a stage-periodic pattern (period 2 =
         layers_per_stage) of chunked/full attention, rope-QK-L2/NoPE-temp

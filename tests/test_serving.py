@@ -243,10 +243,13 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
-    def test_gpt_oss_style_decode_matches_full_recompute(self):
-        """GPT-OSS switches through the serving stack (contiguous cache —
-        sinks need the dense attention path): learned sinks, biased
-        router, per-expert biases, clamped GLU, sliding/full layers."""
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_gpt_oss_style_decode_matches_full_recompute(self, kind):
+        """GPT-OSS switches through the serving stack on EVERY cache
+        layout (sinks: dense einsum on contiguous, the sink-extended
+        ragged-kernel fork / its jnp twin on paged+ragged): learned
+        sinks, biased router, per-expert biases, clamped GLU,
+        sliding/full layers."""
         from gptq_v2_tpu.serving.model import random_packed_llama
 
         cfg = L.LlamaConfig.tiny(
@@ -261,11 +264,11 @@ class TestEngine:
         rng = np.random.default_rng(54)
         prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
         expected = greedy_full_recompute(model, prompt, 5)
-        eng = Engine(model, max_batch=2, max_seq_len=64)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
-        with pytest.raises(AssertionError, match="sinks"):
-            Engine(model, max_batch=2, max_seq_len=64, cache_kind="paged")
 
     def test_llama4_style_decode_matches_full_recompute(self):
         """Llama-4 switches through the serving stack (contiguous cache):

@@ -187,7 +187,7 @@ class Engine:
 
             assert cfg.mla, "mla_absorbed requires a DeepSeek MLA model"
             assert cache_kind == "contiguous" and scheduler == "phased"
-            assert mesh is None and draft is None and not logprobs
+            assert draft is None and not logprobs
             # int8 latent: per-layer calibrated scales, like the K/V path
             self._mla_scales = (MLA.calibrate_mla_scales(model)
                                 if kv_dtype == "int8" else None)
@@ -289,7 +289,7 @@ class Engine:
                 return prefills[nb](m, tokens, cache, lengths, slot)
 
             self._prefill = _pp_prefill
-        elif mesh is not None:
+        elif mesh is not None and not mla_absorbed:
             from gptq_v2_tpu.parallel import tp as TP
 
             self.model = TP.shard_packed_llama(model, mesh)
@@ -300,6 +300,26 @@ class Engine:
                             if scheduler == "ragged" else None)
             if draft is not None:
                 self._tp_verify = TP.build_tp_verify_chunk(mesh, self.cache)
+        elif mla_absorbed and mesh is not None:
+            # TP absorbed decode: q_b + absorbed halves shard by head, the
+            # tiny latent cache replicates (serving/mla.py)
+            from gptq_v2_tpu.parallel import tp as TP
+            from gptq_v2_tpu.serving import mla as MLA
+
+            self.model = TP.shard_packed_llama(model, mesh)
+            from gptq_v2_tpu.parallel.mesh import tp_size
+
+            self._absorbed = MLA.shard_absorbed(self._absorbed, mesh,
+                                                tp_size(mesh))
+            self.cache = jax.device_put(
+                self.cache, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()))
+            _pf = MLA.build_tp_mla_prefill(mesh, scales=self._mla_scales)
+            self._prefill = (lambda m, t, c, bt, lens, slot:
+                             _pf(m, t, c, lens, slot))
+            self._mla_tp_decode = MLA.build_tp_mla_decode_step(
+                mesh, scales=self._mla_scales)
+            self._decode = self._ragged = None
         elif mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
 
@@ -948,7 +968,12 @@ class Engine:
         # traffic; O(log max_len) decode compilations per session
         s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),
                        self.max_seq_len)
-        if self.mesh is None and self.mla_absorbed:
+        if self.mla_absorbed and self.mesh is not None:
+            toks_dev, self.cache, self.key = self._mla_tp_decode(
+                self.model, self._absorbed, self.cache, d["tokens"],
+                d["positions"], d["temps"], self.key, s_bucket=s_bucket)
+            out_dev = toks_dev
+        elif self.mesh is None and self.mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
 
             toks_dev, self.cache, self.key = MLA.mla_decode_sample_step(

@@ -216,6 +216,203 @@ def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
     return x + mlp, lat_layer
 
 
+def shard_absorbed(absorbed: AbsorbedKVB, mesh, tp: int) -> AbsorbedKVB:
+    """Head-shard the absorbed halves over the ``model`` axis: device ``d``
+    owns heads ``[d·nq/tp, (d+1)·nq/tp)`` — the same contiguous head split
+    as ``split_packed_column`` applies to ``q_b``, so local q heads and
+    local ``wk/wv`` line up.  Arrays gain a leading ``(tp,)`` stack dim
+    sharded over ``model`` (the ``parallel/tp.py`` convention)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gptq_v2_tpu.parallel.mesh import MODEL_AXIS
+
+    def shard(per_layer):
+        out = []
+        for w in per_layer:
+            nq = w.shape[0]
+            assert nq % tp == 0, (nq, tp)
+            stacked = jnp.stack(jnp.split(jnp.asarray(w), tp, axis=0))
+            out.append(jax.device_put(
+                stacked, NamedSharding(mesh, P(MODEL_AXIS))))
+        return tuple(out)
+
+    return AbsorbedKVB(wk=shard(absorbed.wk), wv=shard(absorbed.wv))
+
+
+def build_tp_mla_prefill(mesh, scales: Optional[Tuple[float, ...]] = None):
+    """Tensor-parallel absorbed-MLA prefill (contract of
+    :func:`mla_prefill`): the exact naive per-head attention runs with the
+    standard Megatron strategy (``q_b``/``kv_b`` column-parallel by heads,
+    ``o`` row-parallel) while the latent rows — built from the replicated
+    ``kv_a`` path inside ``block_core`` — are captured identically on every
+    device and written to the replicated latent cache."""
+    from jax.sharding import PartitionSpec as P
+
+    from gptq_v2_tpu.parallel.tp import _tp_lin, make_ep_moe_fn
+
+    def local_step(model, cache, tokens, lengths, slot):
+        cfg = model.cfg
+        b, lpad = tokens.shape
+        positions = jnp.arange(lpad)
+        ropes = L.rope_tables(cfg, positions)
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)
+        pos_b = jnp.broadcast_to(positions[None], (b, lpad))
+        pad_mask = pos_b >= lengths[:, None]
+        lat = cache.lat
+        for li, lp in enumerate(model.layers):
+            cos, sin = ropes[cfg.layer_rope(li)]
+            sink: list = []
+
+            def attn_fn(q, k, v, li=li):
+                return L.attention(q, k, v, window=cfg.layer_window(li),
+                                   sm_scale=cfg.sm_scale_), None
+
+            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+                                mla_lat_sink=sink)
+            row = sink[0]
+            row = (_quantize_row(row, scales[li]) if scales is not None
+                   else row).astype(lat.dtype)
+            wpos = jnp.where(pad_mask, cache.max_len - 1, pos_b)
+            rows = jnp.broadcast_to(slot[:, None], wpos.shape)
+            lat = lat.at[li, rows, wpos].set(row)
+        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+        last = jnp.take_along_axis(x, (lengths - 1)[:, None, None],
+                                   axis=1)[:, 0]
+        from gptq_v2_tpu.parallel.tp import _plain_linear
+
+        logits = L.soft_cap(_plain_linear(model.lm_head, last),
+                            cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            logits = logits / cfg.logits_divider
+        return logits, MLACache(lat=lat)
+
+    def sharded(model, tokens, cache, lengths, slot):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(model.specs(), MLACache(lat=P()), P(), P(), P()),
+            out_specs=(P(), MLACache(lat=P())),
+            check_vma=False,
+        )(model, cache, tokens, lengths, slot)
+
+    return jax.jit(sharded, donate_argnums=(2,))
+
+
+def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
+    """Tensor-parallel absorbed-MLA decode+sample step (same contract as
+    :func:`mla_decode_sample_step`).
+
+    Layout (the natural DeepSeek-scale TP): ``q_b`` column-parallel by
+    whole heads (already so in ``tp.shard_packed_llama``), the absorbed
+    ``wk/wv`` halves sharded by the same heads (:func:`shard_absorbed`),
+    the tiny latent projections (``q_a``/``kv_a``) and the latent cache
+    REPLICATED (~576 values/token at V3 shapes — replicating it costs
+    ~nothing and saves the per-token gather), ``o_proj`` row-parallel with
+    one psum, MLP through the standard Megatron strategy.  Every device
+    computes the identical new latent row from the replicated ``kv_a``,
+    so the cache replicas stay consistent by construction.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from gptq_v2_tpu.parallel.tp import (_col_lin, _gather_cols, _row_lin,
+                                         _tp_lin, make_ep_moe_fn)
+    from gptq_v2_tpu.serving.decode import sample_per_row
+
+    def local_step(model, absorbed, cache, tokens, positions, temperatures,
+                   key, s_bucket=None):
+        cfg = model.cfg
+        eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+        nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        b = tokens.shape[0]
+        s = cache.max_len if s_bucket is None else min(cache.max_len,
+                                                       s_bucket)
+        ropes = [(c[:, None, :], s_[:, None, :])
+                 for c, s_ in L.rope_tables(cfg, positions)]
+        x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+        key_mask = jnp.arange(s)[None, :] <= positions[:, None]
+        lat = cache.lat
+        for li, lp in enumerate(model.layers):
+            cos, sin = ropes[cfg.layer_rope(li)]
+            wk = absorbed.wk[li][0]  # (nq_loc, nope, kvl) local head shard
+            wv = absorbed.wv[li][0]
+            scale = None if scales is None else scales[li]
+            lat_li = lat[li, :, :s]
+            h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
+            if cfg.q_lora_rank:
+                qa = L.rms_norm(_col_lin(lp, "self_attn.q_a_proj", h),
+                                lp["self_attn.q_a_layernorm"], eps, uo)
+                q = _col_lin(lp, "self_attn.q_b_proj", qa)  # local heads
+            else:
+                q = _col_lin(lp, "self_attn.q_proj", h)
+            q = q.reshape(b, 1, -1, nope + rd)
+            q_rot = L.apply_rope(q[..., nope:], cos, sin)
+            q_lat = jnp.einsum("bnhq,hqc->bnhc",
+                               q[..., :nope].astype(jnp.float32),
+                               wk.astype(jnp.float32))
+            q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
+            # replicated latent path: identical on every device
+            kv_a = _col_lin(lp, "self_attn.kv_a_proj_with_mqa", h)
+            c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                                lp["self_attn.kv_a_layernorm"], eps, uo)
+            k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
+            new_row = jnp.concatenate([c_kv_n, k_rot[:, :, 0, :]], axis=-1)
+            lat_li = lat_li.at[jnp.arange(b)[:, None],
+                               positions[:, None]].set(
+                _quantize_row(new_row, scale).astype(lat_li.dtype))
+            keys = lat_li[:, :, None, :]
+            qk = q_eff
+            if scale is not None:
+                qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)
+                keys = keys.astype(q_eff.dtype)
+            ctx = L.attention(qk, keys, keys[..., :cfg.kv_lora_rank],
+                              causal_offset=None, key_mask=key_mask,
+                              sm_scale=cfg.sm_scale_)  # (B,1,nq_loc,kvl)
+            if scale is not None:
+                ctx = ctx * jnp.asarray(scale, ctx.dtype)
+            out = jnp.einsum("bnhc,hcv->bnhv", ctx.astype(jnp.float32),
+                             wv.astype(jnp.float32)).astype(x.dtype)
+            # row-parallel o: gather the head-sharded features (act-order
+            # packed rows may mix shards), one psum inside _row_lin
+            o = _row_lin(lp, "self_attn.o_proj",
+                         _gather_cols(out.reshape(b, 1, -1)))
+            x = x + o
+            h = L.rms_norm(x, lp["post_attention_layernorm"], eps, uo)
+            mlp = L._mlp_tail(cfg, lp, _tp_lin(lp), h,
+                              make_ep_moe_fn(cfg, model.tp, lp))
+            x = x + mlp
+            lat = lat.at[li, :, :s].set(lat_li)
+        x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                       cfg.norm_unit_offset)
+        from gptq_v2_tpu.parallel.tp import _plain_linear
+
+        logits = L.soft_cap(_plain_linear(model.lm_head, x),
+                            cfg.final_logit_softcap)
+        if cfg.logits_divider is not None:
+            logits = logits / cfg.logits_divider
+        key, sub = jax.random.split(key)
+        toks = sample_per_row(logits, sub, temperatures)
+        return toks, MLACache(lat=lat), key
+
+    def sharded(model, absorbed, cache, tokens, positions, temperatures,
+                key, s_bucket=None):
+        from gptq_v2_tpu.parallel.mesh import MODEL_AXIS
+
+        aspec = AbsorbedKVB(wk=tuple(P(MODEL_AXIS) for _ in absorbed.wk),
+                            wv=tuple(P(MODEL_AXIS) for _ in absorbed.wv))
+        return jax.shard_map(
+            functools.partial(local_step, s_bucket=s_bucket),
+            mesh=mesh,
+            in_specs=(model.specs(), aspec, MLACache(lat=P()), P(), P(),
+                      P(), P()),
+            out_specs=(P(), MLACache(lat=P()), P()),
+            check_vma=False,
+        )(model, absorbed, cache, tokens, positions, temperatures, key)
+
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("s_bucket",))
+
+
 @functools.partial(jax.jit, donate_argnums=(2,),
                    static_argnames=("s_bucket", "scales"))
 def mla_decode_sample_step(

@@ -955,3 +955,66 @@ class TestRowPsumOverlap:
         scale = float(np.abs(np.asarray(ref)).max())
         np.testing.assert_allclose(got, np.asarray(ref), rtol=0,
                                    atol=5e-3 * scale)
+
+
+class TestTPAbsorbedMLAEngine:
+    """Absorbed-MLA decode over a TP mesh: q_b + absorbed kv_b halves shard
+    by head, the compressed latent cache replicates (serving/mla.py)."""
+
+    def _run(self, kv_dtype="native"):
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=95,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(96)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (7, 5)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                       for i, p in enumerate(prompts)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, max_seq_len=32,
+                          mla_absorbed=True, kv_dtype=kv_dtype, mesh=mesh)
+
+        want = mk().run(reqs())
+        got = mk(make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+    def test_engine_over_mesh_matches_single_device(self):
+        self._run()
+
+    def test_engine_over_mesh_int8_latent(self):
+        self._run(kv_dtype="int8")
+
+    def test_v3_moe_over_mesh(self):
+        """Absorbed MLA + the full V3 MoE shape (sigmoid routing, shared
+        experts) through the TP engine (EP experts)."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, moe_num_experts=4, moe_top_k=2,
+            moe_intermediate_size=32, moe_sigmoid_routing=True,
+            moe_shared_experts=1)
+        model = random_packed_llama(cfg, group_size=16, seed=97,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(98)
+        prompt = rng.integers(0, cfg.vocab_size, (6,)).tolist()
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=1, max_seq_len=32,
+                          mla_absorbed=True, mesh=mesh)
+
+        want = mk().run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        got = mk(make_mesh(tp=2, dp=1)).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert got == want

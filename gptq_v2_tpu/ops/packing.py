@@ -77,6 +77,57 @@ class PackedLinear:
         return cls(*children, *aux)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BitSlicedLinear:
+    """3-bit packed linear as two bit-planes of the SAME quantization:
+    ``q = lo + 4·hi`` with ``lo`` the low 2 bits (16 codes/word) and
+    ``hi`` the top bit (32 codes/word) — 3 bits/weight exactly, no wasted
+    slots.  The affine dequant distributes over the slices::
+
+        y = s·(x@q) − Σx·z·s = [s·(x@lo) − Σx·z·s] + [4s·(x@hi) − 0]
+
+    so serving is two calls of the SAME fused plane-per-group kernel
+    (``ops/w4a16.py``): the lo slice with ``(s, z)`` and the hi slice with
+    scales ``4s`` and zero-point 0.  No new kernel code; HBM reads stay
+    3 bits/weight (+ one duplicated activation read, negligible at decode).
+    TP splits are unsupported (the two slices' packing blocks differ, so a
+    row shard cannot align both) — 3-bit models serve single-device/PP.
+    """
+
+    lo: "PackedLinear"  # 2-bit slice, carries scales/zeros/perm
+    hi: "PackedLinear"  # 1-bit slice, scales = 4·s, zeros = 0
+
+    bits = 3
+
+    @property
+    def in_features(self) -> int:
+        return self.lo.in_features
+
+    @property
+    def out_features(self) -> int:
+        return self.lo.out_features
+
+    @property
+    def group_size(self) -> int:
+        return self.lo.group_size
+
+    @property
+    def perm(self):
+        return self.lo.perm
+
+    @property
+    def scales(self):
+        return self.lo.scales
+
+    def tree_flatten(self):
+        return ((self.lo, self.hi), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 def _pad_cols(codes: np.ndarray, block: int) -> np.ndarray:
     r, c = codes.shape
     rem = c % block
@@ -97,7 +148,7 @@ def pack_codes(codes: np.ndarray, group_size: int,
     dispatches to the C++ implementation (``gptq_v2_tpu.native``) when
     available; this numpy body is the behavioral reference.
     """
-    assert bits in (2, 4, 8) and codes.max(initial=0) < (1 << bits)
+    assert bits in (1, 2, 4, 8) and codes.max(initial=0) < (1 << bits)
     planes = 32 // bits
     g = group_size
     codes = _pad_cols(codes, planes * g)
@@ -152,14 +203,32 @@ def unpack_int4(packed: np.ndarray, group_size: int,
 def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinear:
     """Build a :class:`PackedLinear` from a solver ``quant_meta`` dict.
 
-    Requires uniform groups of 2, 4, or 8 bits (the fused kernel's
-    contract — ``planes = 32 // bits``); 3-bit configs use the dense
-    dequantized path.
+    Uniform groups of 2, 4, or 8 bits pack directly (``planes = 32 //
+    bits``); uniform 3-bit groups pack as a :class:`BitSlicedLinear`
+    (2-bit + 1-bit slices of the same quantization).
     """
     bits_u = np.unique(np.asarray(quant_meta["group_bit_widths"]))
-    assert bits_u.size == 1 and int(bits_u[0]) in (2, 4, 8), \
-        f"packing needs uniform 2/4/8-bit groups, got {bits_u}"
+    assert bits_u.size == 1 and int(bits_u[0]) in (1, 2, 3, 4, 8), \
+        f"packing needs uniform 1/2/3/4/8-bit groups, got {bits_u}"
     bits = int(bits_u[0])
+    if bits == 3:
+        qw = np.asarray(quant_meta["qweight"], dtype=np.uint8)
+        lo = pack_quant_meta({**quant_meta,
+                              "qweight": qw & 3,
+                              "group_bit_widths": np.full_like(
+                                  np.asarray(quant_meta["group_bit_widths"]),
+                                  2)},
+                             compute_dtype)
+        hi_meta = {**quant_meta, "qweight": qw >> 2,
+                   "group_bit_widths": np.full_like(
+                       np.asarray(quant_meta["group_bit_widths"]), 1)}
+        hi = pack_quant_meta(hi_meta, compute_dtype)
+        hi = dataclasses.replace(
+            hi,
+            scales=(hi.scales.astype(jnp.float32) * 4.0
+                    ).astype(compute_dtype),
+            zeros=jnp.zeros_like(hi.zeros))
+        return BitSlicedLinear(lo=lo, hi=hi)
     planes = 32 // bits
     group_sizes = np.asarray(quant_meta["group_sizes"], dtype=np.int64)
     assert len(np.unique(group_sizes)) == 1, "uniform group size required"
@@ -240,7 +309,17 @@ def rtn_pack_dense(w: np.ndarray, group_size: int,
     )
 
 
-def split_packed_column(p: PackedLinear, n_shards: int) -> list:
+def split_packed_column(p, n_shards: int) -> list:
+    if isinstance(p, BitSlicedLinear):
+        raise NotImplementedError(
+            "tensor-parallel splits of 3-bit (bit-sliced) linears are not"
+            " supported — the 2-bit and 1-bit slices' packing blocks cannot"
+            " align on one row boundary; serve 3-bit models single-device"
+            " or with pipeline parallelism")
+    return _split_packed_column(p, n_shards)
+
+
+def _split_packed_column(p: PackedLinear, n_shards: int) -> list:
     """Column-parallel split: shard the output dim R into ``n_shards``
     contiguous chunks (Megatron-style).  Each shard keeps the full
     contraction (and the full act-order perm); outputs concatenate.
@@ -262,7 +341,16 @@ def split_packed_column(p: PackedLinear, n_shards: int) -> list:
     ]
 
 
-def split_packed_row(p: PackedLinear, n_shards: int) -> list:
+def split_packed_row(p, n_shards: int) -> list:
+    if isinstance(p, BitSlicedLinear):
+        raise NotImplementedError(
+            "tensor-parallel splits of 3-bit (bit-sliced) linears are not"
+            " supported; serve 3-bit models single-device or with pipeline"
+            " parallelism")
+    return _split_packed_row(p, n_shards)
+
+
+def _split_packed_row(p: PackedLinear, n_shards: int) -> list:
     """Row-parallel split: shard the stored contraction columns into
     ``n_shards`` chunks of whole quantization groups; partial outputs sum
     (psum over the model axis).
@@ -315,7 +403,15 @@ def split_packed_row(p: PackedLinear, n_shards: int) -> list:
     return shards
 
 
-def dequantize_dense(p: PackedLinear, dtype=jnp.bfloat16) -> jax.Array:
+def dequantize_dense(p, dtype=jnp.bfloat16) -> jax.Array:
+    if isinstance(p, BitSlicedLinear):  # (q_lo - z)·s + (q_hi)·4s = (q - z)·s
+        return (dequantize_dense(p.lo, dtype).astype(jnp.float32)
+                + dequantize_dense(p.hi, dtype).astype(jnp.float32)
+                ).astype(dtype)
+    return _dequantize_dense_packed(p, dtype)
+
+
+def _dequantize_dense_packed(p: PackedLinear, dtype=jnp.bfloat16) -> jax.Array:
     """Dense (C, R) dequantized weight in *original* column order — the jnp
     twin of the fused kernel, and the fallback path for non-4-bit configs.
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gptq_v2_tpu.ops.packing import PackedLinear
+from gptq_v2_tpu.ops.packing import BitSlicedLinear, PackedLinear
 
 
 def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size,
@@ -118,7 +118,7 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
 
 def w4a16_matmul(
     x: jax.Array,  # (..., C) in original column order
-    p: PackedLinear,
+    p,  # PackedLinear | BitSlicedLinear
     block_n: int = 2048,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -131,6 +131,12 @@ def w4a16_matmul(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if isinstance(p, BitSlicedLinear):
+        # 3-bit: q = lo + 4·hi — two passes of the same kernel (the hi
+        # slice carries scales 4s and zero-point 0), summed.  Total weight
+        # HBM traffic is exactly 3 bits/weight.
+        return (w4a16_matmul(x, p.lo, block_n, interpret)
+                + w4a16_matmul(x, p.hi, block_n, interpret))
     lead = x.shape[:-1]
     c = x.shape[-1]
     assert c == p.in_features, (c, p.in_features)

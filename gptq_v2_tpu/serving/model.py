@@ -64,9 +64,10 @@ def quantize_params_to_packed(
             if key in quant_data:
                 qm = quant_data[key]
                 bits_u = np.unique(np.asarray(qm["group_bit_widths"]))
-                if bits_u.size == 1 and int(bits_u[0]) in (2, 4, 8):
+                if bits_u.size == 1 and int(bits_u[0]) in (2, 3, 4, 8):
+                    # 3-bit packs as a BitSlicedLinear (2+1 bit planes)
                     out[name] = pack_quant_meta(qm, compute_dtype)
-                else:  # 3-bit / mixed: no packed layout — serve dense
+                else:  # mixed bit widths: no packed layout — serve dense
                     from gptq_v2_tpu.quant.quantizer import reconstruct_weight
 
                     out[name] = reconstruct_weight(qm).astype(compute_dtype)
@@ -90,7 +91,10 @@ def quantize_params_to_packed(
 
 
 def _linear(w, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
-    y = w4a16_matmul(x, w) if isinstance(w, PackedLinear) else x @ w
+    from gptq_v2_tpu.ops.packing import BitSlicedLinear
+
+    packed = isinstance(w, (PackedLinear, BitSlicedLinear))
+    y = w4a16_matmul(x, w) if packed else x @ w
     return y if bias is None else y + bias
 
 

@@ -143,3 +143,69 @@ class TestMultiBitPacking:
         parts = [w4a16_matmul(xq.astype(jnp.bfloat16), s, interpret=True)
                  for s in pk.split_packed_row(p, 2)]
         assert_close_scaled(sum(parts), whole, rel=1e-2)
+
+
+class TestBitSliced3Bit:
+    """3-bit serving: BitSlicedLinear (2-bit + 1-bit planes) through the
+    fused kernel — BASELINE sweep config 4 no longer falls back to dense."""
+
+    def test_kernel_matches_dense_twin(self):
+        R, C, g = 128, 512, 32
+        w = rand((R, C), seed=33)
+        x = rand((2, 512, C), seed=34) * 0.3
+        st = hs.accumulate(hs.init_state(C), jnp.asarray(x), use_kernel=False)
+        inv = hs.invert(st, act_order=True)
+        res = gq.gptq_quant(jnp.asarray(w), inv, [g] * (C // g),
+                            [3] * (C // g))
+        p = pk.pack_quant_meta(res["quant_meta"])
+        assert isinstance(p, pk.BitSlicedLinear)
+        assert p.bits == 3 and p.lo.bits == 2 and p.hi.bits == 1
+        # storage: 2 bits/weight (lo) + 1 bit/weight (hi), each padded to
+        # its own packing block (16g / 32g; both exact at 7B dims)
+        assert p.lo.qweight.size * 32 == 2 * p.lo.in_features_padded * R
+        assert p.hi.qweight.size * 32 == 1 * p.hi.in_features_padded * R
+        xq = jnp.asarray(rand((5, C), seed=35)).astype(jnp.bfloat16)
+        dense = pk.dequantize_dense(p)
+        # the sliced dequant IS the affine dequant of the 3-bit codes
+        from gptq_v2_tpu.quant.quantizer import reconstruct_weight
+
+        np.testing.assert_allclose(
+            np.asarray(dense, np.float32),
+            np.asarray(reconstruct_weight(res["quant_meta"]).T,
+                       np.float32).astype(np.float32),
+            rtol=2e-2, atol=2e-2)  # bf16 packed scales vs f16 meta scales
+        expected = xq.astype(jnp.float32) @ dense.astype(jnp.float32)
+        out = w4a16_matmul(xq, p, interpret=True)
+        # two bf16 kernel passes (lo + hi) round independently: ~2x the
+        # single-pass tolerance (the f32 path is exact, verified separately)
+        assert_close_scaled(out, expected, rel=1.2e-2)
+
+    def test_engine_serves_w3(self):
+        """End-to-end: a 3-bit quantized tiny model decodes through the
+        engine on the packed path and matches full recompute."""
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import (packed_forward_logits,
+                                               quantize_params_to_packed)
+
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        params = L.init_params(cfg, jax.random.key(6))
+        rng = np.random.default_rng(7)
+        calib = rng.integers(0, cfg.vocab_size, (4, 32)).astype(np.int32)
+        results = quantize_model(cfg, params, calib,
+                                 QuantConfig(bits=3, group_size=16),
+                                 batch_size=4)
+        model = quantize_params_to_packed(cfg, params, results["data"],
+                                          compute_dtype=jnp.float32)
+        assert any(isinstance(v, pk.BitSlicedLinear)
+                   for lp in model.layers for v in lp.values())
+        prompt = rng.integers(0, cfg.vocab_size, (7,)).tolist()
+        toks = list(prompt)
+        for _ in range(5):
+            logits = packed_forward_logits(model, jnp.asarray([toks]))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        expected = toks[len(prompt):]
+        eng = Engine(model, max_batch=2, max_seq_len=64)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert out[0] == expected

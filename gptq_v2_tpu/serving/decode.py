@@ -176,6 +176,25 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             new_cache = kvc.write_kv(new_cache, li, k, v, block_tables,
                                      positions[:, None])
             n_pages = -(-s // cache.page_size)
+            qq = q
+            if q_scale is not None:  # Llama-4 NoPE temperature: fold into q
+                qq = qq * q_scale[..., None, None].astype(qq.dtype)
+            chunk = cfg.layer_chunk(li)
+            bt = block_tables[:, :n_pages]
+            lens = positions + 1
+            if chunk is not None:
+                # Llama-4 chunked attention = BLOCK-TABLE REBASING: the
+                # query's chunk starts at an attn-chunk boundary, which is
+                # page-aligned (engine asserts chunk % page_size == 0), so
+                # shifting each row's table to its chunk's first page and
+                # rebasing the length gives exactly the chunk mask — the
+                # kernel needs no mask extension (rope is baked into K at
+                # write time, so absolute positions survive the shift).
+                start_pages = (positions // chunk) * (chunk // cache.page_size)
+                idx = jnp.clip(jnp.arange(n_pages)[None, :]
+                               + start_pages[:, None], 0, bt.shape[1] - 1)
+                bt = jnp.take_along_axis(block_tables, idx, axis=1)
+                lens = lens - (positions // chunk) * chunk
             # in-kernel page streaming: reads only each seq's valid pages.
             # Tile override: whole-sequence KV blocks + 16-query blocks beat
             # the kernel's auto-tune table by 5-10% on v5e decode at every
@@ -185,8 +204,7 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             b = q.shape[0]
             whole = window is None or window >= s
             attn = paged_decode_attention(
-                q[:, 0], new_cache.kv[li], positions + 1,
-                block_tables[:, :n_pages],
+                qq[:, 0], new_cache.kv[li], lens, bt,
                 sliding_window=window,
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
@@ -375,6 +393,25 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
              for c, s_ in L.rope_tables(cfg, positions)]
     x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (T,1,D)
 
+    chunk_any = any(cfg.layer_chunk(li) is not None
+                    for li in range(cfg.num_hidden_layers))
+    if chunk_any:
+        # Llama-4: chunked layers attend via REBASED tables (see the
+        # decode-path comment).  The scheduler guarantees every
+        # sequence's new tokens this tick share one attn chunk, so the
+        # per-sequence chunk start derives from its last token's position
+        # (= kv_len - 1).
+        ac = next(c for c in (cfg.layer_chunk(li)
+                              for li in range(cfg.num_hidden_layers))
+                  if c is not None)
+        starts = ((kv_lens - 1) // ac) * ac
+        start_pages = starts // cache.page_size
+        mp = block_tables.shape[1]
+        idx = jnp.clip(jnp.arange(mp)[None, :] + start_pages[:, None],
+                       0, mp - 1)
+        bt_chunk = jnp.take_along_axis(block_tables, idx, axis=1)
+        kv_lens_chunk = kv_lens - starts
+
     for li, lp in enumerate(model.layers):
 
         def attn_fn(q, k, v, li=li):
@@ -383,8 +420,15 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
             nonlocal cache
             cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0], tok_pages,
                                       tok_offs)
+            qq = q
+            qs = L.layer_q_scale(cfg, li, positions)
+            if qs is not None:  # Llama-4 NoPE temperature: fold into q
+                qq = qq * qs[:, None, None, None].astype(qq.dtype)
+            chunked = cfg.layer_chunk(li) is not None
             attn = paged_ragged_attention(
-                q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
+                qq[:, 0], cache.kv[li],
+                kv_lens_chunk if chunked else kv_lens,
+                bt_chunk if chunked else block_tables, cu_q_lens,
                 num_seqs,
                 sliding_window=cfg.layer_window(li),
                 sm_scale=cfg.sm_scale_,
@@ -397,7 +441,8 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
 
         cos, sin = ropes[cfg.layer_rope(li)]
         x, _ = L.block_core(cfg, lp, x, cos, sin,
-                            lambda name, h, lp=lp: _lin(lp, name, h), attn_fn)
+                            lambda name, h, lp=lp: _lin(lp, name, h), attn_fn,
+                            qk_l2=cfg.layer_qk_l2(li))
 
     return L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
                       cfg.norm_unit_offset), cache  # (T, D)

@@ -151,10 +151,16 @@ class Engine:
         # GPT-OSS attention sinks ride every cache layout: the contiguous
         # einsum path handles them natively, and the paged/ragged kernels
         # use the sink-extended fork (ops/_ragged_sink_kernel.py)
+        if cfg.attn_chunk_size and cache_kind == "paged":
+            # paged/ragged chunked attention works by block-table rebasing
+            # (serving/decode.py) — the chunk boundary must be page-aligned
+            assert cfg.attn_chunk_size % page_size == 0, (
+                f"attn_chunk_size {cfg.attn_chunk_size} must be a multiple"
+                f" of page_size {page_size} for paged serving")
         if cfg.attn_chunk_size or cfg.attn_temp_tuning:
-            assert cache_kind == "contiguous" and draft is None, (
-                "Llama-4 chunked attention / temperature tuning run on"
-                " the dense contiguous-cache paths (single-device or TP)")
+            assert draft is None, (
+                "Llama-4 chunked attention / temperature tuning do not"
+                " compose with speculative decoding")
         self.max_batch = max_batch
         self.cache_kind = cache_kind
         # multi-step decode ticks: k fused decode+sample steps per host
@@ -625,6 +631,13 @@ class Engine:
             else:
                 left = len(req.prompt) - slot.prefill_done
                 n_new = min(left, max(0, remaining))
+                ac = self.model.cfg.attn_chunk_size
+                if ac:  # Llama-4: a tick's tokens must share one attn
+                    # chunk (the ragged dispatch rebases ONE chunk start
+                    # per sequence); cap at the next chunk boundary
+                    n_new = min(n_new,
+                                (slot.prefill_done // ac + 1) * ac
+                                - slot.prefill_done)
                 if n_new == 0:  # out of budget this tick; try next tick
                     continue
                 remaining -= n_new

@@ -270,8 +270,10 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
 
-    def test_llama4_style_decode_matches_full_recompute(self):
-        """Llama-4 switches through the serving stack (contiguous cache):
+    @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
+    def test_llama4_style_decode_matches_full_recompute(self, kind):
+        """Llama-4 switches through the serving stack on every cache
+        layout (paged/ragged run chunk masks by block-table rebasing):
         chunked attention crossing a chunk boundary, NoPE layer with
         temperature tuning biting at test positions, rope-layer-only QK
         L2 norm, input-scaled MoE + shared expert."""
@@ -294,11 +296,11 @@ class TestEngine:
         # temperature floor (8)
         prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
         expected = greedy_full_recompute(model, prompt, 5)
-        eng = Engine(model, max_batch=2, max_seq_len=64)
+        kw = (dict(cache_kind="paged", scheduler="ragged", token_budget=8)
+              if kind == "ragged" else dict(cache_kind=kind))
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64, **kw)
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
-        with pytest.raises(AssertionError, match="Llama-4"):
-            Engine(model, max_batch=2, max_seq_len=64, cache_kind="paged")
 
     @pytest.mark.parametrize("kind", ["contiguous", "paged", "ragged"])
     def test_moe_decode_matches_full_recompute(self, kind):

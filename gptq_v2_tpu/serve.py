@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
@@ -86,6 +87,10 @@ def parse_serve_args(argv=None):
                    help="host:port of process 0's coordinator service")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--state-path", type=str, default="",
+                   help="crash-recovery snapshot file: unfinished requests"
+                        " are written every few ticks and resumed on"
+                        " startup (scripts/serve_supervised.py)")
     return p.parse_args(argv)
 
 
@@ -155,9 +160,25 @@ def main(argv=None) -> dict:
                          max_new_tokens=args.bench_tokens)])
         from gptq_v2_tpu.utils import profile_trace
 
+        prefixes = {}
+        if args.state_path and os.path.exists(args.state_path):
+            # crashed mid-run: resume accepted work (continuation prompts
+            # reconstruct the lost KV cache; greedy completes identically)
+            import json as _json
+
+            from gptq_v2_tpu.serving.engine import restore_requests
+
+            with open(args.state_path) as f:
+                snap = _json.load(f)
+            reqs, prefixes = restore_requests(snap)
+            logging.info("resuming %d unfinished requests from %s",
+                         len(reqs), args.state_path)
         t0 = time.time()
         with profile_trace(args.profile_dir):
-            eng.run(reqs)
+            out = eng.run(reqs, snapshot_path=args.state_path or None)
+        for uid, pre in prefixes.items():
+            if uid in out:
+                out[uid] = pre + out[uid]
         dt = time.time() - t0
         total = args.max_batch * args.bench_tokens
         stats = {"requests": args.max_batch, "new_tokens": total,

@@ -1028,15 +1028,89 @@ class Engine:
             self._emit(si, int(toks[si]),
                        None if lps is None else float(lps[si]))
 
-    def run(self, requests: List[Request]) -> Dict[int, List[int]]:
-        """Serve a batch of requests to completion; returns uid → tokens."""
+    # ---------------------------------------------------- failure recovery
+    def snapshot(self) -> dict:
+        """Host-side serving state for crash recovery: every unfinished
+        request's prompt, emitted tokens, and sampling parameters (queued
+        and in-flight alike).  The KV cache is deliberately NOT captured —
+        it is recomputable: :func:`restore_requests` turns each entry into
+        a continuation request whose prompt is ``prompt + emitted``, and a
+        re-prefill reproduces the exact cache state (greedy decoding then
+        continues token-identically; sampled requests continue from the
+        same distribution).  Cheap enough to write every tick."""
+        entries = []
+        for r in ([s.request for s in self.slots if s is not None]
+                  + list(self.queue)):
+            if r.done:
+                continue
+            entries.append(dict(
+                uid=r.uid, prompt=list(r.prompt), emitted=list(r.output),
+                max_new_tokens=r.max_new_tokens, temperature=r.temperature,
+                top_k=r.top_k, top_p=r.top_p, min_p=r.min_p,
+                stop_token_ids=r.stop_token_ids,
+                logprobs=list(r.logprobs) if r.logprobs else []))
+        return {"version": 1, "requests": entries}
+
+    def run(self, requests: List[Request],
+            snapshot_path: Optional[str] = None,
+            snapshot_every: int = 16) -> Dict[int, List[int]]:
+        """Serve a batch of requests to completion; returns uid → tokens.
+
+        ``snapshot_path``: write :meth:`snapshot` atomically every
+        ``snapshot_every`` ticks (and clear it on clean completion) so a
+        supervisor can restart a crashed/hung server without losing
+        accepted work (``scripts/serve_supervised.py``)."""
+        import json as _json
+        import os as _os
+
         for r in requests:
             self.add_request(r)
         t0 = time.time()
+        ticks = 0
+        import os as _os2
+
+        hb = _os2.environ.get("GPTQ_SERVE_HEARTBEAT")
         while self.queue or any(s is not None for s in self.slots):
             self.step()
+            ticks += 1
+            if hb:  # liveness for scripts/serve_supervised.py — a tick
+                try:  # that returned means the device answered
+                    _os2.utime(hb, None)
+                except OSError:
+                    open(hb, "w").close()
+            if snapshot_path and ticks % snapshot_every == 0:
+                tmp = snapshot_path + ".tmp"
+                with open(tmp, "w") as f:
+                    _json.dump(self.snapshot(), f)
+                _os.replace(tmp, snapshot_path)
+        if snapshot_path and _os.path.exists(snapshot_path):
+            _os.remove(snapshot_path)  # clean completion
         dt = time.time() - t0
         if self.decode_tokens:
             logger.info("decoded %d tokens in %.2fs (%.1f tok/s aggregate)",
                         self.decode_tokens, dt, self.decode_tokens / dt)
         return {r.uid: r.output for r in requests}
+
+
+def restore_requests(snapshot: dict):
+    """Rebuild continuation requests from an :meth:`Engine.snapshot`.
+
+    Returns ``(requests, prefixes)``: serve ``requests`` on a fresh engine
+    and report ``prefixes[uid] + engine_output[uid]`` as each request's
+    full output.  The continuation prompt is ``prompt + emitted`` — the
+    deterministic re-prefill reconstructs the lost KV cache exactly, so a
+    greedy request's final output is identical to the uninterrupted run.
+    """
+    reqs, prefixes = [], {}
+    for e in snapshot["requests"]:
+        emitted = e["emitted"]
+        remaining = e["max_new_tokens"] - len(emitted)
+        prefixes[e["uid"]] = list(emitted)
+        if remaining <= 0:
+            continue
+        reqs.append(Request(
+            uid=e["uid"], prompt=list(e["prompt"]) + list(emitted),
+            max_new_tokens=remaining, temperature=e["temperature"],
+            top_k=e["top_k"], top_p=e["top_p"], min_p=e["min_p"],
+            stop_token_ids=e["stop_token_ids"]))
+    return reqs, prefixes

@@ -1231,3 +1231,61 @@ class TestMultiStep:
             got.step()
         assert len(eng_req.logprobs) == len(eng_req.output)
         assert all(np.isfinite(lp) for lp in eng_req.logprobs)
+
+
+class TestSnapshotRestore:
+    """Crash recovery: snapshot mid-run, restore on a fresh engine, greedy
+    outputs identical to the uninterrupted run."""
+
+    def test_mid_run_snapshot_resumes_identically(self, packed_model):
+        from gptq_v2_tpu.serving.engine import restore_requests
+
+        model, _ = packed_model
+        rng = np.random.default_rng(21)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (7, 5)]
+        mk_reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=8)
+                           for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, page_size=8,
+                      max_seq_len=64).run(mk_reqs())
+
+        # run a few ticks, snapshot, abandon the engine ("crash")
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        for r in mk_reqs():
+            eng.add_request(r)
+        for _ in range(5):
+            eng.step()
+        snap = eng.snapshot()
+        assert snap["requests"], snap  # work in flight
+
+        reqs, prefixes = restore_requests(snap)
+        fresh = Engine(model, max_batch=2, page_size=8, max_seq_len=64)
+        out = fresh.run(reqs)
+        got = {uid: prefixes[uid] + out.get(uid, []) for uid in prefixes}
+        assert got == want
+
+    def test_snapshot_file_lifecycle(self, packed_model, tmp_path):
+        """run(snapshot_path=...) writes snapshots during the run and
+        removes the file on clean completion."""
+        import json
+        import os
+
+        model, _ = packed_model
+        rng = np.random.default_rng(22)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        path = str(tmp_path / "state.json")
+        seen = {}
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=64)
+        orig_step = eng.step
+
+        def spy_step():
+            orig_step()
+            if os.path.exists(path):
+                with open(path) as f:
+                    seen.update(json.load(f))
+
+        eng.step = spy_step
+        eng.run([Request(uid=0, prompt=prompt, max_new_tokens=24)],
+                snapshot_path=path, snapshot_every=4)
+        assert seen.get("requests"), "no snapshot was ever written"
+        assert not os.path.exists(path)  # cleared on clean completion

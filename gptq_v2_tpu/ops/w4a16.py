@@ -161,6 +161,13 @@ def w4a16_matmul(
     # adds ~5% on the dividing shapes (344/352 GB/s on q/down).
     r = p.out_features
     bn = min(block_n, r)
+    # Scoped-VMEM cap: the fp32 accumulator (bm x bn) plus double-buffered
+    # x/out tiles must fit the 16 MiB scoped budget.  Row-tiled prefill
+    # (bm 512) with bn 2048 measures 16.66 MiB and fails to compile; decode
+    # (bm <= 128) keeps the full bn = 2048 fast path.
+    bm_eff = min(b_pad, 512)
+    while bn > 256 and bm_eff * bn > 512 * 1024:
+        bn //= 2
     out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
                     group_size=p.group_size, block_n=bn, interpret=interpret,
                     bits=p.bits)

@@ -144,6 +144,36 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
 
     def attn_fn(q, k, v):
         new_cache = cache
+        if isinstance(cache, kvc.ContiguousKVCache) and cache.kv_bits == 4:
+            # int4-packed cache: the XLA einsum cannot unpack nibbles
+            # without reading the packed tensor twice, so this path is
+            # kernel-only (Pallas in-kernel dequant; jnp unpack twin
+            # off-TPU).  Same write-then-attend order as the int8 path.
+            from gptq_v2_tpu.ops import contiguous_attention as ca
+
+            new_cache = kvc.write_kv_contiguous(new_cache, li, k, v,
+                                                positions[:, None])
+            qq = q
+            if q_scale is not None:
+                qq = qq * q_scale[..., None, None].astype(qq.dtype)
+            qq = qq * jnp.asarray(cache.k_scales[li],
+                                  jnp.float32).astype(q.dtype)
+            if jax.default_backend() == "tpu":
+                attn = ca.contiguous_decode_attention(
+                    qq[:, 0], new_cache.k, new_cache.v, positions, li,
+                    s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
+                    chunk=cfg.layer_chunk(li),
+                    soft_cap=cfg.attn_logit_softcap,
+                    sinks=lp.get("self_attn.sinks"), kv_bits=4)[:, None]
+            else:
+                attn = ca.contiguous_decode_attention_ref(
+                    qq[:, 0], new_cache.k, new_cache.v, positions, li,
+                    s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
+                    chunk=cfg.layer_chunk(li),
+                    soft_cap=cfg.attn_logit_softcap,
+                    sinks=lp.get("self_attn.sinks"), kv_bits=4)[:, None]
+            attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
+            return attn, new_cache
         if isinstance(cache, kvc.ContiguousKVCache):
             # decode batch == slot order: write row b at its position, then
             # attend over the slot's region in place — no gather

@@ -175,11 +175,12 @@ class Engine:
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.max_seq_len = self.max_pages_per_seq * page_size
-        if kv_dtype == "int8":
+        if kv_dtype in ("int8", "int4"):
             if kv_scales is None:
                 from gptq_v2_tpu.serving.model import calibrate_kv_scales
 
-                kv_scales = calibrate_kv_scales(model)
+                kv_scales = calibrate_kv_scales(
+                    model, bits=4 if kv_dtype == "int4" else 8)
             k_scales, v_scales = kv_scales
             cache_dtype = jnp.int8
         elif kv_dtype == "native":
@@ -187,6 +188,9 @@ class Engine:
             cache_dtype = model.embed_tokens.dtype
         else:
             raise ValueError(kv_dtype)
+        if kv_dtype == "int4":
+            assert cache_kind == "contiguous" and not mla_absorbed, (
+                "int4 KV rides the contiguous cache (Pallas kernel path)")
         self.mla_absorbed = mla_absorbed
         if mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
@@ -210,6 +214,7 @@ class Engine:
                 cfg.num_hidden_layers, max_batch, self.max_seq_len,
                 cfg.num_key_value_heads, cfg.head_dim_,
                 dtype=cache_dtype, k_scales=k_scales, v_scales=v_scales,
+                kv_bits=4 if kv_dtype == "int4" else None,
             )
             self.free_pages: List[int] = []
             self.block_tables = None

@@ -69,9 +69,37 @@ def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
                         k_scales, v_scales)
 
 
+def pack_int4_rows(q4: jax.Array) -> jax.Array:
+    """(…, hd) int32 nibble values in [-7, 7] → (…, hd/2) int8.
+
+    Byte ``i`` holds head-dim elements ``i`` (low nibble) and
+    ``i + hd/2`` (high nibble) — the half-split pairing, chosen so the
+    int4 attention kernel needs **no interleave**: K scores split q into
+    halves, and the PV output is the natural ``concat(lo_ctx, hi_ctx)``.
+    """
+    hd = q4.shape[-1]
+    lo = q4[..., : hd // 2] & 0xF
+    hi = q4[..., hd // 2:] << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4_rows(p8: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_rows` (sign-extending); int32 out."""
+    w = p8.astype(jnp.int32)
+    lo = (w << 28) >> 28
+    hi = (w << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
-    """Quantize new K/V for storage when the cache holds int8 (symmetric,
-    per-layer static scale); identity for full-precision caches."""
+    """Quantize new K/V for storage when the cache holds int8/int4-packed
+    (symmetric, per-layer static scale); identity for full precision."""
+    if getattr(cache, "kv_bits", 8) == 4:
+        ks, vs = cache.k_scales[layer], cache.v_scales[layer]
+        k4 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -7, 7)
+        v4 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -7, 7)
+        return (pack_int4_rows(k4.astype(jnp.int32)),
+                pack_int4_rows(v4.astype(jnp.int32)))
     if cache.kv_storage_dtype != jnp.int8:
         return k.astype(cache.kv_storage_dtype), v.astype(cache.kv_storage_dtype)
     ks, vs = cache.k_scales[layer], cache.v_scales[layer]
@@ -83,12 +111,18 @@ def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ContiguousKVCache:
-    """Slot-contiguous cache: ``(n_layers, n_slots, max_len, n_kv, hd)``."""
+    """Slot-contiguous cache: ``(n_layers, n_slots, max_len, n_kv, hd)``.
+
+    ``kv_bits=4`` stores nibble-packed int8 with last dim ``hd/2``
+    (:func:`pack_int4_rows`); attention must then run the Pallas int4
+    kernel (``ops/contiguous_attention.py``) or the jnp unpack twin.
+    """
 
     k: jax.Array
     v: jax.Array
-    k_scales: Optional[Tuple[float, ...]] = None  # per-layer int8 scales
+    k_scales: Optional[Tuple[float, ...]] = None  # per-layer int scales
     v_scales: Optional[Tuple[float, ...]] = None
+    kv_bits: int = 16  # 16/32 = full precision, 8 = int8, 4 = packed int4
 
     @property
     def n_slots(self) -> int:
@@ -106,7 +140,8 @@ class ContiguousKVCache:
         return dataclasses.replace(self, **kw)
 
     def tree_flatten(self):
-        return ((self.k, self.v), (self.k_scales, self.v_scales))
+        return ((self.k, self.v), (self.k_scales, self.v_scales,
+                                   self.kv_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -115,10 +150,17 @@ class ContiguousKVCache:
 
 def init_contiguous_cache(n_layers: int, n_slots: int, max_len: int, n_kv: int,
                           hd: int, dtype=jnp.bfloat16,
-                          k_scales=None, v_scales=None) -> ContiguousKVCache:
-    shape = (n_layers, n_slots, max_len, n_kv, hd)
+                          k_scales=None, v_scales=None,
+                          kv_bits: Optional[int] = None) -> ContiguousKVCache:
+    if kv_bits == 4:
+        assert hd % 2 == 0 and k_scales is not None and v_scales is not None
+        shape = (n_layers, n_slots, max_len, n_kv, hd // 2)
+        dtype = jnp.int8
+    else:
+        shape = (n_layers, n_slots, max_len, n_kv, hd)
+        kv_bits = 8 * jnp.dtype(dtype).itemsize
     return ContiguousKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                             k_scales, v_scales)
+                             k_scales, v_scales, kv_bits)
 
 
 def write_kv_contiguous(

@@ -250,13 +250,15 @@ def calibrate_kv_scales(
     model: PackedLlama,
     tokens: Optional[jax.Array] = None,
     margin: float = 1.05,
+    bits: int = 8,
 ) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
-    """Per-layer symmetric scales for int8 KV storage: ``amax/127`` of each
-    layer's rope'd K and V over a short forward (pass real prompt
+    """Per-layer symmetric scales for int8/int4 KV storage: ``amax/qmax``
+    of each layer's rope'd K and V over a short forward (pass real prompt
     ``tokens`` for text-statistics calibration; default is a synthetic
     batch).  Returns ``(k_scales, v_scales)`` tuples of Python floats —
     static jit constants, so per-layer scales cost no extra compiles."""
     cfg = model.cfg
+    qmax = {8: 127.0, 4: 7.0}[bits]
     if tokens is None:
         tokens = jax.random.randint(
             jax.random.key(0),
@@ -268,8 +270,8 @@ def calibrate_kv_scales(
         cos, sin = ropes[cfg.layer_rope(li)]
         x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin,
                                    cfg.layer_window(li))
-        k_scales.append(max(float(ka) * margin / 127.0, 1e-6))
-        v_scales.append(max(float(va) * margin / 127.0, 1e-6))
+        k_scales.append(max(float(ka) * margin / qmax, 1e-6))
+        v_scales.append(max(float(va) * margin / qmax, 1e-6))
     return tuple(k_scales), tuple(v_scales)
 
 

@@ -383,6 +383,88 @@ class TestEngine:
                      / jnp.max(jnp.abs(native[0])))
         assert rel0 < 1e-5, rel0
 
+    def test_int4_kv_cache_close_to_native(self, packed_model):
+        """int4-packed KV (contiguous; Pallas kernel path / jnp twin
+        off-TPU) tracks the full-precision cache within int4-noise
+        tolerance."""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        cfg = model.cfg
+        scales = calibrate_kv_scales(model, bits=4)
+
+        rng = np.random.default_rng(12)
+        B, PLEN = 2, 9
+        prompts = rng.integers(0, cfg.vocab_size, (B, PLEN)).astype(np.int32)
+        lengths = jnp.full((B,), PLEN, jnp.int32)
+        steps = np.random.default_rng(17).integers(
+            0, cfg.vocab_size, (3, B)).astype(np.int32)
+
+        def roundtrip(cache):
+            # simulate int4 storage on the full-precision cache: snap every
+            # written K/V value to its layer's int4 grid
+            ks = jnp.asarray(scales[0]).reshape(-1, 1, 1, 1, 1)
+            vs = jnp.asarray(scales[1]).reshape(-1, 1, 1, 1, 1)
+            return cache._replace(
+                k=(jnp.clip(jnp.round(cache.k / ks), -7, 7) * ks
+                   ).astype(cache.k.dtype),
+                v=(jnp.clip(jnp.round(cache.v / vs), -7, 7) * vs
+                   ).astype(cache.v.dtype))
+
+        def run(kv_bits, kv_scales, simulate=False):
+            cache = kvc.init_contiguous_cache(
+                cfg.num_hidden_layers, B, 32,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+                k_scales=kv_scales and kv_scales[0],
+                v_scales=kv_scales and kv_scales[1], kv_bits=kv_bits)
+            if kv_bits == 4:
+                assert cache.k.shape[-1] == cfg.head_dim_ // 2
+                assert cache.k.dtype == jnp.int8
+            logits, cache = D.prefill(model, jnp.asarray(prompts), cache,
+                                      None, lengths, slot=jnp.arange(B))
+            outs = [logits]
+            # fixed token trajectory: int4 noise flips argmaxes on a tiny
+            # random model, which would compare diverged *sequences* rather
+            # than cache fidelity — drive both runs with the same tokens
+            for step in range(3):
+                if simulate:
+                    cache = roundtrip(cache)
+                pos = jnp.full((B,), PLEN + step, jnp.int32)
+                logits, cache = D.decode_step(model, jnp.asarray(steps[step]),
+                                              cache, None, pos, s_bucket=32)
+                outs.append(logits)
+            return outs
+
+        native = run(None, None)
+        quant = run(4, scales)
+        sim = run(None, None, simulate=True)
+        # the int4 path tracks the SIMULATED int4 grid (residual: the
+        # in-step new-token write — the real path quantizes it before the
+        # same-step attend, the simulation attends it at full precision —
+        # one token of int4 noise on a near-flat tiny-model logit surface;
+        # a scale mis-fold would blow this up ~40x)
+        for i, (a, b) in enumerate(zip(sim, quant)):
+            rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+            assert rel < 0.15, (i, rel)
+        rel0 = float(jnp.max(jnp.abs(native[0] - quant[0]))
+                     / jnp.max(jnp.abs(native[0])))
+        assert rel0 < 1e-5, rel0  # prefill attends on fresh bf16 K/V
+
+    def test_int4_kv_engine_end_to_end(self, packed_model):
+        """Engine integration: kv_dtype="int4" runs on the contiguous
+        cache with auto-calibrated scales."""
+        model, _ = packed_model
+        rng = np.random.default_rng(13)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="contiguous", kv_dtype="int4")
+        assert eng.cache.kv_bits == 4
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert len(out[0]) == 5
+
     def test_ragged_scheduler_matches_phased(self, packed_model):
         """Chunked-prefill (ragged) scheduling must produce the same greedy
         outputs as the phased prefill-then-decode loop — prompts longer

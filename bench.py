@@ -3,11 +3,11 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": tok/s, "unit": "tok/s", "vs_baseline": ...}``
 
-Serving sweep (``CONFIGS``): contiguous KV cache stored **int8** with
-per-layer scales (halves the dominant KV stream, which doubles the batch
-that fits in HBM), all linears through the fused W4A16 Pallas kernel, at
-three (batch, context) points — two throughput configs (b128/b64 x 256)
-and a long-context utilization config (b32 x 1024) where the step is
+Serving sweep (``CONFIGS``): contiguous KV cache stored quantized with
+per-layer scales, all linears through the fused W4A16 Pallas kernel, at
+four (batch, context, kv_bits) points — the int4-KV b256 capacity config
+(max absolute tok/s), two int8 throughput configs (b128/b64 x 256), and
+a long-context utilization config (b32 x 1024) where the step is
 dominated by the KV stream the attention einsum reads at ~93% of the
 probed ceiling.  ``value`` = best absolute tok/s; ``vs_baseline`` /
 ``vs_ceiling`` = the best utilization config's roofline ratios.
@@ -63,14 +63,20 @@ HBM_BW_SPEC = {
 BATCH = 128
 MAX_SEQ = 256
 PREFIX = 128
-# Swept serving configs: (batch, max_seq, prefix).
-#  * b128 x 256-ctx — max absolute tok/s (partially MXU-bound at B=128)
-#  * b64  x 256-ctx — half the matmul FLOPs, higher bandwidth utilization
-#  * b32  x 1024-ctx — long-context serving: the step is dominated by the
-#    int8 KV stream (8.6 GB/step vs 3.7 GB weights), which the attention
-#    einsum reads at ~93% of the probed ceiling, so this config's
-#    roofline utilization is the honest "how close to the hardware" view.
-CONFIGS = ((128, 256, 128), (64, 256, 128), (32, 1024, 896))
+# Swept serving configs: (batch, max_seq, prefix, kv_bits).
+#  * b256 x 256-ctx int4 KV — max absolute tok/s: the nibble-packed cache
+#    halves KV capacity so twice the batch fits (its two-pass unpack
+#    reads the same bytes as int8, so per-batch step time matches int8
+#    while serving 2x the tokens)
+#  * b128 x 256-ctx int8 — the int8 throughput point
+#  * b64  x 256-ctx int8 — half the matmul FLOPs
+#  * b32  x 1024-ctx int8 — long-context serving: the step is dominated
+#    by the int8 KV stream (8.6 GB/step vs 3.7 GB weights), which the
+#    attention einsum reads at ~93% of the probed ceiling, so this
+#    config's roofline utilization is the honest "how close to the
+#    hardware" view.
+CONFIGS = ((256, 256, 128, 4), (128, 256, 128, 8), (64, 256, 128, 8),
+           (32, 1024, 896, 8))
 # NB: the engine's multi-step ticks (decode_sample_multi) amortize the
 # per-dispatch host cost k-fold, but an unrolled k-step 7B program takes
 # >25 min to compile on this remote-compile host, so the bench measures
@@ -143,15 +149,17 @@ def main():
                   file=sys.stderr)
 
 
-def measure_decode(model, cfg, batch, max_seq, prefix, on_tpu):
+def measure_decode(model, cfg, batch, max_seq, prefix, on_tpu, kv_bits=8):
     """Best sustained tokens/s at one serving config (best-of-N windows —
     the same methodology as the bandwidth probe)."""
-    k_scales, v_scales = calibrate_kv_scales(model)
+    k_scales, v_scales = calibrate_kv_scales(model, bits=kv_bits)
     cache = kvc.init_contiguous_cache(cfg.num_hidden_layers, batch, max_seq,
                                       cfg.num_key_value_heads, cfg.head_dim_,
                                       dtype=jnp.int8 if on_tpu else cfg.jdtype,
                                       k_scales=k_scales if on_tpu else None,
-                                      v_scales=v_scales if on_tpu else None)
+                                      v_scales=v_scales if on_tpu else None,
+                                      kv_bits=4 if (on_tpu and kv_bits == 4)
+                                      else None)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)), jnp.int32)
     pos = prefix
@@ -161,8 +169,8 @@ def measure_decode(model, cfg, batch, max_seq, prefix, on_tpu):
                                   jnp.full((batch,), pos, jnp.int32))
     np.asarray(logits[:, :8])
     pos += 1
-    print(f"  b={batch} s={max_seq} compile+warmup {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    print(f"  b={batch} s={max_seq} kv{kv_bits} compile+warmup "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
     best = float("inf")
     for _ in range(ROUNDS):
         if pos + STEPS_PER_ROUND >= max_seq:
@@ -177,7 +185,7 @@ def measure_decode(model, cfg, batch, max_seq, prefix, on_tpu):
         best = min(best, (time.time() - t0) / STEPS_PER_ROUND)
     kv_read = (cfg.num_hidden_layers * 2 * batch * max_seq
                * cfg.num_key_value_heads * cfg.head_dim_
-               * cache.k.dtype.itemsize)
+               * (kv_bits if on_tpu else 8 * cache.k.dtype.itemsize) // 8)
     del cache, logits
     return batch / best, kv_read
 
@@ -214,20 +222,20 @@ def run(batch):
     # north-star metric is % of roofline), all configs noted.  ``batch``
     # scales down the sweep on OOM backoff.
     results = []
-    sweep = ([(b * batch // BATCH, s, p) for b, s, p in CONFIGS]
-             if on_tpu else ((batch, MAX_SEQ, PREFIX),))
-    for b, max_seq, prefix in sweep:
+    sweep = ([(b * batch // BATCH, s, p, kb) for b, s, p, kb in CONFIGS]
+             if on_tpu else ((batch, MAX_SEQ, PREFIX, 8),))
+    for b, max_seq, prefix, kv_bits in sweep:
         tok_s, kv_read = measure_decode(model, cfg, b, max_seq, prefix,
-                                        on_tpu)
+                                        on_tpu, kv_bits=kv_bits)
         bytes_per_step = weight_bytes + kv_read
         roofline = b / (bytes_per_step / spec_bw)
         ceiling = b / (bytes_per_step / bw)
-        res = dict(batch=b, max_seq=max_seq, tok_s=tok_s,
+        res = dict(batch=b, max_seq=max_seq, kv_bits=kv_bits, tok_s=tok_s,
                    bytes=bytes_per_step,
                    util=tok_s / roofline, vs_baseline=tok_s / (0.8 * roofline),
                    vs_ceiling=tok_s / ceiling)
         results.append(res)
-        print(f"  b={b} s={max_seq}: {tok_s:.1f} tok/s  "
+        print(f"  b={b} s={max_seq} kv{kv_bits}: {tok_s:.1f} tok/s  "
               f"stream={bytes_per_step * tok_s / b / 1e9:.0f}GB/s  "
               f"util={res['util']:.1%}  vs_ceiling={res['vs_ceiling']:.1%}",
               file=sys.stderr)
@@ -260,7 +268,7 @@ def run(batch):
         "util_config": {"batch": best["batch"], "max_seq": best["max_seq"]},
         "all_configs": [
             {"batch": r["batch"], "max_seq": r["max_seq"],
-             "tok_s": round(r["tok_s"], 1),
+             "kv_bits": r["kv_bits"], "tok_s": round(r["tok_s"], 1),
              "vs_baseline": round(r["vs_baseline"], 4),
              "vs_ceiling": round(r["vs_ceiling"], 4)} for r in results],
     }))

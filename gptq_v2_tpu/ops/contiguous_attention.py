@@ -37,27 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(pos_ref, sink_ref, q_ref, k_ref, v_ref, o_ref, *,
+def _kernel(layer_ref, pos_ref, sink_ref, q_ref, k_ref, v_ref, o_ref, *,
             s_total, groups, hb, sm_scale, window, chunk, soft_cap,
-            has_sinks, compute_dt, kv_bits=8):
+            has_sinks, compute_dt):
+    del layer_ref  # consumed by the cache index maps only
     b = pl.program_id(0)
     pos = pos_ref[b]
-    k8 = k_ref[0, 0]  # (S, Hb, hd) cache dtype — (S, Hb, hd/2) int4-packed
+    k8 = k_ref[0, 0]  # (S, Hb, hd) cache dtype
     v8 = v_ref[0, 0]
-    int4 = kv_bits == 4
-    if int4:
-        # nibble-packed (kv_cache.pack_int4_rows): byte i = head-dim i
-        # (low nibble) | i + hd/2 (high).  Sign-extend both halves; the
-        # score needs no interleave (q splits into halves below) and the
-        # PV output is the natural lo/hi concat.
-        kw = k8.astype(jnp.int32)
-        k_lo = ((kw << 28) >> 28).astype(compute_dt)  # (S, Hb, hd/2)
-        k_hi = ((kw << 24) >> 28).astype(compute_dt)
-        vw = v8.astype(jnp.int32)
-        v_lo = ((vw << 28) >> 28).astype(compute_dt)
-        v_hi = ((vw << 24) >> 28).astype(compute_dt)
-    else:
-        kf = k8.astype(compute_dt)
+    kf = k8.astype(compute_dt)
     neg = jnp.finfo(jnp.float32).min
     sj = jax.lax.broadcasted_iota(jnp.int32, (s_total, hb), 0)
     valid = sj <= pos
@@ -67,17 +55,8 @@ def _kernel(pos_ref, sink_ref, q_ref, k_ref, v_ref, o_ref, *,
         valid &= (sj // chunk) == (pos // chunk)
     for g in range(groups):
         qg = q_ref[0, g]  # (Hb, hd)
-        if int4:
-            hd2 = k8.shape[2]
-            # NB: basic slice THEN expand — ``qg[None, :, :hd2]`` (newaxis
-            # mixed with slices) lowers to a gather Mosaic rejects
-            q_lo = qg[:, :hd2].astype(compute_dt)[None]
-            q_hi = qg[:, hd2:].astype(compute_dt)[None]
-            scores = (jnp.sum(k_lo * q_lo, axis=2)
-                      + jnp.sum(k_hi * q_hi, axis=2)).astype(jnp.float32)
-        else:
-            scores = jnp.sum(kf * qg[None].astype(compute_dt),
-                             axis=2).astype(jnp.float32)  # (S, Hb)
+        scores = jnp.sum(kf * qg[None].astype(compute_dt),
+                         axis=2).astype(jnp.float32)  # (S, Hb)
         scores = scores * sm_scale
         if soft_cap is not None:
             scores = soft_cap * jnp.tanh(scores / soft_cap)
@@ -91,23 +70,18 @@ def _kernel(pos_ref, sink_ref, q_ref, k_ref, v_ref, o_ref, *,
         if has_sinks:
             l = l + jnp.exp(sk - m)
         pc = p[:, :, None].astype(compute_dt)
-        if int4:
-            ctx = jnp.concatenate(
-                [jnp.sum(pc * v_lo, axis=0), jnp.sum(pc * v_hi, axis=0)],
-                axis=-1)  # (Hb, hd)
-        else:
-            ctx = jnp.sum(pc * v8.astype(compute_dt), axis=0)  # (Hb, hd)
+        ctx = jnp.sum(pc * v8.astype(compute_dt), axis=0)  # (Hb, hd)
         o_ref[0, g] = (ctx.astype(jnp.float32)
                        / l[0][:, None]).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layer", "sm_scale", "window", "chunk", "soft_cap",
-                     "hb", "interpret", "s_used", "kv_bits"))
-def _call(q_g, k_cache, v_cache, positions, sinks_g, layer: int,
+    static_argnames=("sm_scale", "window", "chunk", "soft_cap",
+                     "hb", "interpret", "s_used"))
+def _call(q_g, k_cache, v_cache, positions, sinks_g, layer,
           sm_scale: float, window, chunk, soft_cap, hb: int,
-          interpret: bool, s_used: int = None, kv_bits: int = 8):
+          interpret: bool, s_used: int = None):
     b, groups, hkv, hd = q_g.shape
     hd_st = k_cache.shape[4]  # hd/2 when int4-packed
     # the cache block covers only the first s_used rows — no slicing of the
@@ -119,25 +93,34 @@ def _call(q_g, k_cache, v_cache, positions, sinks_g, layer: int,
     kernel = functools.partial(
         _kernel, s_total=s_total, groups=groups, hb=hb,
         sm_scale=sm_scale, window=window, chunk=chunk, soft_cap=soft_cap,
-        has_sinks=has_sinks, compute_dt=q_g.dtype, kv_bits=kv_bits)
+        has_sinks=has_sinks, compute_dt=q_g.dtype)
     grid = (b, hkv // hb)
-    out = pl.pallas_call(
-        kernel,
+    # the layer index rides scalar prefetch (cache index maps read it), so
+    # every layer of the unrolled decode shares ONE kernel binary — 32
+    # static-layer instances both compile ~32x slower and overload the
+    # remote-compile helper at 7B scale (observed hard crash)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer (1,), positions (B,)
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # positions (B,)
-            pl.BlockSpec(sinks_g.shape, lambda bi, hi: (0, 0)),  # sinks
-            pl.BlockSpec((1, groups, hb, hd), lambda bi, hi: (bi, 0, hi, 0)),
+            pl.BlockSpec(sinks_g.shape, lambda bi, hi, li, po: (0, 0)),
+            pl.BlockSpec((1, groups, hb, hd),
+                         lambda bi, hi, li, po: (bi, 0, hi, 0)),
             pl.BlockSpec((1, 1, s_total, hb, hd_st),
-                         lambda bi, hi, layer=layer: (layer, bi, 0, hi, 0)),
+                         lambda bi, hi, li, po: (li[0], bi, 0, hi, 0)),
             pl.BlockSpec((1, 1, s_total, hb, hd_st),
-                         lambda bi, hi, layer=layer: (layer, bi, 0, hi, 0)),
+                         lambda bi, hi, li, po: (li[0], bi, 0, hi, 0)),
         ],
         out_specs=pl.BlockSpec((1, groups, hb, hd),
-                               lambda bi, hi: (bi, 0, hi, 0)),
+                               lambda bi, hi, li, po: (bi, 0, hi, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, groups, hkv, hd), q_g.dtype),
         interpret=interpret,
-    )(positions, sinks_g, q_g, k_cache, v_cache)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), positions, sinks_g, q_g,
+      k_cache, v_cache)
     return out
 
 
@@ -154,14 +137,12 @@ def contiguous_decode_attention(
     soft_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,  # (Hq,) f32 learned sink logits
     interpret: Optional[bool] = None,
-    kv_bits: int = 8,
 ) -> jax.Array:
     """Single-token decode attention for every slot; returns (B, Hq, hd).
 
     ``s_bucket`` statically bounds the attended prefix (all positions must
     be < s_bucket) — the cache block read from HBM covers only the first
-    ``s_bucket`` rows.  ``kv_bits=4``: caches are nibble-packed int8 with
-    last dim ``hd/2`` (``kv_cache.pack_int4_rows``), dequantized in-kernel.
+    ``s_bucket`` rows.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -189,9 +170,82 @@ def contiguous_decode_attention(
     out = _call(q_g, k_cache, v_cache, positions.astype(jnp.int32), sinks_g,
                 layer=layer, sm_scale=float(sm_scale), window=window,
                 chunk=chunk, soft_cap=soft_cap, hb=hb,
-                interpret=bool(interpret), s_used=s,
-                kv_bits=4 if kv_bits == 4 else 8)
+                interpret=bool(interpret), s_used=s)
     return out.swapaxes(1, 2).reshape(b, hq, hd)
+
+
+def contiguous_decode_attention_xla4(
+    q: jax.Array,  # (B, Hq, hd) — k-scale/q-scale already folded in
+    k_cache: jax.Array,  # (L, B, S, Hkv/2, hd) nibble-packed int8
+    v_cache: jax.Array,
+    positions: jax.Array,  # (B,)
+    layer: int,
+    s_bucket: Optional[int] = None,
+    sm_scale: float = 1.0,
+    window: Optional[int] = None,
+    chunk: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # (Hq,) f32
+) -> jax.Array:
+    """int4 decode attention as pure XLA: two fused einsums per K/V pass.
+
+    A single-read path needs in-kernel unpack, but feeding the cache to an
+    opaque Pallas kernel defeats XLA's in-place-update analysis for the
+    same-step cache write — measured 3 extra full-cache copies per step
+    (and an aliased row-DMA writer fared worse; see docs/STATUS.md).  Pure
+    XLA instead reads the packed tensor twice — once per nibble half, the
+    shift/convert fusing into each dot — so traffic matches int8 while
+    HBM *capacity* halves, which is what doubles the servable batch.  The
+    nibble layout is ``kv_cache.pack_int4_rows`` (head PAIRS share a byte,
+    keeping the cache's minor dim at the full 128-lane ``hd``): the low
+    pass dots against the first half of the kv heads' queries, the high
+    pass against the second, and scores/PV concat along the head axis.
+    """
+    b, hq, hd = q.shape
+    hp = k_cache.shape[3]  # packed head pairs = Hkv/2
+    hkv = 2 * hp
+    g = hq // hkv
+    s = k_cache.shape[2] if s_bucket is None else min(s_bucket,
+                                                      k_cache.shape[2])
+    dt = q.dtype
+    kp = k_cache[layer, :, :s]  # (B, S, Hkv/2, hd) int8
+    vp = v_cache[layer, :, :s]
+    # kv-major HF head order: q (B, Hkv, G, hd)
+    qg = q.reshape(b, hkv, g, hd)
+    q_lo, q_hi = qg[:, :hp], qg[:, hp:]
+    k_lo = ((kp << 4) >> 4).astype(dt)  # sign-extended low nibble
+    k_hi = (kp >> 4).astype(dt)
+    scores = jnp.concatenate(
+        [jnp.einsum("bkgd,bskd->bkgs", q_lo, k_lo),
+         jnp.einsum("bkgd,bskd->bkgs", q_hi, k_hi)],
+        axis=1).astype(jnp.float32) * sm_scale  # (B, Hkv, G, S)
+    if soft_cap is not None:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+    sj = jnp.arange(s)[None, :]
+    valid = sj <= positions[:, None]
+    if window is not None:
+        valid &= sj > positions[:, None] - window
+    if chunk is not None:
+        valid &= (sj // chunk) == (positions[:, None] // chunk)
+    scores = jnp.where(valid[:, None, None, :], scores,
+                       jnp.finfo(jnp.float32).min)
+    m = jnp.max(scores, axis=-1, keepdims=True)  # (B, Hkv, G, 1)
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(1, hkv, g, 1)
+        m = jnp.maximum(m, sk)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if sinks is not None:
+        l = l + jnp.exp(sk - m)
+    pw = p.astype(dt)  # (B, Hkv, G, S)
+    v_lo = ((vp << 4) >> 4).astype(dt)
+    v_hi = (vp >> 4).astype(dt)
+    ctx = jnp.concatenate(
+        [jnp.einsum("bkgs,bskd->bkgd", pw[:, :hp], v_lo),
+         jnp.einsum("bkgs,bskd->bkgd", pw[:, hp:], v_hi)],
+        axis=1)  # (B, Hkv, G, hd)
+    ctx = ctx.astype(jnp.float32) / l  # normalize in f32, like the kernel
+    return ctx.astype(dt).reshape(b, hq, hd)
 
 
 def contiguous_decode_attention_ref(q, k_cache, v_cache, positions, layer,

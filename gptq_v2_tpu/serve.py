@@ -37,9 +37,10 @@ def parse_serve_args(argv=None):
     p.add_argument("--cache-kind", type=str, default="contiguous",
                    choices=["contiguous", "paged"])
     p.add_argument("--kv-dtype", type=str, default="native",
-                   choices=["native", "int8"],
+                   choices=["native", "int8", "int4"],
                    help="int8 halves decode KV traffic (per-layer scales "
-                        "auto-calibrated at engine build)")
+                        "auto-calibrated at engine build); int4 halves it "
+                        "again (nibble-packed, contiguous cache only)")
     p.add_argument("--scheduler", type=str, default="phased",
                    choices=["phased", "ragged"],
                    help="ragged = vLLM-style chunked prefill, one mixed "
@@ -195,6 +196,9 @@ def _speculative_main(args) -> dict:
 
     target = _load_packed(args.model_dir, args.results)
     draft = _load_packed(args.draft_dir, args.draft_results)
+    if args.kv_dtype == "int4":
+        raise SystemExit("--kv-dtype int4 does not compose with "
+                         "speculative decoding (use int8)")
     kv = jnp.int8 if args.kv_dtype == "int8" else None
     mesh = None
     if args.tp:  # TP-sharded target, single-device draft

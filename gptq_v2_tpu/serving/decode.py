@@ -145,10 +145,14 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
     def attn_fn(q, k, v):
         new_cache = cache
         if isinstance(cache, kvc.ContiguousKVCache) and cache.kv_bits == 4:
-            # int4-packed cache: the XLA einsum cannot unpack nibbles
-            # without reading the packed tensor twice, so this path is
-            # kernel-only (Pallas in-kernel dequant; jnp unpack twin
-            # off-TPU).  Same write-then-attend order as the int8 path.
+            # int4-packed cache: pure-XLA two-pass unpack attention (each
+            # nibble half's shift/convert fuses into its own dot, so the
+            # packed tensor is read twice = int8 traffic, at HALF the HBM
+            # capacity — which is what doubles the servable batch).  A
+            # single-read Pallas kernel exists (tested twin) but feeding
+            # the cache to an opaque custom call defeats XLA's in-place
+            # analysis for the same-step scatter write — measured ~3 full
+            # cache copies per step; see docs/STATUS.md round-3 notes.
             from gptq_v2_tpu.ops import contiguous_attention as ca
 
             new_cache = kvc.write_kv_contiguous(new_cache, li, k, v,
@@ -158,20 +162,12 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                 qq = qq * q_scale[..., None, None].astype(qq.dtype)
             qq = qq * jnp.asarray(cache.k_scales[li],
                                   jnp.float32).astype(q.dtype)
-            if jax.default_backend() == "tpu":
-                attn = ca.contiguous_decode_attention(
-                    qq[:, 0], new_cache.k, new_cache.v, positions, li,
-                    s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
-                    chunk=cfg.layer_chunk(li),
-                    soft_cap=cfg.attn_logit_softcap,
-                    sinks=lp.get("self_attn.sinks"), kv_bits=4)[:, None]
-            else:
-                attn = ca.contiguous_decode_attention_ref(
-                    qq[:, 0], new_cache.k, new_cache.v, positions, li,
-                    s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
-                    chunk=cfg.layer_chunk(li),
-                    soft_cap=cfg.attn_logit_softcap,
-                    sinks=lp.get("self_attn.sinks"), kv_bits=4)[:, None]
+            attn = ca.contiguous_decode_attention_xla4(
+                qq[:, 0], new_cache.k, new_cache.v, positions, li,
+                s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
+                chunk=cfg.layer_chunk(li),
+                soft_cap=cfg.attn_logit_softcap,
+                sinks=lp.get("self_attn.sinks"))[:, None]
             attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
             return attn, new_cache
         if isinstance(cache, kvc.ContiguousKVCache):

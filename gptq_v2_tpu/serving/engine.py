@@ -189,8 +189,10 @@ class Engine:
         else:
             raise ValueError(kv_dtype)
         if kv_dtype == "int4":
-            assert cache_kind == "contiguous" and not mla_absorbed, (
-                "int4 KV rides the contiguous cache (Pallas kernel path)")
+            assert (cache_kind == "contiguous" and not mla_absorbed
+                    and draft is None and mesh is None), (
+                "int4 KV rides the single-chip contiguous cache's Pallas "
+                "kernel path (no paged/MLA/speculative/TP composition yet)")
         self.mla_absorbed = mla_absorbed
         if mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA

@@ -70,16 +70,21 @@ def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
 
 
 def pack_int4_rows(q4: jax.Array) -> jax.Array:
-    """(…, hd) int32 nibble values in [-7, 7] → (…, hd/2) int8.
+    """(…, n_kv, hd) int32 nibble values in [-7, 7] → (…, n_kv/2, hd) int8.
 
-    Byte ``i`` holds head-dim elements ``i`` (low nibble) and
-    ``i + hd/2`` (high nibble) — the half-split pairing, chosen so the
-    int4 attention kernel needs **no interleave**: K scores split q into
-    halves, and the PV output is the natural ``concat(lo_ctx, hi_ctx)``.
+    Byte ``[h, d]`` holds kv-head ``h``'s element ``d`` (low nibble) and
+    kv-head ``h + n_kv/2``'s (high nibble) — the **head-pair** layout.
+    Packing along the head axis keeps the cache's minor dim at the full
+    ``hd`` (128 lanes): a packed last dim of ``hd/2 = 64`` made XLA:TPU
+    store the cache in a "compressed" layout and insert a full-cache
+    transpose copy per layer per step (measured 26 ms x 96 = 2.5 s/step).
+    Attention needs no interleave either way: the low pass dots against
+    the first half of the kv heads, the high pass against the second, and
+    scores/PV concatenate along the head axis.
     """
-    hd = q4.shape[-1]
-    lo = q4[..., : hd // 2] & 0xF
-    hi = q4[..., hd // 2:] << 4
+    n = q4.shape[-2]
+    lo = q4[..., : n // 2, :] & 0xF
+    hi = q4[..., n // 2:, :] << 4
     return (lo | hi).astype(jnp.int8)
 
 
@@ -88,7 +93,7 @@ def unpack_int4_rows(p8: jax.Array) -> jax.Array:
     w = p8.astype(jnp.int32)
     lo = (w << 28) >> 28
     hi = (w << 24) >> 28
-    return jnp.concatenate([lo, hi], axis=-1)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
@@ -113,9 +118,10 @@ def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
 class ContiguousKVCache:
     """Slot-contiguous cache: ``(n_layers, n_slots, max_len, n_kv, hd)``.
 
-    ``kv_bits=4`` stores nibble-packed int8 with last dim ``hd/2``
-    (:func:`pack_int4_rows`); attention must then run the Pallas int4
-    kernel (``ops/contiguous_attention.py``) or the jnp unpack twin.
+    ``kv_bits=4`` stores nibble-packed int8 with head dim ``n_kv/2``
+    (:func:`pack_int4_rows`, head-pair layout); attention must then run
+    the two-pass unpack path
+    (``ops.contiguous_attention.contiguous_decode_attention_xla4``).
     """
 
     k: jax.Array
@@ -153,8 +159,10 @@ def init_contiguous_cache(n_layers: int, n_slots: int, max_len: int, n_kv: int,
                           k_scales=None, v_scales=None,
                           kv_bits: Optional[int] = None) -> ContiguousKVCache:
     if kv_bits == 4:
-        assert hd % 2 == 0 and k_scales is not None and v_scales is not None
-        shape = (n_layers, n_slots, max_len, n_kv, hd // 2)
+        assert n_kv % 2 == 0, (
+            "int4 KV packs kv-head pairs; n_kv must be even")
+        assert k_scales is not None and v_scales is not None
+        shape = (n_layers, n_slots, max_len, n_kv // 2, hd)
         dtype = jnp.int8
     else:
         shape = (n_layers, n_slots, max_len, n_kv, hd)

@@ -80,8 +80,8 @@ def run_stream():
     x = jax.lax.bitcast_convert_type(
         jax.random.bits(jax.random.key(0), (m, n), jnp.uint32), jnp.int32)
     nbytes = x.nbytes
-    print(f"stream array {nbytes / 2**30:.1f} GiB", file=sys.stderr)
-    for bm in (256, 512, 1024, 2048):
+    print(f"stream array {nbytes / 2**30:.1f} GiB", file=sys.stderr, flush=True)
+    for bm in (128, 256, 512):
         out = None
 
         def go():
@@ -90,7 +90,7 @@ def run_stream():
 
         dt = best_window(go, lambda: np.asarray(out), reps=3)
         print(f"  pallas stream bm={bm:5d} ({bm * n * 4 / 2**20:5.1f} MiB/step):"
-              f" {nbytes / dt / 1e9:6.1f} GB/s", file=sys.stderr)
+              f" {nbytes / dt / 1e9:6.1f} GB/s", file=sys.stderr, flush=True)
     # XLA reduce twin on the same array
     red = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
     out = None
@@ -101,7 +101,7 @@ def run_stream():
 
     dt = best_window(go, lambda: np.asarray(out), reps=3)
     print(f"  xla reduce same array:       {nbytes / dt / 1e9:6.1f} GB/s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
 
 # ---------------------------------------------------------------- w4a16 kpg
@@ -183,20 +183,25 @@ def make_packed(key, c, r, g=128):
                         perm=None, group_size=g, in_features=c)
 
 
-def run_w4a16(n_layers=12):
-    """Chained distinct-weight matmuls (real HBM streams, one dispatch)."""
+def run_w4a16(n_layers=12, repeat=16):
+    """Chained distinct-weight matmuls, the chain looped ``repeat`` times
+    inside ONE jit dispatch — the tunnel's ~3.3 ms dispatch RTT otherwise
+    swamps device time entirely (12 ops x ~35 us ideal = 0.4 ms device;
+    earlier single-chain numbers measured the tunnel, not the kernel)."""
     c = r = 4096
     keys = jax.random.split(jax.random.key(1), n_layers)
     packs = [make_packed(k, c, r) for k in keys]
     wbytes = sum(p.qweight.nbytes + p.scales.nbytes + p.zeros.nbytes
                  for p in packs)
+    n_ops = n_layers * repeat
 
     for b in (32, 128):
         x0 = jnp.full((b, c), 0.01, jnp.bfloat16)
 
         def chain_prod(x):
-            for p in packs:
-                x = w4a16_matmul(x, p) * 1e-2
+            for _ in range(repeat):
+                for p in packs:
+                    x = w4a16_matmul(x, p) * 1e-2
             return x
 
         f = jax.jit(chain_prod)
@@ -206,18 +211,21 @@ def run_w4a16(n_layers=12):
             nonlocal out
             out = f(x0)
 
-        dt = best_window(go, lambda: np.asarray(out.ravel()[:1]))
+        dt = best_window(go, lambda: np.asarray(out.ravel()[:1]), reps=4)
         ref = np.asarray(out)
-        print(f"  b={b:3d} prod (bn=2048, kpg=1):  {dt / n_layers * 1e3:7.3f}"
-              f" ms/op  {wbytes / dt / 1e9:6.1f} GB/s", file=sys.stderr)
+        print(f"  b={b:3d} prod (bn=2048, kpg=1):  {dt / n_ops * 1e3:7.3f}"
+              f" ms/op  {wbytes * repeat / dt / 1e9:6.1f} GB/s",
+              file=sys.stderr, flush=True)
 
         for kpg in (2, 4):
-            for bn in (2048, 4096):
+            for bn in (2048,):
 
                 def chain_kpg(x, kpg=kpg, bn=bn):
-                    for p in packs:
-                        x = w4a16_kpg(x.astype(jnp.bfloat16), p.qweight,
-                                      p.scales, p.zeros, 128, bn, kpg) * 1e-2
+                    for _ in range(repeat):
+                        for p in packs:
+                            x = w4a16_kpg(x.astype(jnp.bfloat16), p.qweight,
+                                          p.scales, p.zeros, 128, bn,
+                                          kpg) * 1e-2
                     return x
 
                 fk = jax.jit(chain_kpg)
@@ -227,16 +235,17 @@ def run_w4a16(n_layers=12):
                     nonlocal out2
                     out2 = fk(x0)
 
-                dt = best_window(go2, lambda: np.asarray(out2.ravel()[:1]))
+                dt = best_window(go2, lambda: np.asarray(out2.ravel()[:1]),
+                                 reps=4)
                 err = float(np.max(np.abs(np.asarray(out2, np.float32) - ref)
                                    / (np.abs(ref) + 1e-3)))
                 print(f"  b={b:3d} kpg={kpg} bn={bn}:        "
-                      f"{dt / n_layers * 1e3:7.3f} ms/op  "
-                      f"{wbytes / dt / 1e9:6.1f} GB/s  relerr={err:.1e}",
-                      file=sys.stderr)
+                      f"{dt / n_ops * 1e3:7.3f} ms/op  "
+                      f"{wbytes * repeat / dt / 1e9:6.1f} GB/s  "
+                      f"relerr={err:.1e}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     run_stream()
     run_w4a16()

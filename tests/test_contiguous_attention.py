@@ -64,46 +64,50 @@ class TestKernel:
         got, ref = both(q, k, v, pos, layer=1, sm_scale=0.125, sinks=sinks)
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
-    def test_int4_cache(self):
+    def test_int4_pack_roundtrip(self):
         from gptq_v2_tpu.serving.kv_cache import (pack_int4_rows,
                                                   unpack_int4_rows)
 
-        q, kf, vf, pos = make(seed=7)
+        _, kf, _, _ = make(seed=7)
         k4 = jnp.clip(jnp.round(kf * 2.0), -7, 7).astype(jnp.int32)
-        v4 = jnp.clip(jnp.round(vf * 2.0), -7, 7).astype(jnp.int32)
-        kp, vp = pack_int4_rows(k4), pack_int4_rows(v4)
-        assert kp.shape == (L_, B, S, HKV, HD // 2)
+        kp = pack_int4_rows(k4)
+        assert kp.shape == (L_, B, S, HKV // 2, HD)  # head-pair layout
+        assert kp.dtype == jnp.int8
         np.testing.assert_array_equal(np.asarray(unpack_int4_rows(kp)),
                                       np.asarray(k4))
-        ks = vs = 0.5
-        # kernel (packed, in-kernel dequant) vs full-precision twin
-        got = contiguous_decode_attention(q * ks, kp, vp, pos, layer=1,
-                                          sm_scale=0.125, kv_bits=4) * vs
-        ref = contiguous_decode_attention_ref(
-            q, k4.astype(jnp.float32) * ks, v4.astype(jnp.float32) * vs,
-            pos, layer=1, sm_scale=0.125)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
-        # packed twin path agrees too
-        ref_packed = contiguous_decode_attention_ref(
-            q * ks, kp, vp, pos, layer=1, sm_scale=0.125, kv_bits=4) * vs
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed),
-                                   rtol=2e-5, atol=2e-5)
 
-    def test_int4_gqa_window(self):
+    def test_int4_xla_two_pass(self):
+        """The production int4 path (pure-XLA two-pass unpack) matches
+        both the packed jnp twin and the full-precision math, across
+        GQA/window/chunk/softcap/sinks variants."""
+        from gptq_v2_tpu.ops.contiguous_attention import (
+            contiguous_decode_attention_xla4)
         from gptq_v2_tpu.serving.kv_cache import pack_int4_rows
 
-        q, kf, vf, pos = make(hq=8, seed=8)
+        q, kf, vf, pos = make(hq=8, seed=9)
         k4 = jnp.clip(jnp.round(kf * 2.0), -7, 7).astype(jnp.int32)
         v4 = jnp.clip(jnp.round(vf * 2.0), -7, 7).astype(jnp.int32)
         kp, vp = pack_int4_rows(k4), pack_int4_rows(v4)
-        got = contiguous_decode_attention(q, kp, vp, pos, layer=0,
-                                          sm_scale=0.2, window=9, kv_bits=4)
-        ref = contiguous_decode_attention_ref(q, kp, vp, pos, layer=0,
-                                              sm_scale=0.2, window=9,
-                                              kv_bits=4)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-5, atol=2e-5)
+        ks = vs = 0.5
+        got0 = contiguous_decode_attention_xla4(
+            q * ks, kp, vp, pos, layer=1, sm_scale=0.125) * vs
+        ref0 = contiguous_decode_attention_ref(
+            q, k4.astype(jnp.float32) * ks, v4.astype(jnp.float32) * vs,
+            pos, layer=1, sm_scale=0.125)
+        np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                                   rtol=2e-4, atol=2e-4)
+        for kw in (dict(), dict(window=9), dict(chunk=8),
+                   dict(soft_cap=30.0),
+                   dict(sinks=jnp.asarray(
+                       np.random.default_rng(10).standard_normal(8),
+                       jnp.float32))):
+            got = contiguous_decode_attention_xla4(
+                q, kp, vp, pos, layer=1, sm_scale=0.125, **kw)
+            ref = contiguous_decode_attention_ref(
+                q, kp, vp, pos, layer=1, sm_scale=0.125, kv_bits=4, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=str(kw))
 
     def test_int8_cache(self):
         q, kf, vf, pos = make(seed=6)

@@ -421,7 +421,7 @@ class TestEngine:
                 k_scales=kv_scales and kv_scales[0],
                 v_scales=kv_scales and kv_scales[1], kv_bits=kv_bits)
             if kv_bits == 4:
-                assert cache.k.shape[-1] == cfg.head_dim_ // 2
+                assert cache.k.shape[-2] == cfg.num_key_value_heads // 2
                 assert cache.k.dtype == jnp.int8
             logits, cache = D.prefill(model, jnp.asarray(prompts), cache,
                                       None, lengths, slot=jnp.arange(B))

@@ -140,6 +140,15 @@ def accumulate_hessian(
         # fp16 matmuls are not native on the MXU; bf16 keeps fp32 accumulation
         # and adds only ~2^-8 relative input noise, negligible after damping.
         x = x.astype(jnp.bfloat16)
+    # Scoped-VMEM cap: two double-buffered (block_t, block_d) x-tiles plus
+    # the aliased H tile must fit the 16 MiB stack budget.  bf16 (the
+    # production path) keeps block_t=1024; f32 activations (numerics tests
+    # and oracles) measured 20.2 MiB there and failed to compile.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    while (block_t > 256
+           and (4 * block_t * block_d * itemsize
+                + 3 * block_d * block_d * 4) > (8 << 20)):
+        block_t //= 2
     x = _pad_to(x, 0, block_t)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -306,7 +306,8 @@ def pp_cache_pspec(cache, tp: int = 1):
         "PP serving uses the contiguous KV cache"
     m = MODEL_AXIS if tp > 1 else None
     s = P(STAGE_AXIS, None, None, m)
-    return kvc.ContiguousKVCache(s, s, cache.k_scales, cache.v_scales)
+    return kvc.ContiguousKVCache(s, s, cache.k_scales, cache.v_scales,
+                                 cache.kv_bits)
 
 
 def shard_cache_pp(cache, mesh: Mesh):
@@ -525,10 +526,10 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
             logits = logits / cfg.logits_divider
         return logits, cache._replace(k=ck, v=cv)
 
-    ks, vs = kv_scales if kv_scales is not None else (None, None)
-    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None, ks, vs), tp)
-
     def sharded(model, tokens, cache, positions):
+        # spec built from the live cache so every static aux field
+        # (scales, kv_bits) mirrors it exactly — treedefs must match
+        cspec = pp_cache_pspec(cache, tp)
         return jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(model.specs(), P(), cspec, P()),
@@ -636,12 +637,11 @@ def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):
             logits = logits / cfg.logits_divider
         return logits, cache._replace(k=ck, v=cv)
 
-    ks, vs = kv_scales if kv_scales is not None else (None, None)
-    cspec = pp_cache_pspec(kvc.ContiguousKVCache(None, None, ks, vs), tp)
-
     def sharded(model, tokens, cache, lengths, slot=None):
         if slot is None:
             slot = jnp.arange(tokens.shape[0], dtype=jnp.int32)
+        # spec built from the live cache so static aux mirrors it exactly
+        cspec = pp_cache_pspec(cache, tp)
         return jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(model.specs(), P(), cspec, P(), P()),

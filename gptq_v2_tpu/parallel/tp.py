@@ -256,7 +256,9 @@ def cache_pspec(cache, data_parallel: bool = False):
     d = DATA_AXIS if data_parallel else None
     if isinstance(cache, kvc.ContiguousKVCache):
         s = P(None, d, None, MODEL_AXIS, None)
-        return kvc.ContiguousKVCache(s, s)
+        # mirror the cache's static aux (scales, kv_bits) so treedefs match
+        return kvc.ContiguousKVCache(s, s, cache.k_scales, cache.v_scales,
+                                     cache.kv_bits)
     # (n_layers, n_pages, page_size, 2·n_kv, hd): combined KV heads shard over
     # model (pairs stay intact — even counts per shard), pool over data
     s = P(None, d, None, MODEL_AXIS, None)

@@ -160,15 +160,24 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             qq = q
             if q_scale is not None:
                 qq = qq * q_scale[..., None, None].astype(qq.dtype)
-            qq = qq * jnp.asarray(cache.k_scales[li],
-                                  jnp.float32).astype(q.dtype)
+            # scalar or per-kv-head k-scale; per-head repeats across the
+            # head's q group (kv-major HF head order) and folds into q
+            ks = jnp.asarray(cache.k_scales[li], jnp.float32)
+            if ks.ndim:
+                ks = jnp.repeat(ks, qq.shape[2] // ks.shape[0]
+                                )[None, None, :, None]
+            qq = qq * ks.astype(q.dtype)
             attn = ca.contiguous_decode_attention_xla4(
                 qq[:, 0], new_cache.k, new_cache.v, positions, li,
                 s_bucket=s, sm_scale=cfg.sm_scale_, window=window,
                 chunk=cfg.layer_chunk(li),
                 soft_cap=cfg.attn_logit_softcap,
                 sinks=lp.get("self_attn.sinks"))[:, None]
-            attn = attn * jnp.asarray(cache.v_scales[li], attn.dtype)
+            vs = jnp.asarray(cache.v_scales[li], jnp.float32)
+            if vs.ndim:
+                vs = jnp.repeat(vs, attn.shape[2] // vs.shape[0]
+                                )[None, None, :, None]
+            attn = attn * vs.astype(attn.dtype)
             return attn, new_cache
         if isinstance(cache, kvc.ContiguousKVCache):
             # decode batch == slot order: write row b at its position, then

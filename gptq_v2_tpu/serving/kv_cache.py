@@ -100,7 +100,11 @@ def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
     """Quantize new K/V for storage when the cache holds int8/int4-packed
     (symmetric, per-layer static scale); identity for full precision."""
     if getattr(cache, "kv_bits", 8) == 4:
-        ks, vs = cache.k_scales[layer], cache.v_scales[layer]
+        # scalar or per-kv-head scales; (…, n_kv, hd) broadcast either way
+        ks = jnp.asarray(cache.k_scales[layer], jnp.float32)
+        vs = jnp.asarray(cache.v_scales[layer], jnp.float32)
+        if ks.ndim:
+            ks, vs = ks[:, None], vs[:, None]
         k4 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -7, 7)
         v4 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -7, 7)
         return (pack_int4_rows(k4.astype(jnp.int32)),

@@ -243,7 +243,10 @@ def random_packed_llama(
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def _block_kv_amax(cfg, lp, x, cos, sin, window=L.AUTO_WINDOW):
     x, (k, v) = packed_block_apply(cfg, lp, x, cos, sin, window=window)
-    return x, jnp.max(jnp.abs(k)), jnp.max(jnp.abs(v))
+    # (n_kv,) per-head amax; callers reduce to a scalar for int8
+    ka = jnp.max(jnp.abs(k), axis=(0, 1, 3))
+    va = jnp.max(jnp.abs(v), axis=(0, 1, 3))
+    return x, ka, va
 
 
 def calibrate_kv_scales(
@@ -255,8 +258,12 @@ def calibrate_kv_scales(
     """Per-layer symmetric scales for int8/int4 KV storage: ``amax/qmax``
     of each layer's rope'd K and V over a short forward (pass real prompt
     ``tokens`` for text-statistics calibration; default is a synthetic
-    batch).  Returns ``(k_scales, v_scales)`` tuples of Python floats —
-    static jit constants, so per-layer scales cost no extra compiles."""
+    batch).  Returns ``(k_scales, v_scales)``, static jit constants so
+    per-layer scales cost no extra compiles: for int8, tuples of Python
+    floats (one per layer, the scalar folds into q); for int4, tuples of
+    per-KV-HEAD float tuples — at 15 levels a per-head range matters, and
+    the per-head fold is just as free (k into the head's q group, v onto
+    the head's output slice)."""
     cfg = model.cfg
     qmax = {8: 127.0, 4: 7.0}[bits]
     if tokens is None:
@@ -270,8 +277,14 @@ def calibrate_kv_scales(
         cos, sin = ropes[cfg.layer_rope(li)]
         x, ka, va = _block_kv_amax(cfg, lp, x, cos, sin,
                                    cfg.layer_window(li))
-        k_scales.append(max(float(ka) * margin / qmax, 1e-6))
-        v_scales.append(max(float(va) * margin / qmax, 1e-6))
+        if bits == 4:
+            k_scales.append(tuple(
+                max(float(a) * margin / qmax, 1e-6) for a in np.asarray(ka)))
+            v_scales.append(tuple(
+                max(float(a) * margin / qmax, 1e-6) for a in np.asarray(va)))
+        else:
+            k_scales.append(max(float(ka.max()) * margin / qmax, 1e-6))
+            v_scales.append(max(float(va.max()) * margin / qmax, 1e-6))
     return tuple(k_scales), tuple(v_scales)
 
 

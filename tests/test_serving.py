@@ -404,9 +404,10 @@ class TestEngine:
 
         def roundtrip(cache):
             # simulate int4 storage on the full-precision cache: snap every
-            # written K/V value to its layer's int4 grid
-            ks = jnp.asarray(scales[0]).reshape(-1, 1, 1, 1, 1)
-            vs = jnp.asarray(scales[1]).reshape(-1, 1, 1, 1, 1)
+            # written K/V value to its layer's PER-HEAD int4 grid
+            n_kv = cfg.num_key_value_heads
+            ks = jnp.asarray(scales[0]).reshape(-1, 1, 1, n_kv, 1)
+            vs = jnp.asarray(scales[1]).reshape(-1, 1, 1, n_kv, 1)
             return cache._replace(
                 k=(jnp.clip(jnp.round(cache.k / ks), -7, 7) * ks
                    ).astype(cache.k.dtype),

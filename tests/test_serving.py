@@ -454,6 +454,27 @@ class TestEngine:
                      / jnp.max(jnp.abs(native[0])))
         assert rel0 < 1e-5, rel0  # prefill attends on fresh bf16 K/V
 
+    def test_int4_kv_gemma2_style_variants(self):
+        """int4 KV composes with sliding windows + softcaps + sandwich
+        norms (the xla4 path's window/soft_cap params) end to end."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            hidden_act="gelu_pytorch_tanh", norm_unit_offset=True,
+            sandwich_norms=True, embed_normalizer=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=16.0,
+            layer_types=("sliding_attention", "full_attention"))
+        model = random_packed_llama(cfg, group_size=16, seed=13,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(14)
+        prompt = rng.integers(0, cfg.vocab_size, (11,)).tolist()
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="contiguous", kv_dtype="int4")
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert len(out[0]) == 5
+
     def test_int4_kv_engine_end_to_end(self, packed_model):
         """Engine integration: kv_dtype="int4" runs on the contiguous
         cache with auto-calibrated scales."""

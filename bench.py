@@ -77,13 +77,16 @@ PREFIX = 128
 #    hardware" view.
 CONFIGS = ((256, 256, 128, 4), (128, 256, 128, 8), (64, 256, 128, 8),
            (32, 1024, 896, 8))
-# NB: the engine's multi-step ticks (decode_sample_multi) amortize the
-# per-dispatch host cost k-fold, but an unrolled k-step 7B program takes
-# >25 min to compile on this remote-compile host, so the bench measures
-# the single-step program (same device work; ~3 ms/step dispatch tax on
-# the tunneled runtime is INCLUDED in the reported tok/s).
+# The bench measures the engine's multi-step tick
+# (decode.decode_sample_loop — Engine(multi_step=k)'s default impl): k
+# fused decode+sample steps under one lax.fori_loop dispatch.  The loop
+# body compiles once (~30 s at 7B — the round-3 blocker was the unrolled
+# variant's >25 min), and the per-dispatch host tax (~3 ms on this
+# tunneled runtime) amortizes k-fold, which is exactly how the engine
+# serves.  Round-3 methodology (one dispatch per step) left that tax in
+# every step: ~10% of a b32x1024 step.
 ROUNDS = 5
-STEPS_PER_ROUND = 8
+STEPS_PER_ROUND = 32
 
 
 def measure_hbm_bw(on_tpu: bool, dev) -> float:
@@ -162,31 +165,34 @@ def measure_decode(model, cfg, batch, max_seq, prefix, on_tpu, kv_bits=8):
                                       else None)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)), jnp.int32)
+    temps = jnp.zeros((batch,), jnp.float32)  # greedy rows
+    key = jax.random.key(0)
+    k_steps = STEPS_PER_ROUND if on_tpu else 4
     pos = prefix
 
     t0 = time.time()
-    logits, cache = D.decode_step(model, tokens, cache, None,
-                                  jnp.full((batch,), pos, jnp.int32))
-    np.asarray(logits[:, :8])
-    pos += 1
+    out, cache, key = D.decode_sample_loop(
+        model, tokens, cache, None, jnp.full((batch,), pos, jnp.int32),
+        temps, key, k_steps)
+    np.asarray(out)
+    pos += k_steps
     print(f"  b={batch} s={max_seq} kv{kv_bits} compile+warmup "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
     best = float("inf")
     for _ in range(ROUNDS):
-        if pos + STEPS_PER_ROUND >= max_seq:
+        if pos + k_steps >= max_seq:
             pos = prefix  # stay inside the benched context window
         t0 = time.time()
-        for _ in range(STEPS_PER_ROUND):
-            logits, cache = D.decode_step(
-                model, tokens, cache, None,
-                jnp.full((batch,), pos, jnp.int32))
-            pos += 1
-        np.asarray(logits[:, :8])
-        best = min(best, (time.time() - t0) / STEPS_PER_ROUND)
+        out, cache, key = D.decode_sample_loop(
+            model, tokens, cache, None, jnp.full((batch,), pos, jnp.int32),
+            temps, key, k_steps)
+        np.asarray(out)
+        pos += k_steps
+        best = min(best, (time.time() - t0) / k_steps)
     kv_read = (cfg.num_hidden_layers * 2 * batch * max_seq
                * cfg.num_key_value_heads * cfg.head_dim_
                * (kv_bits if on_tpu else 8 * cache.k.dtype.itemsize) // 8)
-    del cache, logits
+    del cache, out
     return batch / best, kv_read
 
 

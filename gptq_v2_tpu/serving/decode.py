@@ -333,6 +333,63 @@ def decode_sample_multi(
     return jnp.stack(outs), cache, key
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "s_bucket", "return_logprobs"),
+                   donate_argnums=(2,))
+def decode_sample_loop(
+    model: PackedLlama,
+    tokens: jax.Array,  # (B,) last sampled token per slot
+    cache,
+    block_tables: Optional[jax.Array],
+    positions: jax.Array,  # (B,) position of the FIRST new token
+    temperatures: jax.Array,  # (B,) — <=0 greedy per row
+    key: jax.Array,
+    n_steps: int,
+    s_bucket: Optional[int] = None,  # must cover positions + n_steps
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
+) -> Tuple[jax.Array, "kvc.PagedKVCache", jax.Array]:
+    """``n_steps`` fused decode+sample steps under ONE ``lax.fori_loop``
+    dispatch — semantically identical to :func:`decode_sample_multi`
+    (same PRNG chain, same outputs) with the body compiled ONCE.
+
+    Resolves the round-3 compile-time wall: the Python-unrolled k-step
+    7B program took >25 min to compile on the remote-compile host
+    (body duplicated k times), while this loop compiles in ~the cost of
+    one step (~30 s warm at 7B, k=32).  Unlike the ``lax.scan`` burst
+    (``decode_multi``, measured ~6x slower per step), the while-loop
+    carry holds no stacked per-step outputs other than a preallocated
+    ``(k, B)`` token buffer updated in place, so XLA's loop buffer
+    forwarding keeps the donated KV cache in place: measured device
+    time matches the per-dispatch step (27.97 vs 30.07 ms/step at 7B
+    b32x1024 incl. the dispatch tax it removes —
+    ``scripts/bench_fori_decode.py``).  The engine's default multi-step
+    tick (``Engine(multi_step=k)``).
+    """
+    out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
+                 else (n_steps, tokens.shape[0]))
+    out0 = jnp.zeros(out_shape, jnp.int32)
+
+    def body(i, carry):
+        toks, cache, key, out = carry
+        logits, cache = _decode_step_impl(model, toks, cache, block_tables,
+                                          positions + i, s_bucket)
+        key, sub = jax.random.split(key)
+        toks = sample_per_row(logits, sub, temperatures,
+                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+        rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+               if return_logprobs else toks)
+        out = jax.lax.dynamic_update_slice(
+            out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+        return toks, cache, key, out
+
+    _, cache, key, out = jax.lax.fori_loop(
+        0, n_steps, body, (tokens, cache, key, out0))
+    return out, cache, key
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "s_bucket"),
                    donate_argnums=(2,))
 def decode_multi(

@@ -87,6 +87,7 @@ class Engine:
         logprobs: bool = False,
         mla_absorbed: bool = False,
         multi_step: int = 1,
+        multi_step_impl: str = "fori",
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -164,11 +165,18 @@ class Engine:
         self.max_batch = max_batch
         self.cache_kind = cache_kind
         # multi-step decode ticks: k fused decode+sample steps per host
-        # sync (decode.decode_sample_multi).  Phased scheduler only;
-        # admission/EOS handling runs every k tokens, tokens sampled after
-        # a mid-chunk stop are discarded host-side (the same semantics as
-        # the speculative engine's chunk tail).
+        # sync.  ``multi_step_impl="fori"`` (default) runs them under one
+        # lax.fori_loop — the body compiles ONCE (seconds at 7B, vs >25 min
+        # for the k-times-unrolled program on a remote-compile host) with
+        # the donated cache updated in place; ``"unroll"`` keeps the
+        # straight-line program (marginally less loop overhead at tiny k).
+        # Phased scheduler only; admission/EOS handling runs every k
+        # tokens, tokens sampled after a mid-chunk stop are discarded
+        # host-side (the same semantics as the speculative engine's chunk
+        # tail).  Both impls are token-identical to single-step.
         self.multi_step = max(1, int(multi_step))
+        assert multi_step_impl in ("fori", "unroll"), multi_step_impl
+        self.multi_step_impl = multi_step_impl
         if self.multi_step > 1:
             assert scheduler == "phased" and draft is None and not mla_absorbed, (
                 "multi_step rides the phased non-speculative decode tick")
@@ -962,7 +970,9 @@ class Engine:
                 and max_pos + k_steps <= self.max_seq_len):
             s_bucket = min(_bucket(max_pos + k_steps, lo=self.page_size),
                            self.max_seq_len)
-            out_dev, self.cache, self.key = D.decode_sample_multi(
+            tick = (D.decode_sample_loop if self.multi_step_impl == "fori"
+                    else D.decode_sample_multi)
+            out_dev, self.cache, self.key = tick(
                 self.model, d["tokens"], self.cache, self._bt(),
                 d["positions"], d["temps"], self.key, k_steps,
                 s_bucket=s_bucket, top_ks=d["top_ks"], top_ps=d["top_ps"],

@@ -1291,6 +1291,23 @@ class TestMultiStep:
                      multi_step=4).run(reqs())
         assert got == ref
 
+    def test_fori_matches_unroll(self, packed_model):
+        """The fori_loop tick and the unrolled tick share one PRNG chain
+        and must emit identical tokens (decode_sample_loop is a drop-in
+        twin of decode_sample_multi)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(15)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 8)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=9,
+                                temperature=0.7 if i else 0.0)
+                        for i, p in enumerate(prompts)]
+        a = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                   multi_step=4, multi_step_impl="fori", seed=3).run(reqs())
+        b = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                   multi_step=4, multi_step_impl="unroll", seed=3).run(reqs())
+        assert a == b
+
     def test_eos_mid_chunk_discards_tail(self, packed_model):
         model, _ = packed_model
         rng = np.random.default_rng(12)

@@ -326,6 +326,7 @@ def ragged_paged_attention_kernel(
     k_scale: float | None = None,
     v_scale: float | None = None,
     has_sinks: bool = False,
+    kv_int4: bool = False,
 ):
   if mask_value is None:
     mask_value = DEFAULT_MASK_VALUE
@@ -337,7 +338,14 @@ def ragged_paged_attention_kernel(
   )
   num_kv_heads_per_blk = num_combined_kv_heads_per_blk // 2
   num_kv_per_blk = num_kv_pages_per_blk * page_size
-  num_q_heads_per_kv_head = num_q_heads_per_blk // num_kv_heads_per_blk
+  # INT4 FORK: each combined entry is a nibble-packed byte holding the
+  # ADJACENT kv-head pair (2p low nibble, 2p+1 high), so the block's real
+  # kv heads = the combined entry count and the q-group ratio halves;
+  # real heads of a packed block stay contiguous, so heads blocking and
+  # the q BlockSpec are untouched.
+  num_real_kv_heads_per_blk = (num_combined_kv_heads_per_blk if kv_int4
+                               else num_kv_heads_per_blk)
+  num_q_heads_per_kv_head = num_q_heads_per_blk // num_real_kv_heads_per_blk
   heads_blk_idx, q_blk_idx = (
       pl.program_id(0),
       pl.program_id(1),
@@ -645,6 +653,34 @@ def ragged_paged_attention_kernel(
       kv_packing = get_dtype_packing(kv_ref.dtype)
       # NOTE: kv_packing is divided by 2 because k and v are packed together.
       kv_load_step = max(1, kv_packing // 2)
+
+      def run_head(k, v, kv_head_idx):
+        """One real kv head's flash block (k/v already in q dtype)."""
+        q_head_idx = kv_head_idx * num_q_heads_per_kv_head
+        # TODO(jevinjiang): extra handling for packed type that can start at
+        # unaligned position!
+        q = fold_on_2nd_minor(
+            q_ref[:, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :]
+        )
+        flash_attention(
+            q,
+            k,
+            v,
+            l_ref.at[kv_head_idx],
+            m_ref.at[kv_head_idx],
+            acc_ref.at[
+                :, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :
+            ],
+            kv_blk_idx=kv_blk_idx,
+            head_sink_ref=(
+                sinks_ref.at[
+                    heads_blk_idx * num_real_kv_heads_per_blk + kv_head_idx
+                ]
+                if has_sinks
+                else None
+            ),
+        )
+
       for kv_head_chunk_idx in range(0, num_kv_heads_per_blk, kv_load_step):
         k_list, v_list = strided_load_kv(
             kv_ref, kv_head_chunk_idx * 2, num_combined_kv_heads_per_blk
@@ -652,6 +688,21 @@ def ragged_paged_attention_kernel(
         for step_idx in range(kv_load_step):
           k = k_list[step_idx]
           v = v_list[step_idx]
+          if kv_int4:
+            # INT4 FORK: the loaded int8 bytes pack the adjacent kv-head
+            # pair; widen once and extract the sign-extended nibbles (the
+            # int8->i32 convert preserves the byte sign, so the high
+            # nibble is one arithmetic shift).
+            kw = k.astype(jnp.int32)
+            vw = v.astype(jnp.int32)
+            for half, (kh, vh) in enumerate(
+                ((((kw << 28) >> 28), ((vw << 28) >> 28)),
+                 ((kw >> 4), (vw >> 4)))):
+              kh = (kh.astype(jnp.float32) * k_scale).astype(q_ref.dtype)
+              vh = (vh.astype(jnp.float32) * v_scale).astype(q_ref.dtype)
+              run_head(kh, vh,
+                       2 * (kv_head_chunk_idx + step_idx) + half)
+            continue
           if k_scale is not None:
             # NOTE: Conversion between arbitrary data types is not supported.
             # That's why it is converted to float32 first.
@@ -660,31 +711,7 @@ def ragged_paged_attention_kernel(
           if v_scale is not None:
             v = v.astype(jnp.float32) * v_scale
             v = v.astype(q_ref.dtype)
-          kv_head_idx = kv_head_chunk_idx + step_idx
-          q_head_idx = kv_head_idx * num_q_heads_per_kv_head
-          # TODO(jevinjiang): extra handling for packed type that can start at
-          # unaligned position!
-          q = fold_on_2nd_minor(
-              q_ref[:, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :]
-          )
-          flash_attention(
-              q,
-              k,
-              v,
-              l_ref.at[kv_head_idx],
-              m_ref.at[kv_head_idx],
-              acc_ref.at[
-                  :, q_head_idx : q_head_idx + num_q_heads_per_kv_head, :
-              ],
-              kv_blk_idx=kv_blk_idx,
-              head_sink_ref=(
-                  sinks_ref.at[
-                      heads_blk_idx * num_kv_heads_per_blk + kv_head_idx
-                  ]
-                  if has_sinks
-                  else None
-              ),
-          )
+          run_head(k, v, kv_head_chunk_idx + step_idx)
       return kv_blk_idx + 1, next_buf_idx
 
     _, next_buf_idx = lax.while_loop(
@@ -759,6 +786,7 @@ def get_min_heads_per_blk(
         "soft_cap",
         "k_scale",
         "v_scale",
+        "kv_int4",
     ],
 )
 def ragged_paged_attention(
@@ -780,6 +808,7 @@ def ragged_paged_attention(
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
     sinks: jax.Array | None = None,  # [num_q_heads] f32 (SINK FORK)
+    kv_int4: bool = False,  # INT4 FORK: nibble-packed adjacent-pair pages
 ):
   """Ragged paged attention that supports mixed prefill and decode.
 
@@ -829,7 +858,18 @@ def ragged_paged_attention(
   num_q_tokens, num_q_heads, head_dim = q.shape
   _, page_size, num_combined_kv_heads, _ = kv_pages.shape
   assert num_combined_kv_heads % 2 == 0
-  num_kv_heads = num_combined_kv_heads // 2
+  # INT4 FORK: combined entries are nibble-packed adjacent kv-head pairs,
+  # so the REAL kv-head count equals the combined entry count (each K
+  # entry expands to two heads).  All heads-blocking math runs on the
+  # combined axis unchanged; only the per-real-head bookkeeping (sinks,
+  # l/m scratch, q-group ratio) uses the doubled count.
+  if kv_int4:
+    assert kv_pages.dtype == jnp.int8, kv_pages.dtype
+    assert k_scale is not None and v_scale is not None, (
+        "int4 pages always carry per-layer dequant scales")
+    num_kv_heads = num_combined_kv_heads
+  else:
+    num_kv_heads = num_combined_kv_heads // 2
   _, pages_per_seq = page_indices.shape
   num_q_heads_per_blk, num_combined_kv_heads_per_blk = get_min_heads_per_blk(
       num_q_heads, num_combined_kv_heads, q.dtype, kv_pages.dtype
@@ -850,7 +890,8 @@ def ragged_paged_attention(
   num_q_heads_per_kv_head = num_q_heads // num_kv_heads
   num_q_blks = pl.cdiv(num_q_tokens, num_q_per_blk)
   assert num_combined_kv_heads_per_blk % 2 == 0
-  num_kv_heads_per_blk = num_combined_kv_heads_per_blk // 2
+  num_kv_heads_per_blk = (num_combined_kv_heads_per_blk if kv_int4
+                          else num_combined_kv_heads_per_blk // 2)
   assert num_q_heads_per_blk % num_q_heads_per_kv_head == 0
   num_heads_blks = num_q_heads // num_q_heads_per_blk
   grid = (num_heads_blks, num_q_blks)
@@ -923,6 +964,7 @@ def ragged_paged_attention(
           k_scale=k_scale,
           v_scale=v_scale,
           has_sinks=has_sinks,
+          kv_int4=kv_int4,
       ),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=len(scalar_prefetches),

@@ -174,6 +174,164 @@ def contiguous_decode_attention(
     return out.swapaxes(1, 2).reshape(b, hq, hd)
 
 
+def _kernel_p4(layer_ref, pos_ref, sink_ref, q_lo_ref, q_hi_ref, k_ref,
+               v_ref, o_lo_ref, o_hi_ref, *, s_total, groups, hb, sm_scale,
+               window, chunk, soft_cap, has_sinks, compute_dt):
+    """Single-read int4 decode attention: each streamed byte of the
+    head-pair-packed cache (``kv_cache.pack_int4_rows``) carries kv-head
+    ``p`` (low nibble) and ``p + Hkv/2`` (high nibble); both heads'
+    score/softmax/PV run on the one resident block, so the packed tensor
+    streams from HBM ONCE — half the physical traffic of the two-pass XLA
+    unpack path, which re-reads it per nibble half."""
+    del layer_ref
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    # int8 vector shifts don't legalize in this Mosaic backend — widen to
+    # i32 first; the high nibble is then ONE arithmetic shift (the int8→i32
+    # convert preserved the byte's sign), the low needs the shl/shr pair
+    kw = k_ref[0, 0].astype(jnp.int32)  # (S, Hb_p, hd) nibble-packed
+    vw = v_ref[0, 0].astype(jnp.int32)
+    k_lo = ((kw << 28) >> 28).astype(compute_dt)
+    k_hi = (kw >> 4).astype(compute_dt)
+    neg = jnp.finfo(jnp.float32).min
+    sj = jax.lax.broadcasted_iota(jnp.int32, (s_total, hb), 0)
+    valid = sj <= pos
+    if window is not None:
+        valid &= sj > pos - window
+    if chunk is not None:
+        valid &= (sj // chunk) == (pos // chunk)
+
+    def halve(q_ref, kf, v8h, o_ref, sink_half):
+        for g in range(groups):
+            qg = q_ref[0, g]  # (Hb_p, hd)
+            scores = jnp.sum(kf * qg[None].astype(compute_dt),
+                             axis=2).astype(jnp.float32)  # (S, Hb_p)
+            scores = scores * sm_scale
+            if soft_cap is not None:
+                scores = soft_cap * jnp.tanh(scores / soft_cap)
+            scores = jnp.where(valid, scores, neg)
+            m = jnp.max(scores, axis=0, keepdims=True)
+            if has_sinks:
+                sk = sink_half[g][None]
+                m = jnp.maximum(m, sk)
+            p = jnp.exp(scores - m)
+            l = jnp.sum(p, axis=0, keepdims=True)
+            if has_sinks:
+                l = l + jnp.exp(sk - m)
+            pc = p[:, :, None].astype(compute_dt)
+            ctx = jnp.sum(pc * v8h, axis=0)  # (Hb_p, hd)
+            o_ref[0, g] = (ctx.astype(jnp.float32)
+                           / l[0][:, None]).astype(o_ref.dtype)
+
+    sk_lo = sink_ref[:, :hb] if has_sinks else None
+    sk_hi = sink_ref[:, hb:] if has_sinks else None
+    halve(q_lo_ref, k_lo, ((vw << 28) >> 28).astype(compute_dt), o_lo_ref,
+          sk_lo)
+    halve(q_hi_ref, k_hi, (vw >> 4).astype(compute_dt), o_hi_ref, sk_hi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "window", "chunk", "soft_cap",
+                     "hb", "interpret", "s_used"))
+def _call_p4(q_lo, q_hi, k_cache, v_cache, positions, sinks_g, layer,
+             sm_scale: float, window, chunk, soft_cap, hb: int,
+             interpret: bool, s_used: int = None):
+    b, groups, hp, hd = q_lo.shape
+    s_total = k_cache.shape[2] if s_used is None else s_used
+    has_sinks = sinks_g is not None
+    if sinks_g is None:
+        sinks_g = jnp.zeros((1, 2), jnp.float32)
+    kernel = functools.partial(
+        _kernel_p4, s_total=s_total, groups=groups, hb=hb,
+        sm_scale=sm_scale, window=window, chunk=chunk, soft_cap=soft_cap,
+        has_sinks=has_sinks, compute_dt=q_lo.dtype)
+    grid = (b, hp // hb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # layer (1,), positions (B,)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(sinks_g.shape, lambda bi, hi, li, po: (0, 0)),
+            pl.BlockSpec((1, groups, hb, hd),
+                         lambda bi, hi, li, po: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, groups, hb, hd),
+                         lambda bi, hi, li, po: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, s_total, hb, hd),
+                         lambda bi, hi, li, po: (li[0], bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, s_total, hb, hd),
+                         lambda bi, hi, li, po: (li[0], bi, 0, hi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, groups, hb, hd),
+                         lambda bi, hi, li, po: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, groups, hb, hd),
+                         lambda bi, hi, li, po: (bi, 0, hi, 0)),
+        ),
+    )
+    o_lo, o_hi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, groups, hp, hd), q_lo.dtype),
+                   jax.ShapeDtypeStruct((b, groups, hp, hd), q_lo.dtype)),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), positions, sinks_g, q_lo,
+      q_hi, k_cache, v_cache)
+    return o_lo, o_hi
+
+
+def contiguous_decode_attention_p4(
+    q: jax.Array,  # (B, Hq, hd) — k-scale/q-scale already folded in
+    k_cache: jax.Array,  # (L, B, S, Hkv/2, hd) nibble-packed int8
+    v_cache: jax.Array,
+    positions: jax.Array,  # (B,)
+    layer: int,
+    s_bucket: Optional[int] = None,
+    sm_scale: float = 1.0,
+    window: Optional[int] = None,
+    chunk: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # (Hq,) f32
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-read Pallas int4 decode attention; returns (B, Hq, hd).
+
+    The packed cache streams once (vs twice for
+    :func:`contiguous_decode_attention_xla4`) with nibble extraction and
+    both pair-heads' attention fused in-kernel.  Semantics identical to
+    the xla4 path / the :func:`contiguous_decode_attention_ref` twin.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, hd = q.shape
+    hp = k_cache.shape[3]  # packed head pairs = Hkv/2
+    hkv = 2 * hp
+    groups = hq // hkv
+    s = k_cache.shape[2] if s_bucket is None else min(s_bucket,
+                                                      k_cache.shape[2])
+    hb = hp
+    if sinks is None:  # sinks need the whole head row resident
+        while hb > 8 and (s * hb * hd * 2 * 2) > 4 << 20:
+            hb //= 2
+        while hp % hb:
+            hb //= 2
+        hb = max(hb, 1)
+    # kv-major HF head order: q (B, Hkv, G, hd) → per-half (B, G, Hp, hd)
+    qg = q.reshape(b, hkv, groups, hd)
+    q_lo = qg[:, :hp].swapaxes(1, 2)
+    q_hi = qg[:, hp:].swapaxes(1, 2)
+    sinks_g = None
+    if sinks is not None:
+        # (G, 2·Hp): lo heads first, hi heads second (hb == hp with sinks)
+        sinks_g = jnp.asarray(sinks, jnp.float32).reshape(hkv, groups).T
+    o_lo, o_hi = _call_p4(q_lo, q_hi, k_cache, v_cache,
+                          positions.astype(jnp.int32), sinks_g, layer=layer,
+                          sm_scale=float(sm_scale), window=window,
+                          chunk=chunk, soft_cap=soft_cap, hb=hb,
+                          interpret=bool(interpret), s_used=s)
+    out = jnp.concatenate([o_lo, o_hi], axis=2)  # (B, G, Hkv, hd)
+    return out.swapaxes(1, 2).reshape(b, hq, hd)
+
+
 def contiguous_decode_attention_xla4(
     q: jax.Array,  # (B, Hq, hd) — k-scale/q-scale already folded in
     k_cache: jax.Array,  # (L, B, S, Hkv/2, hd) nibble-packed int8

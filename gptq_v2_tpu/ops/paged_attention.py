@@ -46,12 +46,13 @@ def paged_decode_attention(
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
     sinks: jax.Array | None = None,  # (Hq,) GPT-OSS attention sinks
+    kv_int4: bool = False,  # nibble-packed int8 pages (adjacent pairs)
 ) -> jax.Array:
     """Returns (B, Hq, hd).  Dispatches to the Pallas kernel when eligible,
-    else to the jnp twin.  ``sinks`` routes to the in-repo sink-extended
-    fork of the kernel (``ops/_ragged_sink_kernel.py``)."""
+    else to the jnp twin.  ``sinks`` / ``kv_int4`` route to the in-repo
+    extended fork of the kernel (``ops/_ragged_sink_kernel.py``)."""
     if kernel_eligible(kv_pages):
-        if sinks is not None:
+        if sinks is not None or kv_int4:
             from gptq_v2_tpu.ops._ragged_sink_kernel import (
                 ragged_paged_attention,
             )
@@ -75,11 +76,13 @@ def paged_decode_attention(
             num_queries_per_block=num_queries_per_block,
             vmem_limit_bytes=vmem_limit_bytes,
             **({"sinks": sinks} if sinks is not None else {}),
+            **({"kv_int4": True} if kv_int4 else {}),
         )
     return paged_decode_attention_reference(q, kv_pages, lengths,
                                             block_tables, sliding_window,
                                             k_scale, v_scale, soft_cap,
-                                            sm_scale, sinks=sinks)
+                                            sm_scale, sinks=sinks,
+                                            kv_int4=kv_int4)
 
 
 def paged_ragged_attention(
@@ -98,6 +101,7 @@ def paged_ragged_attention(
     num_queries_per_block: int | None = None,
     vmem_limit_bytes: int | None = None,
     sinks: jax.Array | None = None,  # (Hq,) GPT-OSS attention sinks
+    kv_int4: bool = False,  # nibble-packed int8 pages (adjacent pairs)
 ) -> jax.Array:
     """Mixed prefill+decode attention over the page pool (vLLM-style
     chunked-prefill): sequence i's rows ``[cu_q_lens[i], cu_q_lens[i+1])``
@@ -105,7 +109,7 @@ def paged_ragged_attention(
     new-token run.  One program serves every (prefill chunk x decode)
     mix — no per-bucket recompiles.  Returns (T, Hq, hd)."""
     if kernel_eligible(kv_pages):
-        if sinks is not None:
+        if sinks is not None or kv_int4:
             from gptq_v2_tpu.ops._ragged_sink_kernel import (
                 ragged_paged_attention,
             )
@@ -127,10 +131,12 @@ def paged_ragged_attention(
             num_queries_per_block=num_queries_per_block,
             vmem_limit_bytes=vmem_limit_bytes,
             **({"sinks": sinks} if sinks is not None else {}),
+            **({"kv_int4": True} if kv_int4 else {}),
         )
     return paged_ragged_attention_reference(
         q, kv_pages, kv_lens, block_tables, cu_q_lens, num_seqs,
-        sliding_window, k_scale, v_scale, soft_cap, sm_scale, sinks=sinks)
+        sliding_window, k_scale, v_scale, soft_cap, sm_scale, sinks=sinks,
+        kv_int4=kv_int4)
 
 
 def paged_ragged_attention_reference(
@@ -146,12 +152,13 @@ def paged_ragged_attention_reference(
     soft_cap: float | None = None,
     sm_scale: float | None = None,
     sinks: jax.Array | None = None,
+    kv_int4: bool = False,
 ) -> jax.Array:
     """jnp twin: per-token gather of its sequence's pages + masked GQA.
 
     O(T · S_kv) dense scores — test/debug scale only."""
     _, ps, n_comb, hd = kv_pages.shape
-    n_kv = n_comb // 2
+    n_kv = n_comb if kv_int4 else n_comb // 2
     s_seqs, mp = block_tables.shape
     t, hq = q.shape[0], q.shape[1]
     s_kv = mp * ps
@@ -168,6 +175,10 @@ def paged_ragged_attention_reference(
     pages = jnp.take(kv_pages, block_tables[seg], axis=0)  # (T, mp, ps, 2kv, hd)
     seq = pages.reshape(t, s_kv, n_comb, hd)
     k, v = seq[:, :, 0::2], seq[:, :, 1::2]
+    if kv_int4:
+        from gptq_v2_tpu.serving.kv_cache import unpack_int4_rows_adj
+
+        k, v = unpack_int4_rows_adj(k), unpack_int4_rows_adj(v)
     if k_scale is not None:
         k = k.astype(jnp.float32) * k_scale
     if v_scale is not None:
@@ -210,16 +221,21 @@ def paged_decode_attention_reference(
     soft_cap: float | None = None,
     sm_scale: float | None = None,
     sinks: jax.Array | None = None,
+    kv_int4: bool = False,
 ) -> jax.Array:
     """jnp twin: gather pages, dense masked GQA attention, fp32 softmax."""
     _, ps, n_comb, hd = kv_pages.shape
-    n_kv = n_comb // 2
+    n_kv = n_comb if kv_int4 else n_comb // 2
     b, mp = block_tables.shape
     hq = q.shape[1]
     s = mp * ps
     pages = jnp.take(kv_pages, block_tables, axis=0)  # (B, mp, ps, 2kv, hd)
     seq = pages.reshape(b, s, n_comb, hd)
     k, v = seq[:, :, 0::2], seq[:, :, 1::2]
+    if kv_int4:
+        from gptq_v2_tpu.serving.kv_cache import unpack_int4_rows_adj
+
+        k, v = unpack_int4_rows_adj(k), unpack_int4_rows_adj(v)
     if k_scale is not None:
         k = k.astype(jnp.float32) * k_scale
     if v_scale is not None:

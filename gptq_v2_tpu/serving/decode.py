@@ -246,6 +246,7 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
                 sinks=lp.get("self_attn.sinks"),
                 k_scale=None if cache.k_scales is None else cache.k_scales[li],
                 v_scale=None if cache.v_scales is None else cache.v_scales[li],
+                kv_int4=cache.kv_bits == 4,
                 num_kv_pages_per_block=min(n_pages, 128) if whole else None,
                 num_queries_per_block=16 if b >= 16 else None,
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -528,6 +529,7 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                 sinks=lp.get("self_attn.sinks"),
                 k_scale=None if cache.k_scales is None else cache.k_scales[li],
                 v_scale=None if cache.v_scales is None else cache.v_scales[li],
+                kv_int4=cache.kv_bits == 4,
             )[:, None]
             return attn, None
 

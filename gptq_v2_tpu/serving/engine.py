@@ -197,10 +197,10 @@ class Engine:
         else:
             raise ValueError(kv_dtype)
         if kv_dtype == "int4":
-            assert (cache_kind == "contiguous" and not mla_absorbed
-                    and draft is None and mesh is None), (
-                "int4 KV rides the single-chip contiguous cache's Pallas "
-                "kernel path (no paged/MLA/speculative/TP composition yet)")
+            assert (not mla_absorbed and draft is None and mesh is None), (
+                "int4 KV rides the contiguous (two-pass XLA unpack) and "
+                "paged (in-kernel nibble unpack, ops/_ragged_sink_kernel "
+                "kv_int4) caches — no MLA/speculative/TP composition yet")
         self.mla_absorbed = mla_absorbed
         if mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
@@ -231,10 +231,18 @@ class Engine:
         elif cache_kind == "paged":
             if n_pages is None:
                 n_pages = 1 + max_batch * self.max_pages_per_seq
+            if kv_dtype == "int4":
+                # the ragged kernel bakes ONE static scale per layer in, so
+                # collapse the per-kv-head int4 calibration to its max
+                k_scales = tuple(max(s) if not isinstance(s, float) else s
+                                 for s in k_scales)
+                v_scales = tuple(max(s) if not isinstance(s, float) else s
+                                 for s in v_scales)
             self.cache = kvc.init_cache(
                 cfg.num_hidden_layers, n_pages, page_size,
                 cfg.num_key_value_heads, cfg.head_dim_,
                 dtype=cache_dtype, k_scales=k_scales, v_scales=v_scales,
+                kv_bits=4 if kv_dtype == "int4" else None,
             )
             self.free_pages = list(range(1, n_pages))  # page 0 = trash
             self.block_tables = np.zeros((max_batch, self.max_pages_per_seq),

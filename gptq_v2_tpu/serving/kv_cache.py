@@ -42,6 +42,11 @@ class PagedKVCache:
     # bakes its own scalar in, so per-layer scales cost no recompiles.
     k_scales: Optional[Tuple[float, ...]] = None
     v_scales: Optional[Tuple[float, ...]] = None
+    # 4 = nibble-packed int8 pages (ADJACENT kv-head pairs per byte,
+    # :func:`pack_int4_rows_adj`); the combined-head axis is then
+    # ``2 · (n_kv/2) = n_kv`` and the ragged kernel fork unpacks in-kernel
+    # (``ops/_ragged_sink_kernel.py`` ``kv_int4``).  0 = storage dtype.
+    kv_bits: int = 0
 
     @property
     def n_slots(self) -> int:
@@ -55,7 +60,8 @@ class PagedKVCache:
         return dataclasses.replace(self, **kw)
 
     def tree_flatten(self):
-        return ((self.kv,), (self.page_size, self.k_scales, self.v_scales))
+        return ((self.kv,), (self.page_size, self.k_scales, self.v_scales,
+                             self.kv_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -63,7 +69,14 @@ class PagedKVCache:
 
 
 def init_cache(n_layers: int, n_pages: int, page_size: int, n_kv: int, hd: int,
-               dtype=jnp.bfloat16, k_scales=None, v_scales=None) -> PagedKVCache:
+               dtype=jnp.bfloat16, k_scales=None, v_scales=None,
+               kv_bits: Optional[int] = None) -> PagedKVCache:
+    if kv_bits == 4:
+        assert n_kv % 2 == 0, "int4 pages pack adjacent kv-head pairs"
+        assert k_scales is not None and v_scales is not None
+        shape = (n_layers, n_pages, page_size, n_kv, hd)  # 2·(n_kv/2) packed
+        return PagedKVCache(jnp.zeros(shape, jnp.int8), page_size,
+                            k_scales, v_scales, kv_bits=4)
     shape = (n_layers, n_pages, page_size, 2 * n_kv, hd)
     return PagedKVCache(jnp.zeros(shape, dtype), page_size,
                         k_scales, v_scales)
@@ -96,9 +109,42 @@ def unpack_int4_rows(p8: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-2)
 
 
+def pack_int4_rows_adj(q4: jax.Array) -> jax.Array:
+    """(…, n_kv, hd) int32 nibble values in [-7, 7] → (…, n_kv/2, hd) int8.
+
+    ADJACENT-pair layout: byte ``[p, d]`` holds kv-head ``2p`` (low nibble)
+    and ``2p + 1`` (high) — the paged-cache packing.  Unlike the contiguous
+    cache's half-split pairing (:func:`pack_int4_rows`, chosen so XLA can
+    slice the two halves cheaply), adjacency keeps a packed block's REAL
+    heads contiguous, which is what lets the ragged kernel's heads-blocking
+    and q BlockSpec run unchanged (``_ragged_sink_kernel.py`` ``kv_int4``).
+    """
+    lo = q4[..., 0::2, :] & 0xF
+    hi = q4[..., 1::2, :] << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4_rows_adj(p8: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4_rows_adj` (sign-extending); int32 out."""
+    w = p8.astype(jnp.int32)
+    lo = (w << 28) >> 28
+    hi = (w << 24) >> 28
+    st = jnp.stack([lo, hi], axis=-2)  # (…, n_kv/2, 2, hd)
+    return st.reshape(*p8.shape[:-2], 2 * p8.shape[-2], p8.shape[-1])
+
+
 def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
     """Quantize new K/V for storage when the cache holds int8/int4-packed
     (symmetric, per-layer static scale); identity for full precision."""
+    if isinstance(cache, PagedKVCache) and cache.kv_bits == 4:
+        # paged int4: scalar per-layer scales (the kernel bakes them in),
+        # adjacent-pair nibble packing
+        ks = float(cache.k_scales[layer])
+        vs = float(cache.v_scales[layer])
+        k4 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -7, 7)
+        v4 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -7, 7)
+        return (pack_int4_rows_adj(k4.astype(jnp.int32)),
+                pack_int4_rows_adj(v4.astype(jnp.int32)))
     if getattr(cache, "kv_bits", 8) == 4:
         # scalar or per-kv-head scales; (…, n_kv, hd) broadcast either way
         ks = jnp.asarray(cache.k_scales[layer], jnp.float32)

@@ -487,6 +487,100 @@ class TestEngine:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert len(out[0]) == 5
 
+    def test_int4_kv_paged_close_to_simulated(self, packed_model):
+        """Paged int4 cache (nibble-packed int8 pages, adjacent-pair
+        layout): a fixed token trajectory's decode logits track a
+        full-precision paged cache whose written K/V are SNAPPED to the
+        same scalar int4 grid (the same methodology as the contiguous
+        int4 test — a scale/pairing mis-fold would blow this up ~40x)."""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        cfg = model.cfg
+        per_head = calibrate_kv_scales(model, bits=4)
+        ks = tuple(max(s) for s in per_head[0])  # scalar per layer
+        vs = tuple(max(s) for s in per_head[1])
+
+        rng = np.random.default_rng(33)
+        B, PLEN, PS = 2, 9, 8
+        n_pages = 1 + B * 4
+        prompts = rng.integers(0, cfg.vocab_size, (B, PLEN)).astype(np.int32)
+        lengths = jnp.full((B,), PLEN, jnp.int32)
+        bt = jnp.asarray(np.arange(1, 1 + B * 4).reshape(B, 4), jnp.int32)
+        steps = np.random.default_rng(34).integers(
+            0, cfg.vocab_size, (3, B)).astype(np.int32)
+
+        def roundtrip(cache):
+            kq = jnp.asarray(ks).reshape(-1, 1, 1, 1, 1)
+            vq = jnp.asarray(vs).reshape(-1, 1, 1, 1, 1)
+            k = cache.kv[:, :, :, 0::2]
+            v = cache.kv[:, :, :, 1::2]
+            k = (jnp.clip(jnp.round(k / kq), -7, 7) * kq).astype(cache.kv.dtype)
+            v = (jnp.clip(jnp.round(v / vq), -7, 7) * vq).astype(cache.kv.dtype)
+            kv = jnp.stack([k, v], axis=4).reshape(cache.kv.shape)
+            return cache._replace(kv=kv)
+
+        def run(kv_bits, simulate=False):
+            cache = kvc.init_cache(
+                cfg.num_hidden_layers, n_pages, PS,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+                k_scales=ks if kv_bits == 4 else None,
+                v_scales=vs if kv_bits == 4 else None, kv_bits=kv_bits)
+            if kv_bits == 4:
+                assert cache.kv.shape[3] == cfg.num_key_value_heads
+                assert cache.kv.dtype == jnp.int8
+            logits, cache = D.prefill(model, jnp.asarray(prompts), cache,
+                                      bt, lengths)
+            outs = [logits]
+            for step in range(3):
+                if simulate:
+                    cache = roundtrip(cache)
+                pos = jnp.full((B,), PLEN + step, jnp.int32)
+                logits, cache = D.decode_step(model, jnp.asarray(steps[step]),
+                                              cache, bt, pos)
+                outs.append(logits)
+            return outs
+
+        quant = run(4)
+        sim = run(None, simulate=True)
+        for i, (a, b) in enumerate(zip(sim, quant)):
+            rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+            assert rel < 0.15, (i, rel)
+
+    def test_int4_kv_paged_engine_schedulers(self, packed_model):
+        """Engine smoke: kv_dtype="int4" + paged cache serves through the
+        phased AND ragged schedulers with auto-calibrated scalar scales."""
+        model, _ = packed_model
+        cfg = model.cfg
+        rng = np.random.default_rng(31)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (9, 14)]
+        for scheduler in ("phased", "ragged"):
+            eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                         cache_kind="paged", kv_dtype="int4",
+                         scheduler=scheduler)
+            assert eng.cache.kv_bits == 4
+            assert all(isinstance(s, float) for s in eng.cache.k_scales)
+            out = eng.run([Request(uid=i, prompt=p, max_new_tokens=6)
+                           for i, p in enumerate(prompts)])
+            assert all(len(out[i]) == 6 for i in range(len(prompts)))
+
+    def test_int4_paged_pack_roundtrip(self):
+        """pack_int4_rows_adj/unpack_int4_rows_adj invert each other and
+        place head 2p in the low nibble."""
+        from gptq_v2_tpu.serving.kv_cache import (pack_int4_rows_adj,
+                                                  unpack_int4_rows_adj)
+
+        rng = np.random.default_rng(7)
+        q4 = jnp.asarray(rng.integers(-7, 8, (3, 5, 6, 8)), jnp.int32)
+        p8 = pack_int4_rows_adj(q4)
+        assert p8.shape == (3, 5, 3, 8) and p8.dtype == jnp.int8
+        assert np.array_equal(np.asarray(unpack_int4_rows_adj(p8)),
+                              np.asarray(q4))
+
     def test_ragged_scheduler_matches_phased(self, packed_model):
         """Chunked-prefill (ragged) scheduling must produce the same greedy
         outputs as the phased prefill-then-decode loop — prompts longer

@@ -458,6 +458,18 @@ def ragged_step(
     ``(next_tokens (S,), cache, key)`` — entries only meaningful for
     sequences whose ``sample_rows`` point at a prompt-complete token.
     """
+    return _ragged_step_core(model, tokens, cache, positions, tok_pages,
+                             tok_offs, block_tables, kv_lens, cu_q_lens,
+                             num_seqs, sample_rows, temperatures, key,
+                             top_ks, top_ps, min_ps, return_logprobs)
+
+
+def _ragged_step_core(model, tokens, cache, positions, tok_pages, tok_offs,
+                      block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
+                      temperatures, key, top_ks, top_ps, min_ps,
+                      return_logprobs):
+    """Unjitted body shared by :func:`ragged_step` and
+    :func:`ragged_multi_step`."""
     from gptq_v2_tpu.serving.model import head_logits
 
     x, cache = _ragged_forward(model, tokens, cache, positions, tok_pages,
@@ -471,6 +483,71 @@ def ragged_step(
     if return_logprobs:
         toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, cache, key
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "return_logprobs"),
+                   donate_argnums=(2,))
+def ragged_multi_step(
+    model: PackedLlama,
+    tokens: jax.Array,  # (S,) current token per sequence (row order)
+    cache: kvc.PagedKVCache,
+    positions: jax.Array,  # (S,) position of each sequence's FIRST new token
+    block_tables: jax.Array,  # (S, max_pages)
+    kv_lens: jax.Array,  # (S,) context length incl. the first new token
+    num_seqs: jax.Array,  # (1,) int32
+    temperatures: jax.Array,  # (S,)
+    key: jax.Array,
+    n_steps: int,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
+) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
+    """``n_steps`` DECODE-ONLY ragged ticks under ONE ``lax.fori_loop``
+    dispatch — the ragged scheduler's multi-step tick
+    (``Engine(multi_step=k, scheduler="ragged")``).
+
+    Decode-only means every active sequence contributes exactly one token
+    per step (``T = S`` rows, ``cu_q_lens = arange`` capped at
+    ``num_seqs``); the per-step (page, offset) write targets derive ON
+    DEVICE from the block tables and the advancing positions, so no
+    host work happens between the k steps.  Admission pre-allocates each
+    sequence's pages through ``prompt + max_new_tokens``, so the tables
+    already cover the chunk; a request that stops mid-chunk (EOS /
+    max_new) has its tail discarded host-side, and any overshoot KV
+    writes land on the reserved trash page via the zero table entries.
+    Same body-compiled-once + in-place-cache properties as
+    :func:`decode_sample_loop`.
+    """
+    s = tokens.shape[0]
+    ps = cache.page_size
+    cu = jnp.minimum(jnp.arange(s + 1, dtype=jnp.int32), num_seqs[0])
+    sample_rows = jnp.arange(s, dtype=jnp.int32)
+    row_active = jnp.arange(s) < num_seqs[0]
+    out_shape = (n_steps, s, 2) if return_logprobs else (n_steps, s)
+    out0 = jnp.zeros(out_shape, jnp.int32)
+
+    def body(i, carry):
+        toks, cache, key, out = carry
+        pos = positions + i
+        page_idx = jnp.clip(pos // ps, 0, block_tables.shape[1] - 1)
+        pg = jnp.take_along_axis(block_tables, page_idx[:, None],
+                                 axis=1)[:, 0]
+        pg = jnp.where(row_active, pg, 0)
+        of = jnp.where(row_active, pos % ps, 0)
+        toks, cache, key = _ragged_step_core(
+            model, toks, cache, pos, pg, of, block_tables, kv_lens + i, cu,
+            num_seqs, sample_rows, temperatures, key, top_ks, top_ps,
+            min_ps, return_logprobs)
+        out = jax.lax.dynamic_update_slice(
+            out, toks[None], (i,) + (0,) * (out0.ndim - 1))
+        nxt = toks[:, 0] if return_logprobs else toks
+        return nxt, cache, key, out
+
+    _, cache, key, out = jax.lax.fori_loop(
+        0, n_steps, body, (tokens, cache, key, out0))
+    return out, cache, key
 
 
 def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,

@@ -178,8 +178,11 @@ class Engine:
         assert multi_step_impl in ("fori", "unroll"), multi_step_impl
         self.multi_step_impl = multi_step_impl
         if self.multi_step > 1:
-            assert scheduler == "phased" and draft is None and not mla_absorbed, (
-                "multi_step rides the phased non-speculative decode tick")
+            assert draft is None and not mla_absorbed, (
+                "multi_step rides the non-speculative decode ticks")
+            # ragged: decode-only ticks fuse k steps (decode.ragged_multi_
+            # step); ticks with admitting prompts stay single-step so
+            # chunked prefill is never delayed
         self.page_size = page_size
         self.max_pages_per_seq = -(-max_seq_len // page_size)
         self.max_seq_len = self.max_pages_per_seq * page_size
@@ -625,6 +628,16 @@ class Engine:
         decoding = [si for si in active
                     if self.slots[si].prefill_done >= len(self.slots[si].request.prompt)]
         prefilling = [si for si in active if si not in decoding]
+        # multi-step: a DECODE-ONLY tick (no admitting prompts) fuses k
+        # ragged steps in one dispatch — page/offset targets derive on
+        # device, EOS/max_new tails are discarded host-side (the same
+        # semantics as the phased multi-step chunk).  Mixed ticks stay
+        # single-step so prefill chunking is never delayed.
+        k_steps = self.multi_step
+        if (k_steps > 1 and not prefilling and self.mesh is None
+                and max(self.slots[si].length for si in decoding) + k_steps
+                <= self.max_seq_len):
+            return self._step_ragged_multi(decoding, k_steps)
         # two static shapes total: a decode-only tick (S rows) and a mixed
         # tick (token_budget rows)
         T = self.token_budget if prefilling else S
@@ -716,6 +729,50 @@ class Engine:
                         # its slot inside _emit
                         self._prefix_register(si)
                     self._emit(si, int(toks[i]), lp_i)
+
+    def _step_ragged_multi(self, decoding, k_steps: int) -> None:
+        """k fused decode-only ragged steps (``decode.ragged_multi_step``):
+        one dispatch, one host sync, per-token bookkeeping afterwards."""
+        S = self.max_batch
+        tokens = np.zeros((S,), np.int32)
+        positions = np.zeros((S,), np.int32)
+        kv_lens = np.ones((S,), np.int32)
+        temps = np.zeros((S,), np.float32)
+        tks, tps, mps = self._warp_arrays(S)
+        bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
+        for i, si in enumerate(decoding):
+            slot = self.slots[si]
+            tokens[i] = self.last_tokens[si]
+            positions[i] = slot.length
+            kv_lens[i] = slot.length + 1
+            temps[i] = slot.request.temperature
+            if tks is not None:
+                tks[i] = slot.request.top_k
+                tps[i] = slot.request.top_p
+                mps[i] = slot.request.min_p
+            bt_rows[i] = self.block_tables[si]
+        out_dev, self.cache, self.key = D.ragged_multi_step(
+            self.model, jnp.asarray(tokens), self.cache,
+            jnp.asarray(positions), jnp.asarray(bt_rows),
+            jnp.asarray(kv_lens), jnp.asarray([len(decoding)], np.int32),
+            jnp.asarray(temps), self.key, k_steps,
+            None if tks is None else jnp.asarray(tks),
+            None if tps is None else jnp.asarray(tps),
+            None if mps is None else jnp.asarray(mps),
+            return_logprobs=self.logprobs,
+        )
+        arr = np.asarray(out_dev)  # the one host sync per tick
+        self.steps += 1
+        for step in range(k_steps):
+            toks, lps = (D.unpack_tok_logprob(arr[step]) if self.logprobs
+                         else (arr[step], None))
+            for i, si in enumerate(decoding):
+                if self.slots[si] is None:  # stopped mid-chunk: tail
+                    continue  # discarded (same as phased multi-step)
+                self.slots[si].length += 1
+                self.decode_tokens += 1
+                self._emit(si, int(toks[i]),
+                           None if lps is None else float(lps[i]))
 
     # ------------------------------------------------------------ speculative
     def _draft_propose(self, pos_dev, temps_dev, cur):

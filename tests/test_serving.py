@@ -1385,6 +1385,37 @@ class TestMultiStep:
                      multi_step=4).run(reqs())
         assert got == ref
 
+    def test_ragged_multi_step_matches_single(self, packed_model):
+        """Engine(multi_step=k, scheduler='ragged'): decode-only ticks fuse
+        k ragged steps; greedy outputs are token-identical to the
+        single-step ragged engine (mixed prefill ticks stay single-step,
+        so chunked admission still interleaves)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(41)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (23, 5, 11)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=9)
+                        for i, p in enumerate(prompts)]
+        ref = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged",
+                     token_budget=16).run(reqs())
+        got = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged",
+                     token_budget=16, multi_step=4).run(reqs())
+        assert got == ref
+
+    def test_ragged_multi_step_eos_discards_tail(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(42)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        ref_out = greedy_full_recompute(model, prompt, 8)
+        eos = ref_out[2]
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", multi_step=4,
+                     eos_token_id=eos)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert out[0] == ref_out[:3]
+
     def test_fori_matches_unroll(self, packed_model):
         """The fori_loop tick and the unrolled tick share one PRNG chain
         and must emit identical tokens (decode_sample_loop is a drop-in

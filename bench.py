@@ -64,10 +64,16 @@ BATCH = 128
 MAX_SEQ = 256
 PREFIX = 128
 # Swept serving configs: (batch, max_seq, prefix, kv_bits).
-#  * b256 x 256-ctx int4 KV — max absolute tok/s: the nibble-packed cache
-#    halves KV capacity so twice the batch fits (its two-pass unpack
-#    reads the same bytes as int8, so per-batch step time matches int8
-#    while serving 2x the tokens)
+#  * b320 x 256-ctx int4 KV — max absolute tok/s: the nibble-packed cache
+#    halves KV capacity so more batch fits (its two-pass unpack reads the
+#    same bytes as int8, so per-batch step time matches int8 while
+#    serving more tokens).  At these batches the step is MXU-bound
+#    (~3-4 TFLOP of matmul+attention FLOPs vs a ~22 ms stream floor), so
+#    absolute tok/s, not bandwidth utilization, is its honest metric.
+#    b384 reproducibly crashes the remote-compile helper; b512 OOMs
+#    (8.6 GB int4 KV + weights + workspace on the 16 GB co-tenanted
+#    chip), leaving b320 the measured-best capacity point (3955 tok/s vs
+#    3866 at b256, same epoch).
 #  * b128 x 256-ctx int8 — the int8 throughput point
 #  * b64  x 256-ctx int8 — half the matmul FLOPs
 #  * b32  x 1024-ctx int8 — long-context serving: the step is dominated
@@ -75,7 +81,7 @@ PREFIX = 128
 #    attention einsum reads at ~93% of the probed ceiling, so this
 #    config's roofline utilization is the honest "how close to the
 #    hardware" view.
-CONFIGS = ((256, 256, 128, 4), (128, 256, 128, 8), (64, 256, 128, 8),
+CONFIGS = ((320, 256, 128, 4), (128, 256, 128, 8), (64, 256, 128, 8),
            (32, 1024, 896, 8))
 # The bench measures the engine's multi-step tick
 # (decode.decode_sample_loop — Engine(multi_step=k)'s default impl): k

@@ -26,7 +26,8 @@ from gptq_v2_tpu.parallel.mesh import DATA_AXIS, dp_size
 
 
 def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
-                    use_kernel: bool = True, window=L.AUTO_WINDOW):
+                    use_kernel: bool = True, window=L.AUTO_WINDOW,
+                    qk_l2=None):
     """Build ``(init, step, reduce)`` for data-parallel Hessian accumulation.
 
     * ``init(d_in) -> h_parts``: zero partials, ``(dp, D, D)`` sharded over
@@ -47,7 +48,7 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
 
     def local(lp, xb, cs, hp):
         _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=capture,
-                                window=window)
+                                window=window, qk_l2=qk_l2)
         act = caps[capture[0]]
         st = hs.accumulate(
             hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
@@ -73,7 +74,8 @@ def dp_hessian_step(mesh, cfg: L.LlamaConfig, capture: Tuple[str, ...],
 
 
 def dp_wave_hessian_step(mesh, cfg: L.LlamaConfig, firsts: Tuple[str, ...],
-                         use_kernel: bool = True, window=L.AUTO_WINDOW):
+                         use_kernel: bool = True, window=L.AUTO_WINDOW,
+                         qk_l2=None):
     """Data-parallel variant of the pipeline's wave-fused Hessian step
     (``pipeline._wave_hess_step_for``): one shard_map'd block forward per
     batch captures EVERY wave member's input and accumulates all their
@@ -88,7 +90,7 @@ def dp_wave_hessian_step(mesh, cfg: L.LlamaConfig, firsts: Tuple[str, ...],
 
     def local(lp, xb, cs, hps):
         _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=firsts,
-                                window=window)
+                                window=window, qk_l2=qk_l2)
         out = []
         for f, hp in zip(firsts, hps):
             st = hs.accumulate(
@@ -117,7 +119,8 @@ def dp_wave_hessian_step(mesh, cfg: L.LlamaConfig, firsts: Tuple[str, ...],
 def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...],
                         inject_firsts: Tuple[str, ...], members_map: tuple,
                         want_capture: bool, donate_inj: Tuple[bool, ...],
-                        use_kernel: bool = True, window=L.AUTO_WINDOW):
+                        use_kernel: bool = True, window=L.AUTO_WINDOW,
+                        qk_l2=None):
     """Data-parallel variant of the pipeline's incremental Hessian step
     (``pipeline._inc_hess_step_for``): injected stage activations are
     sharded over ``data`` like the batch; the per-device forward captures
@@ -140,7 +143,7 @@ def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...]
         injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                 for m in members[f]}
         _, caps = L.block_apply(cfg, lp, xb, cs[0], cs[1], capture=(first,),
-                                inject=injd, window=window)
+                                inject=injd, window=window, qk_l2=qk_l2)
         act = caps[first]
         st = hs.accumulate(
             hs.HessianState(hp[0], jnp.zeros((), jnp.int32)), act,
@@ -170,7 +173,8 @@ def dp_inc_hessian_step(mesh, cfg: L.LlamaConfig, stage_linears: Tuple[str, ...]
 
 def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
                      members_map: tuple, uses_input: bool,
-                     donate_inj: Tuple[bool, ...], window=L.AUTO_WINDOW):
+                     donate_inj: Tuple[bool, ...], window=L.AUTO_WINDOW,
+                     qk_l2=None):
     """Data-parallel injected block-output forward
     (``pipeline._inc_final_for`` over the mesh)."""
     members = dict(members_map)
@@ -179,7 +183,7 @@ def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
         injd = {m: inj[i] for i, f in enumerate(inject_firsts)
                 for m in members[f]}
         out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], inject=injd,
-                               window=window)
+                               window=window, qk_l2=qk_l2)
         return out
 
     def fwd_impl(lp, xb, cos_sin, *inj):
@@ -196,13 +200,15 @@ def dp_inc_final_fwd(mesh, cfg: L.LlamaConfig, inject_firsts: Tuple[str, ...],
     return jax.jit(fwd_impl, donate_argnums=donate)
 
 
-def dp_block_forward(mesh, cfg: L.LlamaConfig, window=L.AUTO_WINDOW):
+def dp_block_forward(mesh, cfg: L.LlamaConfig, window=L.AUTO_WINDOW,
+                     qk_l2=None):
     """Jitted data-parallel block forward: recompute next-block inputs with
     the batch sharded over ``data`` (pipeline HOT LOOP 4,
     reference ``llama.py:184-191``)."""
 
     def local(lp, xb, cs):
-        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], window=window)
+        out, _ = L.block_apply(cfg, lp, xb, cs[0], cs[1], window=window,
+                               qk_l2=qk_l2)
         return out
 
     def fwd(lp, xb, cos_sin):

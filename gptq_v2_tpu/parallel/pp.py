@@ -245,12 +245,10 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
     # MLA (DeepSeek) rides PP unchanged: block_core builds q/k/v from the
     # latent projections internally and the PP attn_fn is generic over the
     # resulting (q, k, padded-v) heads; the cache head dim is cfg.head_dim_
-    # (= qk_nope + qk_rope) everywhere.  Megatron TP composition is the
-    # part that is not wired (q_a/q_b/kv_a/kv_b are not in the col/row
-    # split sets), so TPxPP stays rejected for MLA.
-    assert not (cfg.mla and tp > 1), (
-        "MLA TPxPP not wired (latent projections have no Megatron split);"
-        " use PP-only meshes for MLA")
+    # (= qk_nope + qk_rope) everywhere.  TPxPP reuses the pure-TP split
+    # (tp._tp_split_layer): q_b/kv_b column-parallel by whole heads, the
+    # small latent projections (q_a/kv_a) replicated, o row-parallel —
+    # within each stage, exactly as the single-stage TP engine.
     assert tp == 1 or not cfg.qk_norm_flat, (
         "OLMo-2 flat QK-norm under TPxPP needs column-sharded norm weights"
         " (parallel/tp.py handles pure TP); use PP-only or TP-only meshes")

@@ -590,9 +590,6 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions,
                    s_bucket=None):
         cfg = model.cfg
-        assert contiguous or not (cfg.attn_sinks or cfg.attn_chunk_size), (
-            "sinks (GPT-OSS) / chunked attention (Llama-4) need the dense"
-            " contiguous-cache TP path; the paged kernel has no support")
         b = tokens.shape[0]
         ropes = [(c[:, None, :], s_[:, None, :])
                  for c, s_ in L.rope_tables(cfg, positions)]
@@ -652,14 +649,32 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                     cache = kvc.write_kv(cache, li, k, v, block_tables,
                                          positions[:, None])
                     n_pages = -(-s // cache.page_size)
+                    qq = q
+                    if q_scale is not None:  # Llama-4 NoPE temperature
+                        qq = qq * q_scale[..., None, None].astype(qq.dtype)
+                    chunk = cfg.layer_chunk(li)
+                    bt = block_tables[:, :n_pages]
+                    lens = positions + 1
+                    if chunk is not None:
+                        # Llama-4 chunked attention = block-table REBASING
+                        # (serving.decode._decode_block): shift each row's
+                        # table to its chunk's first page, rebase the length
+                        start_pages = ((positions // chunk)
+                                       * (chunk // cache.page_size))
+                        idx = jnp.clip(jnp.arange(n_pages)[None, :]
+                                       + start_pages[:, None], 0,
+                                       block_tables.shape[1] - 1)
+                        bt = jnp.take_along_axis(block_tables, idx, axis=1)
+                        lens = lens - (positions // chunk) * chunk
                     # local KV heads stream their own pages in-kernel;
-                    # tile override as in serving.decode._decode_block
+                    # local sinks ride the per-q-head column shard; tile
+                    # override as in serving.decode._decode_block
                     attn = paged_decode_attention(
-                        q[:, 0], cache.kv[li], positions + 1,
-                        block_tables[:, :n_pages],
+                        qq[:, 0], cache.kv[li], lens, bt,
                         sliding_window=win,
                         sm_scale=cfg.sm_scale_,
                         soft_cap=cfg.attn_logit_softcap,
+                        sinks=_local_sinks(lp),
                         k_scale=(None if cache.k_scales is None
                                  else cache.k_scales[li]),
                         v_scale=(None if cache.v_scales is None
@@ -701,6 +716,76 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                    static_argnames=("s_bucket",))
 
 
+def _tp_ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
+                       block_tables, kv_lens, cu_q_lens, num_seqs):
+    """Device-local TP ragged mixed-batch forward shared by
+    :func:`build_tp_ragged_step` and :func:`build_tp_ragged_spec_step` —
+    the tensor-parallel twin of ``serving.decode._ragged_forward``.
+    Returns the final-norm hidden states ``(T, D)`` and the cache."""
+    cfg = model.cfg
+    ropes = [(c[:, None, :], s_[:, None, :])
+             for c, s_ in L.rope_tables(cfg, positions)]
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+
+    chunk_any = any(cfg.layer_chunk(li) is not None
+                    for li in range(cfg.num_hidden_layers))
+    if chunk_any:
+        # Llama-4 chunked layers: rebased tables/lengths exactly as
+        # serving.decode._ragged_forward (the scheduler guarantees
+        # one attn chunk per sequence per tick)
+        ac = next(c for c in (cfg.layer_chunk(li)
+                              for li in range(cfg.num_hidden_layers))
+                  if c is not None)
+        starts = ((kv_lens - 1) // ac) * ac
+        start_pages = starts // cache.page_size
+        mp = block_tables.shape[1]
+        idx = jnp.clip(jnp.arange(mp)[None, :] + start_pages[:, None],
+                       0, mp - 1)
+        bt_chunk = jnp.take_along_axis(block_tables, idx, axis=1)
+        kv_lens_chunk = kv_lens - starts
+
+    for li, lp in enumerate(model.layers):
+
+        def attn_fn(q, k, v, li=li, lp=lp):
+            from gptq_v2_tpu.ops.paged_attention import (
+                paged_ragged_attention,
+            )
+
+            nonlocal cache
+            cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
+                                      tok_pages, tok_offs)
+            qq = q
+            qs = L.layer_q_scale(cfg, li, positions)
+            if qs is not None:  # Llama-4 NoPE temperature
+                qq = qq * qs[:, None, None, None].astype(qq.dtype)
+            chunked = cfg.layer_chunk(li) is not None
+            attn = paged_ragged_attention(
+                qq[:, 0], cache.kv[li],
+                kv_lens_chunk if chunked else kv_lens,
+                bt_chunk if chunked else block_tables, cu_q_lens,
+                num_seqs,
+                sliding_window=cfg.layer_window(li),
+                sm_scale=cfg.sm_scale_,
+                soft_cap=cfg.attn_logit_softcap,
+                sinks=_local_sinks(lp),
+                k_scale=(None if cache.k_scales is None
+                         else cache.k_scales[li]),
+                v_scale=(None if cache.v_scales is None
+                         else cache.v_scales[li]),
+            )[:, None]
+            return attn, None
+
+        cos, sin = ropes[cfg.layer_rope(li)]
+        x, _ = L.block_core(
+            cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+            moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+            qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp),
+            qk_l2=cfg.layer_qk_l2(li))
+
+    return L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                      cfg.norm_unit_offset), cache
+
+
 def build_tp_ragged_step(mesh):
     """Jitted TP mixed prefill+decode tick — the tensor-parallel variant of
     ``serving.decode.ragged_step`` (vLLM-style chunked prefill): same
@@ -716,41 +801,9 @@ def build_tp_ragged_step(mesh):
                        sample_rows, temperatures, key, top_ks, top_ps,
                        min_ps):
             cfg = model.cfg
-            ropes = [(c[:, None, :], s_[:, None, :])
-                     for c, s_ in L.rope_tables(cfg, positions)]
-            x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
-
-            for li, lp in enumerate(model.layers):
-
-                def attn_fn(q, k, v, li=li):
-                    from gptq_v2_tpu.ops.paged_attention import (
-                        paged_ragged_attention,
-                    )
-
-                    nonlocal cache
-                    cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
-                                              tok_pages, tok_offs)
-                    attn = paged_ragged_attention(
-                        q[:, 0], cache.kv[li], kv_lens, block_tables, cu_q_lens,
-                        num_seqs,
-                        sliding_window=cfg.layer_window(li),
-                        sm_scale=cfg.sm_scale_,
-                        soft_cap=cfg.attn_logit_softcap,
-                        k_scale=(None if cache.k_scales is None
-                                 else cache.k_scales[li]),
-                        v_scale=(None if cache.v_scales is None
-                                 else cache.v_scales[li]),
-                    )[:, None]
-                    return attn, None
-
-                cos, sin = ropes[cfg.layer_rope(li)]
-                x, _ = L.block_core(
-                    cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                    moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
-                    qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp))
-
-            x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
-                           cfg.norm_unit_offset)
+            x, cache = _tp_ragged_forward(model, tokens, cache, positions,
+                                          tok_pages, tok_offs, block_tables,
+                                          kv_lens, cu_q_lens, num_seqs)
             last = jnp.take(x, sample_rows, axis=0)
             logits = L.soft_cap(_plain_linear(model.lm_head, last),
                                 cfg.final_logit_softcap)
@@ -786,6 +839,87 @@ def build_tp_ragged_step(mesh):
         )(model, tokens, cache, positions, tok_pages, tok_offs, block_tables,
           kv_lens, cu_q_lens, num_seqs, sample_rows, temperatures, key,
           top_ks, top_ps, min_ps)
+
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("return_logprobs",))
+
+
+def build_tp_ragged_spec_step(mesh):
+    """Jitted TP speculative mixed tick — the tensor-parallel variant of
+    ``serving.decode.ragged_spec_step``: one ragged dispatch verifies every
+    decoding sequence's k+1-token chunk AND streams admitting prompts'
+    chunks, with the draft accept/reject fused on device.  The (small,
+    single-device) draft's logits/proposals replicate into the shard_map;
+    projections are column/row-parallel and the page pool's combined-head
+    axis shards over ``model`` exactly as :func:`build_tp_ragged_step`."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+    from gptq_v2_tpu.serving.speculative import acceptance_step
+
+    def make_local_step(return_logprobs):
+        def local_step(model, tokens, cache, positions, tok_pages, tok_offs,
+                       block_tables, kv_lens, cu_q_lens, num_seqs,
+                       sample_rows, chunk_rows, seq_slots, d_logits, d_toks,
+                       temperatures, key, top_ks, top_ps, min_ps):
+            cfg = model.cfg
+            s_seq, k1 = chunk_rows.shape
+            d_lg = jnp.take(d_logits, seq_slots, axis=0)  # (S, k, V)
+            d_tk = jnp.take(d_toks, seq_slots, axis=0)  # (S, k)
+            tokens = tokens.at[chunk_rows[:, 1:].reshape(-1)].set(
+                d_tk.reshape(-1))
+            x, cache = _tp_ragged_forward(model, tokens, cache, positions,
+                                          tok_pages, tok_offs, block_tables,
+                                          kv_lens, cu_q_lens, num_seqs)
+            hc = jnp.take(x, chunk_rows.reshape(-1), axis=0)
+            t_logits = L.soft_cap(_plain_linear(model.lm_head, hc),
+                                  cfg.final_logit_softcap)
+            if cfg.logits_divider is not None:
+                t_logits = t_logits / cfg.logits_divider
+            t_logits = t_logits.reshape(s_seq, k1, -1)
+            key, k_acc, k_first = jax.random.split(key, 3)
+            out, counts, _ = acceptance_step(
+                t_logits, d_lg, d_tk, k_acc, temperatures, top_ks=top_ks,
+                top_ps=top_ps, min_ps=min_ps,
+                return_logprobs=return_logprobs)
+            first_logits = L.soft_cap(
+                _plain_linear(model.lm_head, jnp.take(x, sample_rows, axis=0)),
+                cfg.final_logit_softcap)
+            if cfg.logits_divider is not None:
+                first_logits = first_logits / cfg.logits_divider
+            first = sample_per_row(first_logits, k_first, temperatures,
+                                   top_ks=top_ks, top_ps=top_ps,
+                                   min_ps=min_ps)
+            if return_logprobs:
+                out, lps = out[..., 0], out[..., 1]
+                first_lp = jax.lax.bitcast_convert_type(
+                    chosen_logprob(first_logits, first), jnp.int32)
+                packed = jnp.concatenate(
+                    [first[:, None], counts[:, None], out,
+                     first_lp[:, None], lps], axis=1)
+            else:
+                packed = jnp.concatenate(
+                    [first[:, None], counts[:, None], out], axis=1)
+            return packed, cache, key
+        return local_step
+
+    def sharded(model, tokens, cache, positions, tok_pages, tok_offs,
+                block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
+                chunk_rows, seq_slots, d_logits, d_toks, temperatures, key,
+                top_ks=None, top_ps=None, min_ps=None,
+                return_logprobs=False):
+        csp = P(None, None, None, MODEL_AXIS, None)
+        cache_spec = kvc.PagedKVCache(csp, cache.page_size, cache.k_scales,
+                                      cache.v_scales, cache.kv_bits)
+        return jax.shard_map(
+            make_local_step(return_logprobs), mesh=mesh,
+            in_specs=(model.specs(), P(), cache_spec,
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                      P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), cache_spec, P()),
+            check_vma=False,
+        )(model, tokens, cache, positions, tok_pages, tok_offs, block_tables,
+          kv_lens, cu_q_lens, num_seqs, sample_rows, chunk_rows, seq_slots,
+          d_logits, d_toks, temperatures, key, top_ks, top_ps, min_ps)
 
     return jax.jit(sharded, donate_argnums=(2,),
                    static_argnames=("return_logprobs",))

@@ -395,11 +395,12 @@ def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
                 from gptq_v2_tpu.parallel import dp as DP
 
                 key = ("dp-wave", mesh, cfg, firsts,
-                       qcfg.use_hessian_kernel, window)
+                       qcfg.use_hessian_kernel, window, qk_l2)
                 if key not in _inc_step_cache:
                     _inc_step_cache[key] = DP.dp_wave_hessian_step(
                         mesh, cfg, firsts,
-                        use_kernel=qcfg.use_hessian_kernel, window=window)
+                        use_kernel=qcfg.use_hessian_kernel, window=window,
+                        qk_l2=qk_l2)
                 init, step, reduce_h = _inc_step_cache[key]
                 hs_t = init(tuple(lp[f].shape[0] for f in firsts))
             for xb in xs:
@@ -419,10 +420,11 @@ def _quantize_block_waves(cfg, qcfg, lp, li, xs, cos_sin, waves, n_seq,
     else:
         from gptq_v2_tpu.parallel import dp as DP
 
-        key = ("dp-fwd", mesh, cfg, window)
+        key = ("dp-fwd", mesh, cfg, window, qk_l2)
         if key not in _inc_step_cache:
             _inc_step_cache[key] = DP.dp_block_forward(mesh, cfg,
-                                                       window=window)
+                                                       window=window,
+                                                       qk_l2=qk_l2)
         fwd = _inc_step_cache[key]
     return [fwd(lp, xb, cos_sin) for xb in xs]
 
@@ -612,9 +614,6 @@ def quantize_model(
         save_path.mkdir(parents=True, exist_ok=True)
 
     if mesh is not None:
-        assert not cfg.qk_l2_norm, (
-            "Llama-4 data-parallel calibration is not wired (per-layer"
-            " QK-L2 threading); quantize single-device")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from gptq_v2_tpu.parallel import dp as DP
@@ -626,10 +625,11 @@ def quantize_model(
         dp_fwd_cache: Dict = {}
         dp_hess_cache: Dict = {}
 
-        def dp_fwd_for(win):
-            if win not in dp_fwd_cache:
-                dp_fwd_cache[win] = DP.dp_block_forward(mesh, cfg, window=win)
-            return dp_fwd_cache[win]
+        def dp_fwd_for(win, ql2=None):
+            if (win, ql2) not in dp_fwd_cache:
+                dp_fwd_cache[win, ql2] = DP.dp_block_forward(
+                    mesh, cfg, window=win, qk_l2=ql2)
+            return dp_fwd_cache[win, ql2]
 
         def shard_batch(a):
             return jax.device_put(a, batch_sharding)
@@ -824,11 +824,13 @@ def quantize_model(
 
             if not qcfg.rtn:
                 if mesh is not None:
-                    key = (cfg, (first,), qcfg.use_hessian_kernel, win)
+                    key = (cfg, (first,), qcfg.use_hessian_kernel, win,
+                           ql2)
                     if key not in dp_hess_cache:
                         dp_hess_cache[key] = DP.dp_hessian_step(
                             mesh, cfg, (first,),
-                            use_kernel=qcfg.use_hessian_kernel, window=win)
+                            use_kernel=qcfg.use_hessian_kernel, window=win,
+                            qk_l2=ql2)
                     init, step, reduce = dp_hess_cache[key]
                     h_parts = init(d_in)
                     for xb in xs:
@@ -854,7 +856,7 @@ def quantize_model(
 
         # Inputs of the next block, computed with fully quantized weights
         # (reference llama.py:184-191).
-        fwd = (dp_fwd_for(win) if mesh is not None
+        fwd = (dp_fwd_for(win, ql2) if mesh is not None
                else _block_fwd_for(cfg, window=win, qk_l2=ql2))
         xs = [fwd(lp, xb, cos_sin) for xb in xs]
 
@@ -896,14 +898,16 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
             reduce_h = lambda h: h
         else:
             key = ("dp-hess", mesh, cfg, stage.linears, inj_names,
-                   plan.cache[k], donate_inj, qcfg.use_hessian_kernel, window)
+                   plan.cache[k], donate_inj, qcfg.use_hessian_kernel, window,
+                   qk_l2)
             if key not in _inc_step_cache:
                 from gptq_v2_tpu.parallel import dp as DP
 
                 _inc_step_cache[key] = DP.dp_inc_hessian_step(
                     mesh, cfg, stage.linears, inj_names, members_map,
                     plan.cache[k], donate_inj,
-                    use_kernel=qcfg.use_hessian_kernel, window=window)
+                    use_kernel=qcfg.use_hessian_kernel, window=window,
+                    qk_l2=qk_l2)
             init, step, reduce_h = _inc_step_cache[key]
             h = init(d_in)
         if plan.cache[k]:
@@ -937,13 +941,14 @@ def _quantize_block_incremental(cfg, qcfg, lp, li, xs, cos_sin, stage_list,
                              window=window, qk_l2=qk_l2)
     else:
         key = ("dp-final", mesh, cfg, inj_names, plan.uses_input[n_final],
-               donate_inj, window)
+               donate_inj, window, qk_l2)
         if key not in _inc_step_cache:
             from gptq_v2_tpu.parallel import dp as DP
 
             _inc_step_cache[key] = DP.dp_inc_final_fwd(
                 mesh, cfg, inj_names, members_map,
-                plan.uses_input[n_final], donate_inj, window=window)
+                plan.uses_input[n_final], donate_inj, window=window,
+                qk_l2=qk_l2)
         fwd = _inc_step_cache[key]
     new_xs = []
     for b, xb in enumerate(xs):

@@ -619,7 +619,8 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                       cfg.norm_unit_offset), cache  # (T, D)
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("return_logprobs",))
 def ragged_spec_step(
     model: PackedLlama,
     tokens: jax.Array,  # (T,) chunk + prompt tokens, grouped by sequence
@@ -638,6 +639,10 @@ def ragged_spec_step(
     d_toks: jax.Array,  # (B, k) draft proposals, indexed by SLOT
     temperatures: jax.Array,  # (S,)
     key: jax.Array,
+    top_ks: Optional[jax.Array] = None,  # (S,) per-sequence warpers
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
 ) -> Tuple[jax.Array, kvc.PagedKVCache, jax.Array]:
     """Speculative mixed tick: verify every decoding sequence's
     ``k + 1``-token chunk AND stream admitting sequences' prompt chunks in
@@ -657,6 +662,13 @@ def ragged_spec_step(
     ``packed[i] = [first_tok, count, out_0..out_k]``: the host reads
     ``out[:count]`` for decoding sequences and ``first_tok`` for prompt
     completions.
+
+    Warped sampling composes (per-sequence top-k/top-p/min-p arrays feed
+    both the fused acceptance rule and the first-token sampler; the
+    engine's draft proposals sample from the same warped distribution).
+    ``return_logprobs``: packed widens to ``(S, 2k+5)`` —
+    ``[..., first_lp_bits, lp_0_bits..lp_k_bits]`` (f32 bitcast) with the
+    raw-target-distribution logprob of each token.
     """
     from gptq_v2_tpu.serving.model import head_logits
     from gptq_v2_tpu.serving.speculative import acceptance_step
@@ -675,12 +687,23 @@ def ragged_spec_step(
     t_logits = head_logits(model.cfg, model.lm_head, hc).reshape(s, k1, -1)
     key, k_acc, k_first = jax.random.split(key, 3)
     out, counts, _ = acceptance_step(t_logits, d_lg, d_tk, k_acc,
-                                     temperatures)
+                                     temperatures, top_ks=top_ks,
+                                     top_ps=top_ps, min_ps=min_ps,
+                                     return_logprobs=return_logprobs)
     # first-token sampling (prefill-completing sequences)
     first_logits = head_logits(model.cfg, model.lm_head,
                                jnp.take(x, sample_rows, axis=0))
-    first = sample_per_row(first_logits, k_first, temperatures)
-    packed = jnp.concatenate([first[:, None], counts[:, None], out], axis=1)
+    first = sample_per_row(first_logits, k_first, temperatures,
+                           top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        out, lps = out[..., 0], out[..., 1]  # (S, k+1) each; lps = f32 bits
+        first_lp = jax.lax.bitcast_convert_type(
+            chosen_logprob(first_logits, first), jnp.int32)
+        packed = jnp.concatenate([first[:, None], counts[:, None], out,
+                                  first_lp[:, None], lps], axis=1)
+    else:
+        packed = jnp.concatenate([first[:, None], counts[:, None], out],
+                                 axis=1)
     return packed, cache, key
 
 

@@ -275,11 +275,11 @@ class Engine:
         self.spec_rounds = self.spec_proposed = self.spec_accepted = 0
         self._tp_verify = None
         if draft is not None:
-            assert not logprobs, \
-                "speculative serving does not record logprobs"
+            # logprobs compose: the verify dispatch already computes the
+            # raw target distribution (speculative.acceptance_step
+            # return_logprobs)
             if scheduler == "ragged":
-                assert mesh is None, \
-                    "ragged speculative serving is single-device"
+                pass  # single-device or TP mesh (build_tp_ragged_spec_step)
             else:
                 assert cache_kind == "contiguous", \
                     "phased speculative serving uses the contiguous KV cache"
@@ -330,7 +330,10 @@ class Engine:
             self._decode = TP.build_tp_decode_step(mesh, self.cache)
             self._ragged = (TP.build_tp_ragged_step(mesh)
                             if scheduler == "ragged" else None)
-            if draft is not None:
+            self._ragged_spec = (TP.build_tp_ragged_spec_step(mesh)
+                                 if scheduler == "ragged" and draft is not None
+                                 else None)
+            if draft is not None and scheduler != "ragged":
                 self._tp_verify = TP.build_tp_verify_chunk(mesh, self.cache)
         elif mla_absorbed and mesh is not None:
             # TP absorbed decode: q_b + absorbed halves shard by head, the
@@ -385,7 +388,7 @@ class Engine:
         assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
         if req.top_k > 0 or req.top_p < 1.0 or req.min_p > 0.0:
-            if self.draft is not None or self.mla_absorbed:
+            if self.mla_absorbed:
                 raise ValueError(
                     "this engine mode supports temperature-only sampling;"
                     f" request {req.uid} sets top_k/top_p/min_p")
@@ -775,24 +778,29 @@ class Engine:
                            None if lps is None else float(lps[i]))
 
     # ------------------------------------------------------------ speculative
-    def _draft_propose(self, pos_dev, temps_dev, cur):
+    def _draft_propose(self, pos_dev, temps_dev, cur, warps=(None,) * 3):
         """k draft proposals per slot: a 2-token catch-up chunk (rewrites
         position - 1, filling the draft KV gap after a fully-accepted
-        round), then k - 1 plain decode steps.  Returns
-        ``(d_logits (B, k, V), d_toks (B, k))`` on device."""
+        round), then k - 1 plain decode steps.  Proposals sample from the
+        per-row WARPED draft distribution (the corrected acceptance rule
+        requires p_d to be what the draft actually sampled from).
+        Returns ``(d_logits (B, k, V), d_toks (B, k))`` on device."""
         from gptq_v2_tpu.serving.speculative import verify_chunk
 
+        tks, tps, mps = warps
         pair = jnp.stack([jnp.asarray(self.prev_tokens), cur], axis=1)
         lg2, self.draft_cache = verify_chunk(self.draft, pair,
                                              self.draft_cache, pos_dev - 1)
         self.key, sub = jax.random.split(self.key)
-        d_in = D.sample_per_row(lg2[:, 1], sub, temps_dev)
+        d_in = D.sample_per_row(lg2[:, 1], sub, temps_dev,
+                                top_ks=tks, top_ps=tps, min_ps=mps)
         d_lgs, d_tks = [lg2[:, 1]], [d_in]
         for i in range(1, self.spec_k):
             lg, self.draft_cache = D.decode_step(
                 self.draft, d_in, self.draft_cache, None, pos_dev + i)
             self.key, sub = jax.random.split(self.key)
-            d_in = D.sample_per_row(lg, sub, temps_dev)
+            d_in = D.sample_per_row(lg, sub, temps_dev,
+                                    top_ks=tks, top_ps=tps, min_ps=mps)
             d_lgs.append(lg)
             d_tks.append(d_in)
         return jnp.stack(d_lgs, axis=1), jnp.stack(d_tks, axis=1)
@@ -826,22 +834,34 @@ class Engine:
         k = self.spec_k
         positions = np.ones((self.max_batch,), np.int32)
         temps = np.zeros((self.max_batch,), np.float32)
+        tks, tps, mps = self._warp_arrays(self.max_batch)
         for si in active:
             positions[si] = self.slots[si].length
             temps[si] = self.slots[si].request.temperature
+            if tks is not None:
+                tks[si] = self.slots[si].request.top_k
+                tps[si] = self.slots[si].request.top_p
+                mps[si] = self.slots[si].request.min_p
         pos_dev = jnp.asarray(positions)
         temps_dev = jnp.asarray(temps)
+        warps = tuple(None if a is None else jnp.asarray(a)
+                      for a in (tks, tps, mps))
         cur = jnp.asarray(self.last_tokens)
 
-        d_logits, d_toks = self._draft_propose(pos_dev, temps_dev, cur)
+        d_logits, d_toks = self._draft_propose(pos_dev, temps_dev, cur,
+                                               warps=warps)
 
         chunk = jnp.concatenate([cur[:, None], d_toks], axis=1)
         t_logits, self.cache = self._verify(chunk, pos_dev)
         self.key, sub = jax.random.split(self.key)
-        out, counts, self.key = acceptance_step(t_logits, d_logits, d_toks,
-                                                sub, temps_dev)
+        out, counts, self.key = acceptance_step(
+            t_logits, d_logits, d_toks, sub, temps_dev,
+            top_ks=warps[0], top_ps=warps[1], min_ps=warps[2],
+            return_logprobs=self.logprobs)
         out_np = np.asarray(out)
         counts_np = np.asarray(counts)  # the one host sync per tick
+        if self.logprobs:
+            out_np, lps_np = out_np[..., 0], out_np[..., 1].view(np.float32)
         self.steps += 1
         self.spec_rounds += len(active)
         self.spec_proposed += k * len(active)
@@ -853,7 +873,8 @@ class Engine:
                 self.slots[si].length += 1
                 self.decode_tokens += 1
                 self.prev_tokens[si] = self.last_tokens[si]
-                self._emit(si, int(out_np[si, j]))
+                self._emit(si, int(out_np[si, j]),
+                           float(lps_np[si, j]) if self.logprobs else None)
 
     def _step_ragged_spec(self) -> None:
         """One speculative ragged tick: draft proposes ``k`` tokens per
@@ -877,13 +898,21 @@ class Engine:
         # draft proposal (slot-indexed (B,) device ops; inactive ride along)
         positions_b = np.ones((S,), np.int32)
         temps_b = np.zeros((S,), np.float32)
+        tks_b, tps_b, mps_b = self._warp_arrays(S)
         for si in decoding:
             positions_b[si] = self.slots[si].length
             temps_b[si] = self.slots[si].request.temperature
+            if tks_b is not None:
+                tks_b[si] = self.slots[si].request.top_k
+                tps_b[si] = self.slots[si].request.top_p
+                mps_b[si] = self.slots[si].request.min_p
         pos_dev = jnp.asarray(positions_b)
         temps_dev = jnp.asarray(temps_b)
+        warps_b = tuple(None if a is None else jnp.asarray(a)
+                        for a in (tks_b, tps_b, mps_b))
         d_logits, d_toks = self._draft_propose(pos_dev, temps_dev,
-                                               jnp.asarray(self.last_tokens))
+                                               jnp.asarray(self.last_tokens),
+                                               warps=warps_b)
 
         # two static shapes: decode-only spec tick vs mixed tick; the last
         # row is reserved as the trash row non-decoding chunk_rows point at
@@ -898,6 +927,7 @@ class Engine:
         chunk_rows = np.full((S, k + 1), T - 1, np.int32)
         seq_slots = np.zeros((S,), np.int32)
         temps = np.zeros((S,), np.float32)
+        tks, tps, mps = self._warp_arrays(S)  # order-indexed warpers
         bt_rows = np.zeros((S, self.max_pages_per_seq), np.int32)
 
         row = 0
@@ -932,12 +962,17 @@ class Engine:
             sample_rows[i] = row + n_new - 1
             seq_slots[i] = si
             temps[i] = req.temperature
+            if tks is not None:
+                tks[i], tps[i], mps[i] = req.top_k, req.top_p, req.min_p
             bt_rows[i] = self.block_tables[si]
             order.append((si, si in decoding, n_new, completes))
             row += n_new
         cu[len(order) + 1:] = cu[len(order)]
 
-        packed_dev, self.cache, self.key = D.ragged_spec_step(
+        spec_step = (self._ragged_spec if getattr(self, "_ragged_spec",
+                                                      None) is not None
+                     else D.ragged_spec_step)
+        packed_dev, self.cache, self.key = spec_step(
             self.model, jnp.asarray(tokens), self.cache,
             jnp.asarray(positions), jnp.asarray(tok_pages),
             jnp.asarray(tok_offs), jnp.asarray(bt_rows),
@@ -946,8 +981,13 @@ class Engine:
             jnp.asarray(sample_rows), jnp.asarray(chunk_rows),
             jnp.asarray(seq_slots), d_logits, d_toks,
             jnp.asarray(temps), self.key,
+            None if tks is None else jnp.asarray(tks),
+            None if tps is None else jnp.asarray(tps),
+            None if mps is None else jnp.asarray(mps),
+            return_logprobs=self.logprobs,
         )
         packed = np.asarray(packed_dev)  # the one host sync per tick
+        lp_bits = packed[:, k + 3:].view(np.float32) if self.logprobs else None
         self.steps += 1
         for i, (si, is_spec, n_new, completes) in enumerate(order):
             slot = self.slots[si]
@@ -962,7 +1002,9 @@ class Engine:
                     self.slots[si].length += 1
                     self.decode_tokens += 1
                     self.prev_tokens[si] = self.last_tokens[si]
-                    self._emit(si, int(packed[i, 2 + j]))
+                    self._emit(si, int(packed[i, 2 + j]),
+                               float(lp_bits[i, 1 + j]) if self.logprobs
+                               else None)
             else:
                 slot.prefill_done += n_new
                 slot.length = slot.prefill_done
@@ -980,7 +1022,9 @@ class Engine:
                         None, jnp.asarray([plen], np.int32),
                         slot=jnp.asarray([si], np.int32))
                     self.prev_tokens[si] = slot.request.prompt[-1]
-                    self._emit(si, int(packed[i, 0]))
+                    self._emit(si, int(packed[i, 0]),
+                               float(lp_bits[i, 0]) if self.logprobs
+                               else None)
 
     def step(self) -> None:
         """One scheduler tick: admit new work, then one decode step.

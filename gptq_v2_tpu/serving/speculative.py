@@ -101,13 +101,17 @@ def verify_chunk(
     return head_logits(cfg, model.lm_head, x), cache
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("return_logprobs",))
 def acceptance_step(
     t_logits: jax.Array,  # (B, k+1, V) target chunk logits
     d_logits: jax.Array,  # (B, k, V) draft proposal logits
     d_toks: jax.Array,  # (B, k) proposed tokens
     key: jax.Array,
     temperatures: jax.Array,  # (B,) — <=0 greedy per row
+    top_ks: Optional[jax.Array] = None,  # (B,) per-row top-k (0 = off)
+    top_ps: Optional[jax.Array] = None,  # (B,) per-row nucleus p (1 = off)
+    min_ps: Optional[jax.Array] = None,  # (B,) per-row min-p (0 = off)
+    return_logprobs: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Vectorized accept/reject + bonus token, one device program.
 
@@ -119,13 +123,40 @@ def acceptance_step(
     from the target's final-position distribution.  Returns
     ``(out_tokens (B, k+1), counts (B,), new_key)`` — row ``b`` emits
     ``out_tokens[b, :counts[b]]``.
+
+    Warped sampling (per-row top-k / top-p / min-p) composes via the
+    standard corrected rule: the SAME warp applies to both the target and
+    draft logits before their softmaxes (the caller must also sample the
+    draft's proposals from the warped distribution — ``sample_per_row``
+    with the same arrays), so the accept/resample math targets exactly
+    the warped target distribution.  Filtered entries sit at float-min
+    and exp to hard zeros.
+
+    ``return_logprobs``: out is instead ``(B, k+1, 2)`` int32 —
+    ``pack_tok_logprob`` of each emitted token with its ``log p(token)``
+    under the RAW target distribution (unwarped, untempered f32
+    log-softmax of the verify logits — the same convention as
+    ``Engine(logprobs=True)``); the verify dispatch already computed the
+    distribution, so this costs one gather.
     """
     b, k1, v = t_logits.shape
     k = k1 - 1
     greedy = temperatures <= 0.0
     t = jnp.maximum(temperatures, 1e-6).astype(jnp.float32)[:, None, None]
-    p_t = jax.nn.softmax(t_logits.astype(jnp.float32) / t, axis=-1)
-    p_d = jax.nn.softmax(d_logits.astype(jnp.float32) / t, axis=-1)
+    lg_t = t_logits.astype(jnp.float32) / t
+    lg_d = d_logits.astype(jnp.float32) / t
+    if top_ks is not None or top_ps is not None or min_ps is not None:
+        def rep(a, n):
+            return None if a is None else jnp.repeat(a, n, axis=0)
+
+        lg_t = D._warp_logits(lg_t.reshape(b * k1, v), rep(top_ks, k1),
+                              rep(top_ps, k1), rep(min_ps, k1)
+                              ).reshape(b, k1, v)
+        lg_d = D._warp_logits(lg_d.reshape(b * k, v), rep(top_ks, k),
+                              rep(top_ps, k), rep(min_ps, k)
+                              ).reshape(b, k, v)
+    p_t = jax.nn.softmax(lg_t, axis=-1)
+    p_d = jax.nn.softmax(lg_d, axis=-1)
     pt_i = jnp.take_along_axis(p_t[:, :k], d_toks[..., None], -1)[..., 0]
     pd_i = jnp.take_along_axis(p_d, d_toks[..., None], -1)[..., 0]
     key, k_u, k_res = jax.random.split(key, 3)
@@ -154,6 +185,13 @@ def acceptance_step(
     bonus = jnp.where(greedy, bonus_greedy, bonus_sampled)
     out = jnp.concatenate([d_toks, jnp.zeros((b, 1), jnp.int32)], axis=1)
     out = out.at[jnp.arange(b), n_acc].set(bonus)
+    if return_logprobs:
+        # raw-distribution logprob of each emitted token: position i's
+        # predictor is t_logits[:, i] (the bonus at n_acc included)
+        lsm = jax.nn.log_softmax(t_logits.astype(jnp.float32), axis=-1)
+        lps = jnp.take_along_axis(lsm, out[..., None], axis=-1)[..., 0]
+        out = jnp.stack(
+            [out, jax.lax.bitcast_convert_type(lps, jnp.int32)], axis=-1)
     return out, n_acc + 1, key
 
 

@@ -438,6 +438,25 @@ class TestPPServing:
                                     compute_dtype=jnp.float32)
         self._roundtrip(model, pp=2, n_steps=3, seed=92)
 
+    def test_pp2_tp2_mla_deepseek(self):
+        """MLA under TPxPP (round-3 gap): within each stage the pure-TP
+        split applies — q_b/kv_b column-parallel by whole heads, latent
+        q_a/kv_a replicated, o row-parallel — while layers shard over
+        ``stage`` as usual."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+
+        model = random_packed_llama(cfg, group_size=16, seed=95,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=96,
+                        mesh=make_pp_mesh(2, 2))
+
     def test_pp2_mla_moe_deepseek_v3(self):
         """Full DeepSeek-V3 shape under PP: MLA + sigmoid-routed MoE with
         shared experts (stage-periodic layer pattern)."""
@@ -453,6 +472,24 @@ class TestPPServing:
         model = random_packed_llama(cfg, group_size=16, seed=93,
                                     compute_dtype=jnp.float32)
         self._roundtrip(model, pp=2, n_steps=3, seed=94)
+
+    def test_pp2_tp2_mla_moe_deepseek_v3(self):
+        """DeepSeek-V3 shape under TPxPP: MLA head-split + expert-parallel
+        MoE within stages."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, moe_num_experts=4, moe_top_k=2,
+            moe_intermediate_size=32, moe_sigmoid_routing=True,
+            moe_shared_experts=1)
+        model = random_packed_llama(cfg, group_size=16, seed=97,
+                                    compute_dtype=jnp.float32)
+        self._roundtrip(model, pp=2, n_steps=3, seed=98,
+                        mesh=make_pp_mesh(2, 2))
 
     def test_pp2_llama4_style(self):
         """Llama-4 over PP stages: a stage-periodic pattern (period 2 =
@@ -552,6 +589,64 @@ class TestTPEngine:
         got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
         assert got == want
 
+    @pytest.mark.parametrize("scheduler", ["phased", "ragged"])
+    def test_gptoss_paged_over_mesh_matches_single_device(self, scheduler):
+        """GPT-OSS over a TP mesh on the PAGED cache (round-3 gap): local
+        sinks ride the per-q-head column shard into the sink-extended
+        ragged kernel fork; phased and ragged schedulers both match the
+        single-device paged engine."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, sliding_window=8,
+            layer_types=("sliding_attention", "full_attention"),
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            attn_sinks=True, moe_gptoss=True)
+        model = random_packed_llama(cfg, group_size=16, seed=79,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(80)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (11, 5)]
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                          cache_kind="paged", scheduler=scheduler, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+    @pytest.mark.parametrize("scheduler", ["phased", "ragged"])
+    def test_llama4_paged_over_mesh_matches_single_device(self, scheduler):
+        """Llama-4 over a TP mesh on the PAGED cache (round-3 gap):
+        chunk-rebased block tables + NoPE temperature fold in the TP
+        paged decode/ragged steps; greedy outputs == single-device."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, nope_layers=(1,),
+            layer_types=("chunked_attention", "full_attention"),
+            attn_chunk_size=8, qk_l2_norm=True, attn_temp_tuning=True,
+            attn_floor_scale=8.0, attn_scale_coef=0.2,
+            moe_num_experts=4, moe_top_k=2, moe_intermediate_size=32,
+            moe_dense_layers=(0,), moe_llama4=True, moe_shared_experts=1,
+            intermediate_size_dense=48)
+        model = random_packed_llama(cfg, group_size=16, seed=81,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(82)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (11, 6)]
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                          cache_kind="paged", scheduler=scheduler, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
     def test_llama4_engine_over_mesh_matches_single_device(self):
         """Llama-4 end-to-end serving over a TP mesh (contiguous cache):
         chunk masks + temperature tuning in the TP decode step, EP
@@ -628,6 +723,36 @@ class TestTPSpecEngine:
         def mk(mesh=None):
             return Engine(model, max_batch=2, max_seq_len=64, draft=draft,
                           spec_k=2, mesh=mesh)
+
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
+        assert got == want
+
+    def test_ragged_spec_over_mesh_matches_single_device(self, tiny_packed):
+        """Ragged speculative serving over a TP mesh (round-3 gap): the
+        mixed verify dispatch runs tensor-parallel
+        (tp.build_tp_ragged_spec_step) while the small draft stays
+        single-device; greedy outputs == the single-device ragged spec
+        engine across chunked admission."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        model = tiny_packed
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        draft = random_packed_llama(dcfg, group_size=16, seed=83,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(84)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (21, 5, 9)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                          cache_kind="paged", scheduler="ragged",
+                          token_budget=16, draft=draft, spec_k=2, mesh=mesh)
 
         reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
                         for i, p in enumerate(prompts)]
@@ -822,6 +947,42 @@ class TestDPPipeline:
             assert m2["l2_error"] == pytest.approx(m1["l2_error"], rel=0.05)
         # reduction-order ulps in the Hessian may flip the rare rounding-
         # boundary code; anything beyond that is a sharding bug
+        assert same / total > 0.999
+
+    def test_llama4_quantize_over_mesh(self):
+        """Llama-4-style DP calibration (round-3 gap): the per-layer QK-L2
+        flag threads through every DP builder, so a config with
+        qk_l2_norm + NoPE layers + chunked attention quantizes over the
+        data axis and matches single-device."""
+        from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, qk_l2_norm=True, nope_layers=(1,),
+            attn_temp_tuning=True, attn_floor_scale=8.0, attn_scale_coef=0.2,
+            attn_chunk_size=8,
+            layer_types=("chunked_attention", "full_attention"),
+            dtype="float32")
+        assert cfg.layer_qk_l2(0) and not cfg.layer_qk_l2(1)
+        params = L.init_params(cfg, jax.random.key(35))
+        rng = np.random.default_rng(36)
+        calib = rng.integers(0, cfg.vocab_size, (8, 32)).astype(np.int32)
+
+        def clone():
+            return {"embed_tokens": params["embed_tokens"],
+                    "layers": [dict(lp) for lp in params["layers"]],
+                    "norm": params["norm"], "lm_head": params["lm_head"]}
+
+        qc = QuantConfig(bits=4, group_size=16)
+        r1 = quantize_model(cfg, clone(), calib, qc, batch_size=4)
+        mesh = make_mesh(tp=1, dp=4)
+        r2 = quantize_model(cfg, clone(), calib, qc, batch_size=4, mesh=mesh)
+        assert set(r1["data"]) == set(r2["data"])
+        total = same = 0
+        for name in r1["data"]:
+            a = np.asarray(r1["data"][name]["qweight"])
+            b = np.asarray(r2["data"][name]["qweight"])
+            total += a.size
+            same += int((a == b).sum())
         assert same / total > 0.999
 
     def test_moe_wave_quantize_over_mesh(self):

@@ -726,6 +726,72 @@ class TestEngine:
         got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
         assert got == want
 
+    def test_speculative_warped_self_draft_accepts_everything(
+            self, packed_model):
+        """Warped (top-k/top-p/min-p) speculative sampling: with draft ==
+        target and identical warps on both sides, p_d == p_t so EVERY
+        proposal is accepted — a warp asymmetry between the draft sampler
+        and the acceptance rule would reject often."""
+        model, _ = packed_model
+        rng = np.random.default_rng(85)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        eng = Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                     spec_k=3, seed=9)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
+                               temperature=0.9, top_k=8, top_p=0.9)])
+        assert len(out[0]) == 8
+        assert eng.spec_accepted == eng.spec_proposed  # all accepted
+
+    def test_speculative_warped_greedy_rows_unchanged(self, packed_model):
+        """A mixed batch (greedy + warped-sampled) through the speculative
+        engine: the greedy request's output is still token-identical to
+        the plain engine (warps never perturb argmax rows)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        model, _ = packed_model
+        dcfg = L.LlamaConfig.tiny(num_hidden_layers=1, hidden_size=32,
+                                  intermediate_size=48, num_attention_heads=2,
+                                  num_key_value_heads=1)
+        draft = random_packed_llama(dcfg, group_size=16, seed=86,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(87)
+        p_greedy = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+        p_warp = rng.integers(0, model.cfg.vocab_size, (4,)).tolist()
+        want = Engine(model, max_batch=2, max_seq_len=64).run(
+            [Request(uid=0, prompt=p_greedy, max_new_tokens=6)])[0]
+        eng = Engine(model, max_batch=2, max_seq_len=64, draft=draft,
+                     spec_k=3)
+        got = eng.run([
+            Request(uid=0, prompt=p_greedy, max_new_tokens=6),
+            Request(uid=1, prompt=p_warp, max_new_tokens=6,
+                    temperature=0.8, top_k=8),
+        ])
+        assert got[0] == want
+        assert len(got[1]) == 6
+
+    def test_speculative_logprobs_match_plain_engine(self, packed_model):
+        """Engine(draft=..., logprobs=True): every emitted token records
+        its raw-distribution logprob; greedy self-draft emits the same
+        tokens as the plain engine, so the logprobs must match its too."""
+        model, _ = packed_model
+        rng = np.random.default_rng(88)
+        prompt = rng.integers(0, model.cfg.vocab_size, (6,)).tolist()
+
+        def run(eng):
+            req = Request(uid=0, prompt=prompt, max_new_tokens=6)
+            eng.add_request(req)
+            while eng.queue or any(s is not None for s in eng.slots):
+                eng.step()
+            return req
+        plain = run(Engine(model, max_batch=1, max_seq_len=64,
+                           logprobs=True))
+        spec = run(Engine(model, max_batch=1, max_seq_len=64, draft=model,
+                          spec_k=3, logprobs=True))
+        assert spec.output == plain.output
+        assert len(spec.logprobs) == len(spec.output)
+        np.testing.assert_allclose(spec.logprobs, plain.logprobs,
+                                   rtol=0, atol=5e-3)
+
     def test_speculative_engine_int8_kv(self, packed_model):
         """Speculation over an int8 target cache matches the plain engine
         on the same int8 cache (identical write/read quantization)."""
@@ -1262,6 +1328,40 @@ class TestRaggedSpecEngine:
                      spec_k=3, eos_token_id=eos)
         got = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
         assert got == want
+
+    def test_warped_self_draft_accepts_everything(self, packed_model):
+        """Warped sampling on the ragged spec path: identical warps on the
+        draft sampler and the fused acceptance rule → self-draft accepts
+        every proposal."""
+        model, _ = packed_model
+        rng = np.random.default_rng(96)
+        prompt = rng.integers(0, model.cfg.vocab_size, (5,)).tolist()
+        eng = self._mk(model, draft=model, seed=4)
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
+                               temperature=0.9, top_k=8, top_p=0.9)])
+        assert len(out[0]) == 8
+        assert eng.spec_accepted == eng.spec_proposed
+
+    def test_logprobs_match_plain_ragged(self, packed_model):
+        """Ragged spec + logprobs: greedy self-draft emits the plain
+        ragged engine's tokens with matching raw-distribution logprobs
+        (incl. the prefill-completion first token)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(97)
+        prompt = rng.integers(0, model.cfg.vocab_size, (11,)).tolist()
+
+        def run(eng):
+            req = Request(uid=0, prompt=prompt, max_new_tokens=6)
+            eng.add_request(req)
+            while eng.queue or any(s is not None for s in eng.slots):
+                eng.step()
+            return req
+        plain = run(self._mk(model, logprobs=True))
+        spec = run(self._mk(model, draft=model, logprobs=True))
+        assert spec.output == plain.output
+        assert len(spec.logprobs) == len(spec.output)
+        np.testing.assert_allclose(spec.logprobs, plain.logprobs,
+                                   rtol=0, atol=5e-3)
 
 
 class TestW8A16:

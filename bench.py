@@ -216,9 +216,13 @@ def run(batch):
     t0 = time.time()
     bw = measure_hbm_bw(on_tpu, dev)
     print(f"measured HBM read BW {bw / 1e9:.0f} GB/s", file=sys.stderr)
+    from gptq_v2_tpu.serving.model import fuse_stage_linears
+
     model = random_packed_llama(cfg, group_size=128 if on_tpu else 32, seed=0,
                                 compute_dtype=cfg.jdtype)
-    model = jax.device_put(model)
+    # the engine's default serving transform: fused qkv/gate_up stages =
+    # one act-order gather + one kernel dispatch per stage
+    model = jax.device_put(fuse_stage_linears(model))
     print(f"setup {time.time() - t0:.1f}s", file=sys.stderr)
 
     def leaf_bytes(tree):

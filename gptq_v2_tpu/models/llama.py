@@ -1017,8 +1017,12 @@ def _mlp_tail(cfg: LlamaConfig, lp: Params, lin, h: jax.Array, moe_fn):
             mlp = mlp + lin("mlp.shared_experts.down_proj",
                             activation(cfg)(sg) * su)
         return mlp
-    gate = lin("mlp.gate_proj", h)
-    up = lin("mlp.up_proj", h)
+    if "mlp.gate_up_proj" in lp:  # fused [gate | up] (fuse_stage_linears)
+        gu = lin("mlp.gate_up_proj", h)
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = lin("mlp.gate_proj", h)
+        up = lin("mlp.up_proj", h)
     return lin("mlp.down_proj", activation(cfg)(gate) * up)
 
 
@@ -1094,9 +1098,20 @@ def block_core(
     if cfg.mla:
         return _mla_attn_mlp(cfg, lp, x, h, cos, sin, lin, attn_fn, moe_fn,
                              mla_lat_sink)
-    qf = lin("self_attn.q_proj", h)
-    kf = lin("self_attn.k_proj", h)
-    v = lin("self_attn.v_proj", h)
+    if "self_attn.qkv_proj" in lp:
+        # serving-side fused projection (serving.model.fuse_stage_linears):
+        # q/k/v share one act-order perm (one stage Hessian), so one packed
+        # kernel call replaces three — one activation gather (the act-order
+        # column gather is a slow lane-shuffle op) and one weight-stream
+        # dispatch.  Split points follow the family head geometry.
+        qkv = lin("self_attn.qkv_proj", h)
+        nqd = (qkv.shape[-1] - 2 * cfg.num_key_value_heads * hd)
+        qf, kf, v = jnp.split(qkv, [nqd, nqd + cfg.num_key_value_heads * hd],
+                              axis=-1)
+    else:
+        qf = lin("self_attn.q_proj", h)
+        kf = lin("self_attn.k_proj", h)
+        v = lin("self_attn.v_proj", h)
     if cfg.qk_norm_flat:  # OLMo-2: norm over ALL heads' features pre-reshape
         if qk_norm_fn is None:
             qk_norm_fn = lambda t, w: rms_norm(t, w, eps, uo)

@@ -88,6 +88,7 @@ class Engine:
         mla_absorbed: bool = False,
         multi_step: int = 1,
         multi_step_impl: str = "fori",
+        fuse_stages: bool = True,
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -147,6 +148,17 @@ class Engine:
         outputs are token-identical to the non-speculative engine.  With
         ``mesh`` the target verifies tensor-parallel while the small
         draft stays single-device."""
+        # Fuse q/k/v and gate/up packed stages sharing one act-order perm
+        # (single-device paths; TP shards the unfused names).  One fused
+        # kernel call + ONE activation gather per stage — the act-order
+        # column gather is a slow lane-shuffle op; bit-identical outputs
+        # (serving.model.fuse_stage_linears).
+        if fuse_stages and mesh is None and not mla_absorbed:
+            from gptq_v2_tpu.serving.model import fuse_stage_linears
+
+            model = fuse_stage_linears(model)
+            if draft is not None:
+                draft = fuse_stage_linears(draft)
         self.model = model
         cfg = model.cfg
         # GPT-OSS attention sinks ride every cache layout: the contiguous

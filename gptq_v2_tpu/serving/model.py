@@ -74,6 +74,7 @@ def quantize_params_to_packed(
             else:
                 out[name] = jnp.asarray(w).astype(compute_dtype)
         layers.append(out)
+    _dedupe_perms(layers)
     if quantize_lm_head:
         from gptq_v2_tpu.ops.packing import rtn_pack_dense
 
@@ -88,6 +89,110 @@ def quantize_params_to_packed(
         norm=jnp.asarray(params["norm"]).astype(compute_dtype),
         lm_head=lm_head,
     )
+
+
+def _dedupe_perms(layers: List[Dict[str, Any]]) -> None:
+    """Share one buffer among value-equal act-order perms (in place).
+
+    Stage-mates (q/k/v, gate/up) quantize from a shared Hessian, so their
+    act-order argsorts are identical arrays.  Pointing them at ONE buffer
+    lets XLA CSE the per-linear activation gathers into one — the gather
+    is a lane-shuffle op (~2.2 ms/step at 7B b32 when duplicated per
+    linear, the largest non-roofline term in the decode profile)."""
+    import dataclasses as _dc
+
+    cache: Dict[bytes, jax.Array] = {}
+    for lp in layers:
+        for name, w in list(lp.items()):
+            if isinstance(w, PackedLinear) and w.perm is not None:
+                key = np.asarray(w.perm).tobytes()
+                if key in cache:
+                    lp[name] = _dc.replace(w, perm=cache[key])
+                else:
+                    cache[key] = w.perm
+        cache.clear()  # share within a layer only (buffers stay small)
+
+
+def fuse_stage_linears(model: "PackedLlama") -> "PackedLlama":
+    """Fuse q/k/v → ``self_attn.qkv_proj`` and gate/up →
+    ``mlp.gate_up_proj`` when the stage-mates are packed with one shared
+    act-order perm (they quantize from a shared stage Hessian, so their
+    argsorts are identical) and identical group layouts.
+
+    One fused :class:`PackedLinear` = ONE activation gather + ONE fused
+    kernel dispatch per stage instead of three/two — the act-order column
+    gather is a slow lane-shuffle op (~2.2 ms/step at 7B b32 when run per
+    linear, the largest non-roofline term in the decode profile), and the
+    kernel dispatch overhead shrinks too.  Single-device serving only
+    (TP column splits slice q|k|v head boundaries — the unfused names
+    stay the TP path); a no-op for MLA / MoE / mismatched stages.
+    ``block_core`` / ``_mlp_tail`` consume the fused names natively.
+    """
+    cfg = model.cfg
+    if cfg.mla:
+        return model
+
+    def fusable(lp, names):
+        ws = [lp.get(n) for n in names]
+        if not all(isinstance(w, PackedLinear) for w in ws):
+            return None
+        w0 = ws[0]
+        if any(w.group_size != w0.group_size or w.bits != w0.bits
+               or w.in_features != w0.in_features
+               or w.qweight.shape[0] != w0.qweight.shape[0] for w in ws):
+            return None
+        perms = [w.perm for w in ws]
+        if any((p is None) != (perms[0] is None) for p in perms):
+            return None
+        if perms[0] is not None:
+            p0 = np.asarray(perms[0])
+            if any(not np.array_equal(np.asarray(p), p0) for p in perms[1:]):
+                return None
+        biases = [lp.get(n + ".bias") for n in names]
+        if any((b is None) != (biases[0] is None) for b in biases):
+            return None
+        return ws, biases
+
+    def fuse(ws, biases):
+        w0 = ws[0]
+        fused = PackedLinear(
+            qweight=jnp.concatenate([w.qweight for w in ws], axis=1),
+            scales=jnp.concatenate([w.scales for w in ws], axis=1),
+            zeros=jnp.concatenate([w.zeros for w in ws], axis=1),
+            perm=w0.perm,
+            group_size=w0.group_size,
+            in_features=w0.in_features,
+            bits=w0.bits,
+        )
+        bias = (None if biases[0] is None
+                else jnp.concatenate(list(biases), axis=0))
+        return fused, bias
+
+    layers = []
+    for lp in model.layers:
+        lp = dict(lp)
+        got = fusable(lp, ("self_attn.q_proj", "self_attn.k_proj",
+                           "self_attn.v_proj"))
+        if got is not None:
+            fused, bias = fuse(*got)
+            for n in ("self_attn.q_proj", "self_attn.k_proj",
+                      "self_attn.v_proj"):
+                lp.pop(n)
+                lp.pop(n + ".bias", None)
+            lp["self_attn.qkv_proj"] = fused
+            if bias is not None:
+                lp["self_attn.qkv_proj.bias"] = bias
+        got = fusable(lp, ("mlp.gate_proj", "mlp.up_proj"))
+        if got is not None:
+            fused, bias = fuse(*got)
+            for n in ("mlp.gate_proj", "mlp.up_proj"):
+                lp.pop(n)
+                lp.pop(n + ".bias", None)
+            lp["mlp.gate_up_proj"] = fused
+            if bias is not None:
+                lp["mlp.gate_up_proj.bias"] = bias
+        layers.append(lp)
+    return dataclasses.replace(model, layers=tuple(layers))
 
 
 def _linear(w, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
@@ -190,10 +295,10 @@ def random_packed_llama(
     g = group_size
     per_layer = [L.layer_param_shapes(cfg, i)
                  for i in range(cfg.num_hidden_layers)]
-    n_keys = sum(len(sh) + 1 for sh in per_layer) + 2
+    n_keys = sum(len(sh) + 3 for sh in per_layer) + 2  # +2/layer: stage perms
     keys = iter(jax.random.split(jax.random.key(seed), n_keys))
 
-    def packed(c, r):
+    def packed(c, r, perm=None):
         # generated on-device: a 7B model is ~4GB, host gen + transfer over
         # a tunneled TPU would dominate benchmark setup time
         c_pad = -(-c // (8 * g)) * (8 * g)
@@ -205,12 +310,13 @@ def random_packed_llama(
         if n_g * g > c:  # zero out padding groups
             scales = scales.at[c // g:].set(0.0)
         zeros = jax.random.randint(k3, (n_g, r), 0, 16).astype(jnp.float32)
-        perm = jax.random.permutation(k4, c).astype(jnp.int32) if act_order else None
+        if act_order and perm is None:
+            perm = jax.random.permutation(k4, c).astype(jnp.int32)
         return PackedLinear(
             qweight=qweight,
             scales=scales.astype(compute_dtype),
             zeros=zeros.astype(compute_dtype),
-            perm=perm,
+            perm=perm if act_order else None,
             group_size=g, in_features=c,
         )
 
@@ -220,16 +326,34 @@ def random_packed_llama(
                 * scale).astype(compute_dtype)
 
     norm_init = jnp.zeros if cfg.norm_unit_offset else jnp.ones
+    # Stage-mates share ONE act-order perm, as in a real GPTQ model (q/k/v
+    # and gate/up each quantize from a shared stage Hessian, so their
+    # argsorts are identical).  One shared buffer per stage also lets XLA
+    # CSE the per-linear activation gathers into one — the act-order
+    # gather is a lane-shuffle op (~2.2 ms/step at 7B b32 when duplicated
+    # per linear, the largest non-roofline term in the decode profile).
+    STAGE_MATES = (("self_attn.q_proj", "self_attn.k_proj",
+                    "self_attn.v_proj"), ("mlp.gate_proj", "mlp.up_proj"))
     layers = []
     for shapes in per_layer:
         lp = {}
+        shared_perm = {}
+        if act_order:
+            for mates in STAGE_MATES:
+                first = next((m for m in mates if m in shapes), None)
+                if first is not None:
+                    c = shapes[first][0]
+                    pk = jax.random.split(next(keys), 1)[0]
+                    p = jax.random.permutation(pk, c).astype(jnp.int32)
+                    for m in mates:
+                        shared_perm[m] = p
         for name, shape in shapes.items():
             if len(shape) == 1:
                 lp[name] = norm_init(shape, compute_dtype)
             elif name in L.NON_QUANTIZED_LINEARS:
                 lp[name] = dense(*shape)  # MoE router stays bf16
             else:
-                lp[name] = packed(*shape)
+                lp[name] = packed(*shape, perm=shared_perm.get(name))
         layers.append(lp)
     return PackedLlama(
         cfg=cfg,

@@ -1469,6 +1469,51 @@ class TestMLAAbsorbed:
         assert agree >= 4, (got, want)  # int8 noise may flip a late token
 
 
+class TestFusedStages:
+    """fuse_stage_linears: q/k/v and gate/up stage-mates sharing one
+    act-order perm fuse into single PackedLinears — bit-identical
+    forward, one activation gather + one kernel dispatch per stage."""
+
+    def test_forward_bit_identical(self, packed_model):
+        from gptq_v2_tpu.serving.model import (fuse_stage_linears,
+                                               packed_forward_logits)
+
+        model, _ = packed_model
+        fused = fuse_stage_linears(model)
+        assert "self_attn.qkv_proj" in fused.layers[0]
+        assert "mlp.gate_up_proj" in fused.layers[0]
+        rng = np.random.default_rng(51)
+        toks = jnp.asarray(rng.integers(0, model.cfg.vocab_size, (2, 9)))
+        a = packed_forward_logits(model, toks)
+        b = packed_forward_logits(fused, toks)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+    def test_engine_fused_matches_unfused(self, packed_model):
+        model, _ = packed_model
+        rng = np.random.default_rng(52)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (7, 4)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=6)
+                        for i, p in enumerate(prompts)]
+        ref = Engine(model, max_batch=2, max_seq_len=64,
+                     fuse_stages=False).run(reqs())
+        got = Engine(model, max_batch=2, max_seq_len=64).run(reqs())
+        assert got == ref
+
+    def test_quantized_pipeline_model_fuses(self, packed_model):
+        """A really-quantized act-order model: q/k/v perms are equal (one
+        stage Hessian) so the packer dedupe + fusion kick in."""
+        from gptq_v2_tpu.serving.model import fuse_stage_linears
+
+        model, results = packed_model
+        fused = fuse_stage_linears(model)
+        p = fused.layers[0].get("self_attn.qkv_proj")
+        assert p is not None
+        assert p.out_features == (
+            model.cfg.num_attention_heads * model.cfg.head_dim_
+            + 2 * model.cfg.num_key_value_heads * model.cfg.head_dim_)
+
+
 class TestMultiStep:
     """Engine(multi_step=k): k fused decode+sample steps per host sync."""
 

@@ -1561,6 +1561,39 @@ class TestMultiStep:
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
         assert out[0] == ref_out[:3]
 
+    def test_multi_step_composes_with_int4_kv(self, packed_model):
+        """Engine(kv_dtype='int4', multi_step=k): the fused fori tick runs
+        the int4 two-pass attention path; tokens match the single-step
+        int4 engine exactly (same quantized cache trajectory)."""
+        model, _ = packed_model
+        rng = np.random.default_rng(61)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+        mk = lambda **kw: Engine(model, max_batch=2, max_seq_len=64,
+                                 cache_kind="contiguous", kv_dtype="int4",
+                                 **kw)
+        ref = mk().run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        got = mk(multi_step=4).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=8)])
+        assert got == ref
+
+    def test_multi_step_composes_with_prefix_cache(self, packed_model):
+        """Ragged multi-step + prefix caching: the second identical prompt
+        reuses cached pages AND decode-only ticks fuse k steps."""
+        model, _ = packed_model
+        rng = np.random.default_rng(62)
+        prompt = rng.integers(0, model.cfg.vocab_size, (21,)).tolist()
+        ref = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged",
+                     token_budget=16).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=6)])[0]
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", token_budget=16,
+                     prefix_cache=True, multi_step=4)
+        first = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=6)])[0]
+        second = eng.run([Request(uid=1, prompt=prompt, max_new_tokens=6)])[1]
+        assert first == ref and second == ref
+        assert eng.prefix_hit_tokens == 16
+
     def test_fori_matches_unroll(self, packed_model):
         """The fori_loop tick and the unrolled tick share one PRNG chain
         and must emit identical tokens (decode_sample_loop is a drop-in

@@ -260,9 +260,14 @@ def cache_pspec(cache, data_parallel: bool = False):
         return kvc.ContiguousKVCache(s, s, cache.k_scales, cache.v_scales,
                                      cache.kv_bits)
     # (n_layers, n_pages, page_size, 2·n_kv, hd): combined KV heads shard over
-    # model (pairs stay intact — even counts per shard), pool over data
+    # model (pairs stay intact — even counts per shard), pool over data.
+    # int4 pages (kv_bits=4): the combined entries are ADJACENT-pair
+    # nibble bytes, so a contiguous shard of them is a contiguous run of
+    # REAL kv heads — the same split aligns with the q-head column shard
+    # when n_kv % (2·tp) == 0.
     s = P(None, d, None, MODEL_AXIS, None)
-    return kvc.PagedKVCache(s, cache.page_size)
+    return kvc.PagedKVCache(s, cache.page_size, cache.k_scales,
+                            cache.v_scales, cache.kv_bits)
 
 
 def shard_cache(cache, mesh, data_parallel: bool = False):
@@ -679,6 +684,7 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
                                  else cache.k_scales[li]),
                         v_scale=(None if cache.v_scales is None
                                  else cache.v_scales[li]),
+                        kv_int4=cache.kv_bits == 4,
                         num_kv_pages_per_block=(
                             min(n_pages, 128)
                             if win is None or win >= s else None),
@@ -772,6 +778,7 @@ def _tp_ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                          else cache.k_scales[li]),
                 v_scale=(None if cache.v_scales is None
                          else cache.v_scales[li]),
+                kv_int4=cache.kv_bits == 4,
             )[:, None]
             return attn, None
 
@@ -824,17 +831,15 @@ def build_tp_ragged_step(mesh):
                 block_tables, kv_lens, cu_q_lens, num_seqs, sample_rows,
                 temperatures, key, top_ks=None, top_ps=None, min_ps=None,
                 return_logprobs=False):
+        cache_spec = kvc.PagedKVCache(csp, cache.page_size,
+                                      cache.k_scales, cache.v_scales,
+                                      cache.kv_bits)
         return jax.shard_map(
             make_local_step(return_logprobs), mesh=mesh,
-            in_specs=(model.specs(), P(),
-                      kvc.PagedKVCache(csp, cache.page_size,
-                                       cache.k_scales, cache.v_scales),
+            in_specs=(model.specs(), P(), cache_spec,
                       P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
                       P(), P(), P()),
-            out_specs=(P(),
-                       kvc.PagedKVCache(csp, cache.page_size,
-                                        cache.k_scales, cache.v_scales),
-                       P()),
+            out_specs=(P(), cache_spec, P()),
             check_vma=False,
         )(model, tokens, cache, positions, tok_pages, tok_offs, block_tables,
           kv_lens, cu_q_lens, num_seqs, sample_rows, temperatures, key,

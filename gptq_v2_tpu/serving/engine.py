@@ -212,10 +212,22 @@ class Engine:
         else:
             raise ValueError(kv_dtype)
         if kv_dtype == "int4":
-            assert (not mla_absorbed and draft is None and mesh is None), (
+            assert not mla_absorbed and draft is None, (
                 "int4 KV rides the contiguous (two-pass XLA unpack) and "
                 "paged (in-kernel nibble unpack, ops/_ragged_sink_kernel "
-                "kv_int4) caches — no MLA/speculative/TP composition yet")
+                "kv_int4) caches — no MLA/speculative composition yet")
+            if mesh is not None:
+                from gptq_v2_tpu.parallel.mesh import tp_size
+
+                # TP shards the paged pool's combined axis: adjacent-pair
+                # bytes keep real heads contiguous, so the split aligns
+                # with the q-head column shard when each shard holds whole
+                # pairs
+                assert cache_kind == "paged" and "stage" not in mesh.axis_names
+                assert (model.cfg.num_key_value_heads
+                        % (2 * tp_size(mesh)) == 0), (
+                    "int4 TP needs n_kv % (2*tp) == 0 (whole nibble pairs"
+                    " per shard)")
         self.mla_absorbed = mla_absorbed
         if mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA

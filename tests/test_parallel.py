@@ -647,6 +647,35 @@ class TestTPEngine:
         got = mk(mesh=make_mesh(tp=2, dp=1)).run(reqs())
         assert got == want
 
+    @pytest.mark.parametrize("scheduler", ["phased", "ragged"])
+    def test_int4_paged_over_mesh_matches_single_device(self, scheduler):
+        """int4 KV + TP (round-3 gap): the paged pool's nibble-packed
+        combined axis shards over ``model`` (adjacent pairs keep real
+        heads contiguous, aligning with the q column shard); greedy
+        outputs == the single-device paged int4 engine."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(num_key_value_heads=4)
+        model = random_packed_llama(cfg, group_size=16, seed=87,
+                                    compute_dtype=jnp.float32)
+        assert model.cfg.num_key_value_heads % 4 == 0  # 2*tp pairs
+        rng = np.random.default_rng(85)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (9, 6)]
+
+        def mk(mesh=None):
+            return Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                          cache_kind="paged", kv_dtype="int4",
+                          scheduler=scheduler, mesh=mesh)
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=4)
+                        for i, p in enumerate(prompts)]
+        want = mk().run(reqs())
+        eng = mk(mesh=make_mesh(tp=2, dp=1))
+        assert eng.cache.kv_bits == 4
+        got = eng.run(reqs())
+        assert got == want
+
     def test_llama4_engine_over_mesh_matches_single_device(self):
         """Llama-4 end-to-end serving over a TP mesh (contiguous cache):
         chunk masks + temperature tuning in the TP decode step, EP

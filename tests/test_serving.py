@@ -1488,6 +1488,39 @@ class TestFusedStages:
         b = packed_forward_logits(fused, toks)
         assert float(jnp.max(jnp.abs(a - b))) == 0.0
 
+    @pytest.mark.parametrize("desc,kw", [
+        ("qwen2-bias", dict(qkv_bias=True)),
+        ("olmo2-flatnorm", dict(postnorm_only=True, qk_norm_flat=True)),
+        ("qwen3-qknorm", dict(qk_norm=True)),
+        ("gemma2", dict(sliding_window=8, sandwich_norms=True,
+                        norm_unit_offset=True, embed_normalizer=True,
+                        hidden_act="gelu_pytorch_tanh",
+                        attn_logit_softcap=50.0,
+                        layer_types=("sliding_attention",
+                                     "full_attention"))),
+    ])
+    def test_family_variants_bit_identical(self, desc, kw):
+        """Fusion must respect biased QKV (concat biases), flat-QK-norm
+        (applied after the split), head-dim QK-norm, and sandwich-norm
+        families."""
+        from gptq_v2_tpu.serving.model import (fuse_stage_linears,
+                                               packed_forward_logits,
+                                               random_packed_llama)
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=2, **kw)
+        model = random_packed_llama(cfg, group_size=16, seed=53,
+                                    compute_dtype=jnp.float32)
+        fused = fuse_stage_linears(model)
+        assert "self_attn.qkv_proj" in fused.layers[0], desc
+        if kw.get("qkv_bias"):
+            assert "self_attn.qkv_proj.bias" in fused.layers[0]
+        rng = np.random.default_rng(54)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)))
+        a = packed_forward_logits(model, toks)
+        b = packed_forward_logits(fused, toks)
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-5 * max(1.0, float(jnp.max(jnp.abs(a)))), (desc, err)
+
     def test_engine_fused_matches_unfused(self, packed_model):
         model, _ = packed_model
         rng = np.random.default_rng(52)

@@ -1105,9 +1105,11 @@ def block_core(
         # column gather is a slow lane-shuffle op) and one weight-stream
         # dispatch.  Split points follow the family head geometry.
         qkv = lin("self_attn.qkv_proj", h)
-        nqd = (qkv.shape[-1] - 2 * cfg.num_key_value_heads * hd)
-        qf, kf, v = jnp.split(qkv, [nqd, nqd + cfg.num_key_value_heads * hd],
-                              axis=-1)
+        # ratio-derived split (TP-local shards keep the q:kv head ratio):
+        # width = (groups + 2) * hkv_local * hd
+        groups = cfg.num_attention_heads // cfg.num_key_value_heads
+        kw = qkv.shape[-1] // (groups + 2)
+        qf, kf, v = jnp.split(qkv, [groups * kw, (groups + 1) * kw], axis=-1)
     else:
         qf = lin("self_attn.q_proj", h)
         kf = lin("self_attn.k_proj", h)

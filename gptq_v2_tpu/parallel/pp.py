@@ -264,9 +264,14 @@ def shard_packed_llama_pp(model, mesh: Mesh) -> PPPackedLlama:
 
     def prep(lp):
         """One global layer → {name: TPPacked(lead=1) | (tp, ...) | leaf}."""
+        from gptq_v2_tpu.serving.model import fuse_layer_dict
+
         if tp == 1:
-            return dict(lp)
+            # per-stage fused qkv/gate_up (one gather + one kernel call)
+            return dict(lp) if cfg.mla else fuse_layer_dict(dict(lp))
         shards = _tp_split_layer(cfg, lp, tp)
+        if not cfg.mla:  # fuse each device's local column shards
+            shards = [fuse_layer_dict(s) for s in shards]
         out = {}
         for name in shards[0]:  # expert names are local slots under EP
             parts = [s[name] for s in shards]

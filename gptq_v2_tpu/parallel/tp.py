@@ -49,7 +49,10 @@ COLUMN_PARALLEL = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
                    "mlp.shared_experts.up_proj",
                    # MLA: the per-head halves shard by whole heads; the
                    # small latent projections (q_a, kv_a) replicate
-                   "self_attn.q_b_proj", "self_attn.kv_b_proj")
+                   "self_attn.q_b_proj", "self_attn.kv_b_proj",
+                   # per-shard FUSED stages (built by _fuse_column_stages /
+                   # fuse_layer_dict AFTER splitting — never split directly)
+                   "self_attn.qkv_proj", "mlp.gate_up_proj")
 ROW_PARALLEL = ("self_attn.o_proj", "mlp.down_proj",
                 "mlp.shared_experts.down_proj")
 
@@ -177,6 +180,41 @@ def _stack_packed(shards) -> TPPacked:
     )
 
 
+def _fuse_column_stages(lp: Dict[str, Any], tp: int) -> Dict[str, Any]:
+    """Per-shard stage fusion for the TP shard builder: split q/k/v (and
+    gate/up) column-parallel, then concatenate each device's shards into
+    one fused :class:`PackedLinear` — the TP twin of
+    ``serving.model.fuse_stage_linears`` (one activation gather + one
+    kernel dispatch per stage per device).  Pops the fused names from
+    ``lp`` and returns the stacked fused entries."""
+    from gptq_v2_tpu.serving.model import FUSED_STAGES, _fusable, _fuse_packed
+
+    out: Dict[str, Any] = {}
+    for fused_name, names in FUSED_STAGES:
+        got = _fusable(lp, names)
+        if got is None:
+            continue
+        ws, biases = got
+        shard_parts = [split_packed_column(w, tp) for w in ws]
+        fused_shards = []
+        for d in range(tp):
+            f, _ = _fuse_packed([sp[d] for sp in shard_parts],
+                                [None] * len(ws))
+            fused_shards.append(f)
+        out[fused_name] = _stack_packed(fused_shards)
+        if biases[0] is not None:
+            bias_shards = [
+                jnp.concatenate(
+                    [np.split(np.asarray(b), tp, axis=0)[d] for b in biases],
+                    axis=0)
+                for d in range(tp)]
+            out[fused_name + ".bias"] = jnp.stack(bias_shards)
+        for n in names:
+            lp.pop(n)
+            lp.pop(n + ".bias", None)
+    return out
+
+
 def shard_packed_llama(model, mesh) -> TPPackedLlama:
     """Shard a :class:`~gptq_v2_tpu.serving.model.PackedLlama` over the mesh
     ``model`` axis and place every array on its devices."""
@@ -193,7 +231,14 @@ def shard_packed_llama(model, mesh) -> TPPackedLlama:
 
     layers = []
     for lp in model.layers:
+        lp = dict(lp)
+        assert "self_attn.qkv_proj" not in lp and "mlp.gate_up_proj" not in lp, (
+            "pass the UNFUSED model to TP sharding; per-shard fusion is"
+            " applied here (a pre-fused qkv cannot be column-split on"
+            " head boundaries)")
         out: Dict[str, Any] = {}
+        if not cfg.mla:
+            out.update(_fuse_column_stages(lp, tp))
         for name, w in lp.items():
             if _is_expert(name):
                 continue  # regrouped below (expert parallelism)

@@ -113,6 +113,70 @@ def _dedupe_perms(layers: List[Dict[str, Any]]) -> None:
         cache.clear()  # share within a layer only (buffers stay small)
 
 
+FUSED_STAGES = (
+    ("self_attn.qkv_proj",
+     ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj")),
+    ("mlp.gate_up_proj", ("mlp.gate_proj", "mlp.up_proj")),
+)
+
+
+def _fusable(lp, names):
+    ws = [lp.get(n) for n in names]
+    if not all(isinstance(w, PackedLinear) for w in ws):
+        return None
+    w0 = ws[0]
+    if any(w.group_size != w0.group_size or w.bits != w0.bits
+           or w.in_features != w0.in_features
+           or w.qweight.shape[0] != w0.qweight.shape[0] for w in ws):
+        return None
+    perms = [w.perm for w in ws]
+    if any((p is None) != (perms[0] is None) for p in perms):
+        return None
+    if perms[0] is not None:
+        p0 = np.asarray(perms[0])
+        if any(not np.array_equal(np.asarray(p), p0) for p in perms[1:]):
+            return None
+    biases = [lp.get(n + ".bias") for n in names]
+    if any((b is None) != (biases[0] is None) for b in biases):
+        return None
+    return ws, biases
+
+def _fuse_packed(ws, biases):
+    w0 = ws[0]
+    fused = PackedLinear(
+        qweight=jnp.concatenate([w.qweight for w in ws], axis=1),
+        scales=jnp.concatenate([w.scales for w in ws], axis=1),
+        zeros=jnp.concatenate([w.zeros for w in ws], axis=1),
+        perm=w0.perm,
+        group_size=w0.group_size,
+        in_features=w0.in_features,
+        bits=w0.bits,
+    )
+    bias = (None if biases[0] is None
+            else jnp.concatenate(list(biases), axis=0))
+    return fused, bias
+
+
+def fuse_layer_dict(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-layer stage fusion (see :func:`fuse_stage_linears`): returns a
+    new dict with q/k/v and gate/up fused when compatible.  Shared by the
+    single-device transform and the TP/PP shard builders (which fuse each
+    device's local shard)."""
+    lp = dict(lp)
+    for fused_name, names in FUSED_STAGES:
+        got = _fusable(lp, names)
+        if got is None:
+            continue
+        fused, bias = _fuse_packed(*got)
+        for n in names:
+            lp.pop(n)
+            lp.pop(n + ".bias", None)
+        lp[fused_name] = fused
+        if bias is not None:
+            lp[fused_name + ".bias"] = bias
+    return lp
+
+
 def fuse_stage_linears(model: "PackedLlama") -> "PackedLlama":
     """Fuse q/k/v → ``self_attn.qkv_proj`` and gate/up →
     ``mlp.gate_up_proj`` when the stage-mates are packed with one shared
@@ -132,66 +196,8 @@ def fuse_stage_linears(model: "PackedLlama") -> "PackedLlama":
     if cfg.mla:
         return model
 
-    def fusable(lp, names):
-        ws = [lp.get(n) for n in names]
-        if not all(isinstance(w, PackedLinear) for w in ws):
-            return None
-        w0 = ws[0]
-        if any(w.group_size != w0.group_size or w.bits != w0.bits
-               or w.in_features != w0.in_features
-               or w.qweight.shape[0] != w0.qweight.shape[0] for w in ws):
-            return None
-        perms = [w.perm for w in ws]
-        if any((p is None) != (perms[0] is None) for p in perms):
-            return None
-        if perms[0] is not None:
-            p0 = np.asarray(perms[0])
-            if any(not np.array_equal(np.asarray(p), p0) for p in perms[1:]):
-                return None
-        biases = [lp.get(n + ".bias") for n in names]
-        if any((b is None) != (biases[0] is None) for b in biases):
-            return None
-        return ws, biases
 
-    def fuse(ws, biases):
-        w0 = ws[0]
-        fused = PackedLinear(
-            qweight=jnp.concatenate([w.qweight for w in ws], axis=1),
-            scales=jnp.concatenate([w.scales for w in ws], axis=1),
-            zeros=jnp.concatenate([w.zeros for w in ws], axis=1),
-            perm=w0.perm,
-            group_size=w0.group_size,
-            in_features=w0.in_features,
-            bits=w0.bits,
-        )
-        bias = (None if biases[0] is None
-                else jnp.concatenate(list(biases), axis=0))
-        return fused, bias
-
-    layers = []
-    for lp in model.layers:
-        lp = dict(lp)
-        got = fusable(lp, ("self_attn.q_proj", "self_attn.k_proj",
-                           "self_attn.v_proj"))
-        if got is not None:
-            fused, bias = fuse(*got)
-            for n in ("self_attn.q_proj", "self_attn.k_proj",
-                      "self_attn.v_proj"):
-                lp.pop(n)
-                lp.pop(n + ".bias", None)
-            lp["self_attn.qkv_proj"] = fused
-            if bias is not None:
-                lp["self_attn.qkv_proj.bias"] = bias
-        got = fusable(lp, ("mlp.gate_proj", "mlp.up_proj"))
-        if got is not None:
-            fused, bias = fuse(*got)
-            for n in ("mlp.gate_proj", "mlp.up_proj"):
-                lp.pop(n)
-                lp.pop(n + ".bias", None)
-            lp["mlp.gate_up_proj"] = fused
-            if bias is not None:
-                lp["mlp.gate_up_proj.bias"] = bias
-        layers.append(lp)
+    layers = [fuse_layer_dict(lp) for lp in model.layers]
     return dataclasses.replace(model, layers=tuple(layers))
 
 

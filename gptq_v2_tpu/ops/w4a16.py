@@ -142,7 +142,11 @@ def w4a16_matmul(
     assert c == p.in_features, (c, p.in_features)
     xb = x.reshape(-1, c)
     if p.perm is not None:
-        xb = jnp.take(xb, p.perm, axis=1)  # (B, stored) — may differ from c (TP row shard)
+        # (B, stored) — may differ from c (TP row shard).  perm is a real
+        # permutation (always in bounds, unique): "clip" drops XLA's
+        # fill-mode compare+select around the lane gather (this JAX has no
+        # promise_in_bounds spelling on jnp.take).
+        xb = jnp.take(xb, p.perm, axis=1, unique_indices=True, mode="clip")
     stored = xb.shape[1]
     c_pad = p.in_features_padded
     if c_pad != stored:

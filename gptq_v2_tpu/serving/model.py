@@ -177,6 +177,94 @@ def fuse_layer_dict(lp: Dict[str, Any]) -> Dict[str, Any]:
     return lp
 
 
+def _permute_out(w, cols):
+    """Reorder a linear's OUTPUT columns — a free relabeling of lanes
+    (packed columns are independent in the plane-per-group layout)."""
+    from gptq_v2_tpu.ops.packing import BitSlicedLinear
+
+    if isinstance(w, BitSlicedLinear):
+        return BitSlicedLinear(lo=_permute_out(w.lo, cols),
+                               hi=_permute_out(w.hi, cols))
+    if isinstance(w, PackedLinear):
+        return dataclasses.replace(w, qweight=w.qweight[:, cols],
+                                   scales=w.scales[:, cols],
+                                   zeros=w.zeros[:, cols])
+    return w[:, cols]  # dense (C, R)
+
+
+def _strip_perm(w):
+    from gptq_v2_tpu.ops.packing import BitSlicedLinear
+
+    if isinstance(w, BitSlicedLinear):
+        return BitSlicedLinear(lo=dataclasses.replace(w.lo, perm=None),
+                               hi=dataclasses.replace(w.hi, perm=None))
+    return dataclasses.replace(w, perm=None)
+
+
+def _down_perm(w):
+    from gptq_v2_tpu.ops.packing import BitSlicedLinear
+
+    if isinstance(w, BitSlicedLinear):
+        lo, hi = w.lo.perm, w.hi.perm
+        if lo is None or hi is None or not np.array_equal(
+                np.asarray(lo), np.asarray(hi)):
+            return None
+        return lo
+    if isinstance(w, PackedLinear):
+        return w.perm
+    return None
+
+
+def fold_down_perm_layer(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold ``mlp.down_proj``'s act-order perm into gate/up OUTPUT columns.
+
+    ``x_down = act(gate(h)) * up(h)`` is elementwise in the intermediate
+    columns, so reordering gate's and up's output columns by ``perm`` makes
+    the MLP intermediate arrive already in down's stored row order — the
+    runtime activation gather (a slow lane-shuffle: the single widest one
+    in the 7B decode profile, [B, 11008] per layer per step) disappears
+    for zero extra HBM traffic.  Output-column permutation of a packed
+    linear is exact: columns are independent lanes of qweight/scales/zeros.
+
+    Single-device/PP transform (the TP row-shard path assigns down's
+    stored rows to shards by activation ownership instead)."""
+    down = lp.get("mlp.down_proj")
+    if down is None:
+        return lp
+    perm = _down_perm(down)
+    if perm is None:
+        return lp
+    ins = getattr(down, "in_features", None)
+    if ins is None or perm.shape[0] != ins:  # TP row shard: partial gather
+        return lp
+    lp = dict(lp)
+    if "mlp.gate_up_proj" in lp:
+        gu = lp["mlp.gate_up_proj"]
+        outf = (gu.out_features if isinstance(gu, PackedLinear)
+                else gu.shape[1] if hasattr(gu, "shape") else None)
+        if outf != 2 * ins:
+            return lp
+        cols = jnp.concatenate([perm, perm + ins])
+        lp["mlp.gate_up_proj"] = _permute_out(gu, cols)
+        if "mlp.gate_up_proj.bias" in lp:
+            lp["mlp.gate_up_proj.bias"] = lp["mlp.gate_up_proj.bias"][cols]
+    elif "mlp.gate_proj" in lp and "mlp.up_proj" in lp:
+        for n in ("mlp.gate_proj", "mlp.up_proj"):
+            w = lp[n]
+            outf = (w.out_features if hasattr(w, "out_features")
+                    else w.shape[1] if hasattr(w, "shape") else None)
+            if outf != ins:
+                return dict(lp)
+        for n in ("mlp.gate_proj", "mlp.up_proj"):
+            lp[n] = _permute_out(lp[n], perm)
+            if n + ".bias" in lp:
+                lp[n + ".bias"] = lp[n + ".bias"][perm]
+    else:
+        return lp
+    lp["mlp.down_proj"] = _strip_perm(down)
+    return lp
+
+
 def fuse_stage_linears(model: "PackedLlama") -> "PackedLlama":
     """Fuse q/k/v → ``self_attn.qkv_proj`` and gate/up →
     ``mlp.gate_up_proj`` when the stage-mates are packed with one shared
@@ -197,7 +285,8 @@ def fuse_stage_linears(model: "PackedLlama") -> "PackedLlama":
         return model
 
 
-    layers = [fuse_layer_dict(lp) for lp in model.layers]
+    layers = [fold_down_perm_layer(fuse_layer_dict(lp))
+              for lp in model.layers]
     return dataclasses.replace(model, layers=tuple(layers))
 
 

@@ -1521,6 +1521,41 @@ class TestFusedStages:
         err = float(jnp.max(jnp.abs(a - b)))
         assert err < 1e-5 * max(1.0, float(jnp.max(jnp.abs(a)))), (desc, err)
 
+    def test_down_perm_folded_into_gate_up(self, packed_model):
+        """fold_down_perm_layer: down's act-order perm disappears (folded
+        into gate/up OUTPUT columns) and the forward stays bit-identical
+        (covered by test_forward_bit_identical, which runs the fold via
+        fuse_stage_linears)."""
+        from gptq_v2_tpu.serving.model import fuse_stage_linears
+
+        model, _ = packed_model
+        assert model.layers[0]["mlp.down_proj"].perm is not None
+        fused = fuse_stage_linears(model)
+        for lp in fused.layers:
+            assert lp["mlp.down_proj"].perm is None
+            assert lp["mlp.gate_up_proj"].perm is not None
+
+    def test_down_perm_folds_unfused_gate_up(self):
+        """The fold also applies when stage fusion does NOT trigger
+        (distinct gate/up quantization layouts): separate gate/up get
+        column-permuted and down's runtime gather still disappears."""
+        from gptq_v2_tpu.serving.model import (fold_down_perm_layer,
+                                               packed_forward_logits,
+                                               random_packed_llama)
+        import dataclasses as dc
+
+        cfg = L.LlamaConfig.tiny(num_hidden_layers=1)
+        model = random_packed_llama(cfg, group_size=16, seed=57,
+                                    compute_dtype=jnp.float32)
+        layers = tuple(fold_down_perm_layer(lp) for lp in model.layers)
+        folded = dc.replace(model, layers=layers)
+        assert folded.layers[0]["mlp.down_proj"].perm is None
+        rng = np.random.default_rng(58)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)))
+        a = packed_forward_logits(model, toks)
+        b = packed_forward_logits(folded, toks)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
     def test_engine_fused_matches_unfused(self, packed_model):
         model, _ = packed_model
         rng = np.random.default_rng(52)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gptq_v2_tpu.models import llama as L
-from gptq_v2_tpu.pipeline import _to_device, _block_fwd_for, _device_layer
+from gptq_v2_tpu.pipeline import (_to_device, _block_fwd_for, _device_layer,
+                                  _stack_batches)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "unit_offset"))
@@ -52,20 +53,21 @@ def evaluate_ppl(
 
     embed_w = _to_device(params["embed_tokens"])
     embed_fn = jax.jit(lambda w, t: L.embed_lookup(cfg, w, t))
-    xs = [embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))
-          for b in range(0, n_seq, batch_size)]
-    x = jnp.concatenate(xs, axis=0)
-    del embed_w, xs
+    # stacked chunks (one scan dispatch per layer — pipeline host-tax fix)
+    xs = _stack_batches(
+        [embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))
+         for b in range(0, n_seq, batch_size)])
+    del embed_w
 
     for li in range(cfg.num_hidden_layers):
         block_fwd = _block_fwd_for(cfg, window=cfg.layer_window(li),
                                    qk_l2=cfg.layer_qk_l2(li))
         cos_sin = ropes[cfg.layer_rope(li)]  # Gemma-3 local/global rope
         lp = _device_layer(params["layers"][li])
-        outs = [block_fwd(lp, x[b:b + batch_size], cos_sin)
-                for b in range(0, n_seq, batch_size)]
-        x = jnp.concatenate(outs, axis=0)
-        del lp, outs
+        xs = [block_fwd(lp, xc, cos_sin) for xc in xs]
+        del lp
+    x = jnp.concatenate([xc.reshape(-1, *xc.shape[2:]) for xc in xs], axis=0)
+    del xs
 
     norm_w = _to_device(params["norm"])
     x = jnp.concatenate(

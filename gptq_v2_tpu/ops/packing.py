@@ -54,6 +54,10 @@ class PackedLinear:
     group_size: int
     in_features: int  # activation width C
     bits: int = 4
+    # activation precision: 16 = bf16/f32 MXU dots (default); 8 = W4A8 —
+    # per-row dynamic int8 activation quantization feeding int8 MXU dots
+    # at ~2x the bf16 rate (serving.model.to_w4a8; single-device tier)
+    act_bits: int = 16
 
     @property
     def out_features(self) -> int:
@@ -70,7 +74,8 @@ class PackedLinear:
 
     def tree_flatten(self):
         return ((self.qweight, self.scales, self.zeros, self.perm),
-                (self.group_size, self.in_features, self.bits))
+                (self.group_size, self.in_features, self.bits,
+                 self.act_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -183,6 +183,10 @@ def paged_ragged_attention_reference(
         k = k.astype(jnp.float32) * k_scale
     if v_scale is not None:
         v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
+    if jnp.issubdtype(v.dtype, jnp.integer):
+        # raw codes with scales folded OUTSIDE (per-head int4 path): the
+        # PV contraction must still run in float
+        k, v = k.astype(q.dtype), v.astype(q.dtype)
     groups = hq // n_kv
     qg = q.reshape(t, n_kv, groups, hd)
     scores = jnp.einsum("tkgh,tskh->tkgs", qg, k,
@@ -240,6 +244,9 @@ def paged_decode_attention_reference(
         k = k.astype(jnp.float32) * k_scale
     if v_scale is not None:
         v = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
+    if jnp.issubdtype(v.dtype, jnp.integer):
+        # raw codes with scales folded OUTSIDE (per-head int4 path)
+        k, v = k.astype(q.dtype), v.astype(q.dtype)
     groups = hq // n_kv
     qg = q.reshape(b, n_kv, groups, hd)
     scores = jnp.einsum("bkgh,bskh->bkgs", qg, k,

@@ -67,6 +67,96 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_a8(x_ref, w_ref, s_ref, zs_ref, xs_ref, out_ref, acc_ref, *,
+               group_size, n_k, bits):
+    """W4A8 grid step: int8 activations × int8 weight codes on the MXU
+    (~2x the bf16 rate on v5e — measured 125 vs 89 T(FL)OP/s same-epoch).
+
+    Same algebraic refactor as :func:`_kernel` in integer arithmetic:
+    ``x @ ((q - z)·s) ≈ [(xq @ q)·s - sum(xq)·(z·s)] · x_scale_row`` where
+    ``xq = round(x / x_scale_row)`` per activation row (dynamic per-row
+    symmetric int8 — the standard W4A8 recipe).  The int32 dot output
+    converts to f32 only at (bm × bn) tile granularity.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    words = w_ref[:]  # (g, bn) int32
+    g = group_size
+    acc = acc_ref[:]
+    planes, mask = 32 // bits, (1 << bits) - 1
+    for i in range(planes):
+        codes = ((words >> (bits * i)) & mask).astype(jnp.int8)  # (g, bn)
+        x_i = x_ref[:, i * g:(i + 1) * g]  # (bm, g) int8
+        dot = jax.lax.dot_general(
+            x_i, codes,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        x_sum = jnp.sum(x_i.astype(jnp.int32), axis=1,
+                        keepdims=True).astype(jnp.float32)  # (bm, 1)
+        acc += dot.astype(jnp.float32) * s_ref[i, :][None, :].astype(jnp.float32) \
+            - x_sum * zs_ref[i, :][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "block_n",
+                                             "interpret", "bits"))
+def _w4a8_2d(xq, x_scale, qweight, scales, zeros, group_size: int,
+             block_n: int, interpret: bool, bits: int = 4):
+    """xq: (B, C_pad) int8 (stored column order); x_scale: (B, 1) f32
+    per-row dequant scales; returns (B, R) in the scales' dtype."""
+    b, c_pad = xq.shape
+    _, r = qweight.shape
+    g = group_size
+    planes = 32 // bits
+    bk = planes * g
+    n_k = c_pad // bk
+    n_j = pl.cdiv(r, block_n)
+    bm = min(b, 512)
+    assert b % bm == 0, (b, bm)
+    n_i = b // bm
+
+    zs = (zeros.astype(jnp.float32)
+          * scales.astype(jnp.float32)).astype(scales.dtype)
+    kernel = functools.partial(_kernel_a8, group_size=g, n_k=n_k, bits=bits)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r), scales.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c_pad * r,
+            bytes_accessed=n_i * c_pad * r * bits // 8
+            + b * c_pad + 2 * (c_pad // g) * r * scales.dtype.itemsize
+            + b * r * scales.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, qweight, scales, zs, x_scale)
+
+
 @functools.partial(jax.jit, static_argnames=("group_size", "block_n",
                                              "interpret", "bits"))
 def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
@@ -142,11 +232,15 @@ def w4a16_matmul(
     assert c == p.in_features, (c, p.in_features)
     xb = x.reshape(-1, c)
     if p.perm is not None:
-        # (B, stored) — may differ from c (TP row shard).  perm is a real
-        # permutation (always in bounds, unique): "clip" drops XLA's
-        # fill-mode compare+select around the lane gather (this JAX has no
-        # promise_in_bounds spelling on jnp.take).
-        xb = jnp.take(xb, p.perm, axis=1, unique_indices=True, mode="clip")
+        # (B, stored) — may differ from c (TP row shard).  perm entries are
+        # always in bounds, so "clip" drops XLA's fill-mode compare+select
+        # around the lane gather (this JAX has no promise_in_bounds
+        # spelling on jnp.take).  Uniqueness holds only when perm is a
+        # full permutation: TP row shards pad with duplicate index-0
+        # entries (packing.split_packed_row), where promising uniqueness
+        # would make the gather undefined.
+        xb = jnp.take(xb, p.perm, axis=1, mode="clip",
+                      unique_indices=p.perm.shape[0] == p.in_features)
     stored = xb.shape[1]
     c_pad = p.in_features_padded
     if c_pad != stored:
@@ -172,6 +266,18 @@ def w4a16_matmul(
     bm_eff = min(b_pad, 512)
     while bn > 256 and bm_eff * bn > 512 * 1024:
         bn //= 2
+    if p.act_bits == 8:
+        # W4A8: per-row dynamic symmetric int8 activation quantization
+        # (pad rows have amax 0 -> scale floor keeps them zero)
+        amax = jnp.max(jnp.abs(xb.astype(jnp.float32)), axis=1,
+                       keepdims=True)
+        x_scale = jnp.maximum(amax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xb.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
+        out = _w4a8_2d(xq, x_scale, p.qweight, p.scales, p.zeros,
+                       group_size=p.group_size, block_n=bn,
+                       interpret=interpret, bits=p.bits)
+        return out[:b].reshape(*lead, r)
     out = _w4a16_2d(xb.astype(p.scales.dtype), p.qweight, p.scales, p.zeros,
                     group_size=p.group_size, block_n=bn, interpret=interpret,
                     bits=p.bits)

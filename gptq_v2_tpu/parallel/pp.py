@@ -443,6 +443,84 @@ def _apply_local_layers(cfg, model: PPPackedLlama, x, ropes, cache_kv,
     return x, (ck, cv)
 
 
+def _pp_decode_local(model: PPPackedLlama, tokens, cache, positions,
+                     pp: int, mb: int):
+    """Device-local pipelined decode body (call inside shard_map): rotates
+    the microbatches through the stages over ``2*pp - 1`` ticks and
+    returns ``(logits (B, V) replicated, cache)``.  Shared by
+    :func:`build_pp_decode_step` and :func:`build_pp_decode_loop`."""
+    cfg = model.cfg
+    l_loc = model.layers_per_stage
+    s_idx = jax.lax.axis_index(STAGE_AXIS)
+    s_len = cache.max_len
+    d = cfg.hidden_size
+    n_slots = tokens.shape[0]
+    # the cache spec shards layers over 'stage' (and heads over 'model'
+    # under TPxPP): the local view is (L_loc, n_slots, max_len, ...)
+    ck, cv = cache.k, cache.v
+    ks_loc = _local_scales(cache.k_scales, s_idx, l_loc)
+    vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
+
+    windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
+    chunks = [_stage_chunk(cfg, l_loc, j) for j in range(l_loc)]
+    temp_tuned = [_stage_temp_tuned(cfg, l_loc, j) for j in range(l_loc)]
+    is_first = s_idx == 0
+    is_last = s_idx == pp - 1
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+    x_recv = jnp.zeros((mb, 1, d), model.embed_tokens.dtype)
+    out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
+    for t in range(2 * pp - 1):
+        mbi = t - s_idx  # which microbatch this stage handles this tick
+        active = (mbi >= 0) & (mbi < pp)
+        mbi_c = jnp.clip(mbi, 0, pp - 1)
+        row0 = mbi_c * mb
+        rows = row0 + jnp.arange(mb)
+        tok = jax.lax.dynamic_slice(tokens, (row0,), (mb,))
+        pos = jax.lax.dynamic_slice(positions, (row0,), (mb,))
+        # bubble ticks write to the trash position (re-written before
+        # ever attended); real ticks write at the token's position
+        wpos = jnp.where(active, pos, s_len - 1)
+        ropes = [(c[:, None, :], s_[:, None, :])  # (mb, 1, hd) traced
+                 for c, s_ in L.rope_tables(cfg, pos)]
+        x_first = L.embed_lookup(cfg, model.embed_tokens, tok)[:, None, :]
+        x = jnp.where(is_first, x_first, x_recv)
+        base = jnp.arange(s_len)[None, :] <= pos[:, None]
+        key_masks = []
+        for w, c in zip(windows, chunks):
+            m = base
+            if w is not None:
+                m = m & (jnp.arange(s_len)[None, :] > pos[:, None] - w)
+            if c is not None:  # Llama-4: keys in the query's chunk only
+                m = m & ((jnp.arange(s_len)[None, :] // c)
+                         == (pos[:, None] // c))
+            key_masks.append(m)
+        qs_t = (L.llama4_q_scale(cfg, pos)[:, None]
+                if any(temp_tuned) else None)
+        q_scales = [qs_t if tt else None for tt in temp_tuned]
+        x, (ck, cv) = _apply_local_layers(
+            cfg, model, x, ropes, (ck, cv), rows, wpos, key_masks,
+            s_len, ks_loc, vs_loc, q_scales=q_scales)
+        # the last stage finishes microbatch mbi: stash its hidden
+        h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
+                       cfg.norm_unit_offset)[:, 0]
+        contrib = jnp.where(is_last & active, h.astype(jnp.float32), 0.0)
+        out = jax.lax.dynamic_update_slice(
+            out, contrib + jax.lax.dynamic_slice(out, (row0, 0),
+                                                 (mb, out.shape[1])),
+            (row0, 0))
+        x_recv = jax.lax.ppermute(x, STAGE_AXIS, perm)
+    # every stage holds zeros except the last: one psum replicates the
+    # final hidden; the (cheap) head runs replicated
+    out = jax.lax.psum(out, STAGE_AXIS)
+    logits = _plain_linear(model.lm_head,
+                           out.astype(model.embed_tokens.dtype))
+    logits = L.soft_cap(logits, cfg.final_logit_softcap)
+    if cfg.logits_divider is not None:
+        logits = logits / cfg.logits_divider
+    return logits, cache._replace(k=ck, v=cv)
+
+
 def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
     """Jitted pipelined decode: one new token for every slot per call.
 
@@ -458,76 +536,8 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
     assert n_slots % pp == 0, (n_slots, pp)
     mb = n_slots // pp
 
-    def local_step(model: PPPackedLlama, tokens, cache, positions):
-        cfg = model.cfg
-        l_loc = model.layers_per_stage
-        s_idx = jax.lax.axis_index(STAGE_AXIS)
-        s_len = cache.max_len
-        d = cfg.hidden_size
-        # the cache spec shards layers over 'stage' (and heads over 'model'
-        # under TPxPP): the local view is (L_loc, n_slots, max_len, ...)
-        ck, cv = cache.k, cache.v
-        ks_loc = _local_scales(cache.k_scales, s_idx, l_loc)
-        vs_loc = _local_scales(cache.v_scales, s_idx, l_loc)
-
-        windows = [_stage_window(cfg, l_loc, j) for j in range(l_loc)]
-        chunks = [_stage_chunk(cfg, l_loc, j) for j in range(l_loc)]
-        temp_tuned = [_stage_temp_tuned(cfg, l_loc, j) for j in range(l_loc)]
-        is_first = s_idx == 0
-        is_last = s_idx == pp - 1
-        perm = [(i, (i + 1) % pp) for i in range(pp)]
-
-        x_recv = jnp.zeros((mb, 1, d), model.embed_tokens.dtype)
-        out = jnp.zeros((n_slots, model.norm.shape[0]), jnp.float32)
-        for t in range(2 * pp - 1):
-            mbi = t - s_idx  # which microbatch this stage handles this tick
-            active = (mbi >= 0) & (mbi < pp)
-            mbi_c = jnp.clip(mbi, 0, pp - 1)
-            row0 = mbi_c * mb
-            rows = row0 + jnp.arange(mb)
-            tok = jax.lax.dynamic_slice(tokens, (row0,), (mb,))
-            pos = jax.lax.dynamic_slice(positions, (row0,), (mb,))
-            # bubble ticks write to the trash position (re-written before
-            # ever attended); real ticks write at the token's position
-            wpos = jnp.where(active, pos, s_len - 1)
-            ropes = [(c[:, None, :], s_[:, None, :])  # (mb, 1, hd) traced
-                     for c, s_ in L.rope_tables(cfg, pos)]
-            x_first = L.embed_lookup(cfg, model.embed_tokens, tok)[:, None, :]
-            x = jnp.where(is_first, x_first, x_recv)
-            base = jnp.arange(s_len)[None, :] <= pos[:, None]
-            key_masks = []
-            for w, c in zip(windows, chunks):
-                m = base
-                if w is not None:
-                    m = m & (jnp.arange(s_len)[None, :] > pos[:, None] - w)
-                if c is not None:  # Llama-4: keys in the query's chunk only
-                    m = m & ((jnp.arange(s_len)[None, :] // c)
-                             == (pos[:, None] // c))
-                key_masks.append(m)
-            qs_t = (L.llama4_q_scale(cfg, pos)[:, None]
-                    if any(temp_tuned) else None)
-            q_scales = [qs_t if tt else None for tt in temp_tuned]
-            x, (ck, cv) = _apply_local_layers(
-                cfg, model, x, ropes, (ck, cv), rows, wpos, key_masks,
-                s_len, ks_loc, vs_loc, q_scales=q_scales)
-            # the last stage finishes microbatch mbi: stash its hidden
-            h = L.rms_norm(x, model.norm, cfg.rms_norm_eps,
-                           cfg.norm_unit_offset)[:, 0]
-            contrib = jnp.where(is_last & active, h.astype(jnp.float32), 0.0)
-            out = jax.lax.dynamic_update_slice(
-                out, contrib + jax.lax.dynamic_slice(out, (row0, 0),
-                                                     (mb, out.shape[1])),
-                (row0, 0))
-            x_recv = jax.lax.ppermute(x, STAGE_AXIS, perm)
-        # every stage holds zeros except the last: one psum replicates the
-        # final hidden; the (cheap) head runs replicated
-        out = jax.lax.psum(out, STAGE_AXIS)
-        logits = _plain_linear(model.lm_head,
-                               out.astype(model.embed_tokens.dtype))
-        logits = L.soft_cap(logits, cfg.final_logit_softcap)
-        if cfg.logits_divider is not None:
-            logits = logits / cfg.logits_divider
-        return logits, cache._replace(k=ck, v=cv)
+    def local_step(model, tokens, cache, positions):
+        return _pp_decode_local(model, tokens, cache, positions, pp, mb)
 
     def sharded(model, tokens, cache, positions):
         # spec built from the live cache so every static aux field
@@ -541,6 +551,69 @@ def build_pp_decode_step(mesh: Mesh, n_slots: int, kv_scales=None):
         )(model, tokens, cache, positions)
 
     return jax.jit(sharded, donate_argnums=(2,))
+
+
+def build_pp_decode_loop(mesh: Mesh, n_slots: int, kv_scales=None):
+    """Jitted PP multi-step decode tick: ``n_steps`` full pipeline
+    rotations + per-row sampling under ONE ``lax.fori_loop`` inside the
+    shard_map — the pipeline-parallel twin of
+    ``serving.decode.decode_sample_loop`` (same contract minus
+    ``block_tables``/``s_bucket``, same PRNG chain, token-identical).
+
+    Amortizes the per-token host sync over ``n_steps`` pipeline fills —
+    the fill/drain bubble per token is unchanged, but multi-chip PP
+    serving stops paying one dispatch RTT per token.  ``mask`` guards
+    position advance for inactive slots (their trash-steered writes stay
+    at the trash position every step).  Sampling runs replicated on every
+    stage (identical psum'd logits + key)."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+
+    pp, tp = pp_size(mesh), tp_of(mesh)
+    assert n_slots % pp == 0, (n_slots, pp)
+    mb = n_slots // pp
+
+    def make_local(n_steps, return_logprobs):
+        def local_loop(model, tokens, cache, positions, temperatures, key,
+                       top_ks, top_ps, min_ps):
+            out_shape = ((n_steps, n_slots, 2) if return_logprobs
+                         else (n_steps, n_slots))
+            out0 = jnp.zeros(out_shape, jnp.int32)
+
+            def body(i, carry):
+                toks, cache, key, out = carry
+                logits, cache = _pp_decode_local(model, toks, cache,
+                                                 positions + i, pp, mb)
+                key, sub = jax.random.split(key)
+                toks = sample_per_row(logits, sub, temperatures,
+                                      top_ks=top_ks, top_ps=top_ps,
+                                      min_ps=min_ps)
+                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+                       if return_logprobs else toks)
+                out = jax.lax.dynamic_update_slice(
+                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+                return toks, cache, key, out
+
+            _, cache, key, out = jax.lax.fori_loop(
+                0, n_steps, body, (tokens, cache, key, out0))
+            return out, cache, key
+        return local_loop
+
+    def sharded(model, tokens, cache, positions, temperatures, key, n_steps,
+                top_ks=None, top_ps=None, min_ps=None,
+                return_logprobs=False):
+        cspec = pp_cache_pspec(cache, tp)
+        return jax.shard_map(
+            make_local(n_steps, return_logprobs), mesh=mesh,
+            in_specs=(model.specs(), P(), cspec, P(), P(), P(), P(), P(),
+                      P()),
+            out_specs=(P(), cspec, P()),
+            check_vma=False,
+        )(model, tokens, cache, positions, temperatures, key, top_ks,
+          top_ps, min_ps)
+
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("n_steps", "return_logprobs"))
 
 
 def build_pp_prefill(mesh: Mesh, n_slots: int, kv_scales=None):

@@ -549,7 +549,7 @@ def _tp_block(cfg, tp, lp, x, cos, sin, kv_override=None,
 
 
 def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None,
-                        s=None):
+                        s=None, kv_offset=None):
     """Device-local KV write (+ sequence read view for contiguous, bounded
     to ``s`` positions when given).
 
@@ -565,7 +565,7 @@ def _write_then_read_kv(cache, li, k, v, block_tables, positions, pad_mask=None,
             return cache, (cache.k[li], cache.v[li])
         return cache, (cache.k[li, :, :s], cache.v[li, :, :s])
     cache = kvc.write_kv(cache, li, k, v, block_tables, positions,
-                         pad_mask=pad_mask)
+                         pad_mask=pad_mask, kv_offset=kv_offset)
     if s is None or s >= block_tables.shape[1] * cache.page_size:
         return cache, kvc.gather_kv(cache, li, block_tables)
     n_pages = -(-s // cache.page_size)
@@ -606,8 +606,9 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
                     v=cache.v.at[li, rows, wpos].set(vq),
                 )
             else:
-                cache, _ = _write_then_read_kv(cache, li, k, v, block_tables,
-                                               pos_b, pad_mask)
+                cache, _ = _write_then_read_kv(
+                    cache, li, k, v, block_tables, pos_b, pad_mask,
+                    kv_offset=_kv_write_offset(cfg, model.tp, cache))
         x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
         last = jnp.take_along_axis(x, (lengths - 1)[:, None, None], axis=1)[:, 0]
         lgp = L.soft_cap(_plain_linear(model.lm_head, last),
@@ -632,131 +633,166 @@ def build_tp_prefill(mesh, cache_template, data_parallel: bool = False):
     return jax.jit(sharded, donate_argnums=(2,))
 
 
+def _kv_write_offset(cfg, tp: int, cache):
+    """The shard's first global kv-head index for per-head int4 scale
+    slicing at KV-write time (None when scales are scalar / absent)."""
+    if (getattr(cache, "kv_bits", 0) == 4 and cache.k_scales is not None
+            and isinstance(cache.k_scales[0], tuple)):
+        return jax.lax.axis_index(MODEL_AXIS) * (
+            cfg.num_key_value_heads // tp)
+    return None
+
+
+def _fold_paged_scales_local(cfg, tp: int, qq, ks, vs):
+    """Per-head int4 KV scales inside the TP shard_map: slice this shard's
+    ``n_kv/tp`` entries of the full per-kv-head tuples by ``axis_index``
+    and fold them via ``serving.decode.fold_paged_kv_scales`` (k into the
+    local q-head groups, v onto the kernel output).  Scalar per-layer
+    scales pass straight through to the kernel."""
+    from gptq_v2_tpu.serving.decode import fold_paged_kv_scales
+
+    if ks is None or not isinstance(ks, tuple):
+        return qq, ks, vs, None
+    kv_loc = cfg.num_key_value_heads // tp
+    off = jax.lax.axis_index(MODEL_AXIS) * kv_loc
+    return fold_paged_kv_scales(qq, ks, vs, n_kv_override=kv_loc,
+                                kv_offset=off)
+
+
+def _tp_decode_local(model: TPPackedLlama, tokens, cache, block_tables,
+                     positions, s_bucket=None):
+    """Device-local single-token TP decode body (call inside shard_map):
+    ``(logits (B, V) replicated, cache)``.  Shared by
+    :func:`build_tp_decode_step` and :func:`build_tp_decode_loop`."""
+    contiguous = isinstance(cache, kvc.ContiguousKVCache)
+    cfg = model.cfg
+    b = tokens.shape[0]
+    ropes = [(c[:, None, :], s_[:, None, :])
+             for c, s_ in L.rope_tables(cfg, positions)]
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
+    if contiguous:
+        s = cache.max_len
+    else:
+        s = block_tables.shape[1] * cache.page_size
+    if s_bucket is not None:
+        s = min(s, s_bucket)
+    base_mask = jnp.arange(s)[None, :] <= positions[:, None]
+    masks = {(None, None): base_mask}
+    for li in range(cfg.num_hidden_layers):
+        mk = (cfg.layer_window(li), cfg.layer_chunk(li))
+        if mk not in masks:
+            w, c = mk
+            m = base_mask
+            if w is not None:
+                m = m & (jnp.arange(s)[None, :] > positions[:, None] - w)
+            if c is not None:  # Llama-4: keys in the query's chunk only
+                m = m & ((jnp.arange(s)[None, :] // c)
+                         == (positions[:, None] // c))
+            masks[mk] = m
+    for li, lp in enumerate(model.layers):
+        # write the new token's local-head K/V, then attend over the cache
+        win = cfg.layer_window(li)
+        key_mask = masks[(win, cfg.layer_chunk(li))]
+        qs = L.layer_q_scale(cfg, li, positions)
+        q_scale = None if qs is None else qs[:, None]
+
+        def attn_fn(q, k, v, li=li, win=win, key_mask=key_mask,
+                    lp=lp, q_scale=q_scale):
+            nonlocal cache
+            if contiguous:
+                cache, (k_all, v_all) = _write_then_read_kv(
+                    cache, li, k, v, block_tables, positions[:, None], s=s)
+                qq = q
+                if cache.k_scales is not None:  # int8 KV (serving.decode)
+                    qq = q * jnp.asarray(cache.k_scales[li],
+                                         jnp.float32).astype(q.dtype)
+                    k_all = k_all.astype(q.dtype)
+                    v_all = v_all.astype(q.dtype)
+                attn = L.attention(qq, k_all, v_all, causal_offset=None,
+                                   key_mask=key_mask,
+                                   sm_scale=cfg.sm_scale_,
+                                   sinks=_local_sinks(lp),
+                                   q_scale=q_scale,
+                                   logit_cap=cfg.attn_logit_softcap)
+                if cache.v_scales is not None:
+                    attn = attn * jnp.asarray(cache.v_scales[li],
+                                              attn.dtype)
+            else:
+                from gptq_v2_tpu.ops.paged_attention import (
+                    paged_decode_attention,
+                )
+
+                cache = kvc.write_kv(cache, li, k, v, block_tables,
+                                     positions[:, None],
+                                     kv_offset=_kv_write_offset(
+                                         cfg, model.tp, cache))
+                n_pages = -(-s // cache.page_size)
+                qq = q
+                if q_scale is not None:  # Llama-4 NoPE temperature
+                    qq = qq * q_scale[..., None, None].astype(qq.dtype)
+                chunk = cfg.layer_chunk(li)
+                bt = block_tables[:, :n_pages]
+                lens = positions + 1
+                if chunk is not None:
+                    # Llama-4 chunked attention = block-table REBASING
+                    # (serving.decode._decode_block): shift each row's
+                    # table to its chunk's first page, rebase the length
+                    start_pages = ((positions // chunk)
+                                   * (chunk // cache.page_size))
+                    idx = jnp.clip(jnp.arange(n_pages)[None, :]
+                                   + start_pages[:, None], 0,
+                                   block_tables.shape[1] - 1)
+                    bt = jnp.take_along_axis(block_tables, idx, axis=1)
+                    lens = lens - (positions // chunk) * chunk
+                # local KV heads stream their own pages in-kernel;
+                # local sinks ride the per-q-head column shard; tile
+                # override as in serving.decode._decode_block.  Per-head
+                # int4 scales: fold this shard's slice outside the kernel
+                ks = None if cache.k_scales is None else cache.k_scales[li]
+                vs = None if cache.v_scales is None else cache.v_scales[li]
+                qq, ks, vs, out_fn = _fold_paged_scales_local(
+                    cfg, model.tp, qq, ks, vs)
+                attn = paged_decode_attention(
+                    qq[:, 0], cache.kv[li], lens, bt,
+                    sliding_window=win,
+                    sm_scale=cfg.sm_scale_,
+                    soft_cap=cfg.attn_logit_softcap,
+                    sinks=_local_sinks(lp),
+                    k_scale=ks, v_scale=vs,
+                    kv_int4=cache.kv_bits == 4,
+                    num_kv_pages_per_block=(
+                        min(n_pages, 128)
+                        if win is None or win >= s else None),
+                    num_queries_per_block=(16 if q.shape[0] >= 16
+                                           else None),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                )[:, None]
+                if out_fn is not None:
+                    attn = out_fn(attn)
+            return attn, None
+
+        cos, sin = ropes[cfg.layer_rope(li)]
+        x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
+                            moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
+                            qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp),
+                            qk_l2=cfg.layer_qk_l2(li))
+    x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+    lgx = L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
+                     cfg.final_logit_softcap)
+    if cfg.logits_divider is not None:
+        lgx = lgx / cfg.logits_divider
+    return lgx, cache
+
+
 def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
     """Jitted TP single-token decode; same contract as
     ``serving.decode.decode_step``.  Args as in :func:`build_tp_prefill`."""
-    contiguous = isinstance(cache_template, kvc.ContiguousKVCache)
-
-    def local_step(model: TPPackedLlama, tokens, cache, block_tables, positions,
-                   s_bucket=None):
-        cfg = model.cfg
-        b = tokens.shape[0]
-        ropes = [(c[:, None, :], s_[:, None, :])
-                 for c, s_ in L.rope_tables(cfg, positions)]
-        x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
-        if contiguous:
-            s = cache.max_len
-        else:
-            s = block_tables.shape[1] * cache.page_size
-        if s_bucket is not None:
-            s = min(s, s_bucket)
-        base_mask = jnp.arange(s)[None, :] <= positions[:, None]
-        masks = {(None, None): base_mask}
-        for li in range(cfg.num_hidden_layers):
-            mk = (cfg.layer_window(li), cfg.layer_chunk(li))
-            if mk not in masks:
-                w, c = mk
-                m = base_mask
-                if w is not None:
-                    m = m & (jnp.arange(s)[None, :] > positions[:, None] - w)
-                if c is not None:  # Llama-4: keys in the query's chunk only
-                    m = m & ((jnp.arange(s)[None, :] // c)
-                             == (positions[:, None] // c))
-                masks[mk] = m
-        for li, lp in enumerate(model.layers):
-            # write the new token's local-head K/V, then attend over the cache
-            win = cfg.layer_window(li)
-            key_mask = masks[(win, cfg.layer_chunk(li))]
-            qs = L.layer_q_scale(cfg, li, positions)
-            q_scale = None if qs is None else qs[:, None]
-
-            def attn_fn(q, k, v, li=li, win=win, key_mask=key_mask,
-                        lp=lp, q_scale=q_scale):
-                nonlocal cache
-                if contiguous:
-                    cache, (k_all, v_all) = _write_then_read_kv(
-                        cache, li, k, v, block_tables, positions[:, None], s=s)
-                    qq = q
-                    if cache.k_scales is not None:  # int8 KV (serving.decode)
-                        qq = q * jnp.asarray(cache.k_scales[li],
-                                             jnp.float32).astype(q.dtype)
-                        k_all = k_all.astype(q.dtype)
-                        v_all = v_all.astype(q.dtype)
-                    attn = L.attention(qq, k_all, v_all, causal_offset=None,
-                                       key_mask=key_mask,
-                                       sm_scale=cfg.sm_scale_,
-                                       sinks=_local_sinks(lp),
-                                       q_scale=q_scale,
-                                       logit_cap=cfg.attn_logit_softcap)
-                    if cache.v_scales is not None:
-                        attn = attn * jnp.asarray(cache.v_scales[li],
-                                                  attn.dtype)
-                else:
-                    from gptq_v2_tpu.ops.paged_attention import (
-                        paged_decode_attention,
-                    )
-
-                    cache = kvc.write_kv(cache, li, k, v, block_tables,
-                                         positions[:, None])
-                    n_pages = -(-s // cache.page_size)
-                    qq = q
-                    if q_scale is not None:  # Llama-4 NoPE temperature
-                        qq = qq * q_scale[..., None, None].astype(qq.dtype)
-                    chunk = cfg.layer_chunk(li)
-                    bt = block_tables[:, :n_pages]
-                    lens = positions + 1
-                    if chunk is not None:
-                        # Llama-4 chunked attention = block-table REBASING
-                        # (serving.decode._decode_block): shift each row's
-                        # table to its chunk's first page, rebase the length
-                        start_pages = ((positions // chunk)
-                                       * (chunk // cache.page_size))
-                        idx = jnp.clip(jnp.arange(n_pages)[None, :]
-                                       + start_pages[:, None], 0,
-                                       block_tables.shape[1] - 1)
-                        bt = jnp.take_along_axis(block_tables, idx, axis=1)
-                        lens = lens - (positions // chunk) * chunk
-                    # local KV heads stream their own pages in-kernel;
-                    # local sinks ride the per-q-head column shard; tile
-                    # override as in serving.decode._decode_block
-                    attn = paged_decode_attention(
-                        qq[:, 0], cache.kv[li], lens, bt,
-                        sliding_window=win,
-                        sm_scale=cfg.sm_scale_,
-                        soft_cap=cfg.attn_logit_softcap,
-                        sinks=_local_sinks(lp),
-                        k_scale=(None if cache.k_scales is None
-                                 else cache.k_scales[li]),
-                        v_scale=(None if cache.v_scales is None
-                                 else cache.v_scales[li]),
-                        kv_int4=cache.kv_bits == 4,
-                        num_kv_pages_per_block=(
-                            min(n_pages, 128)
-                            if win is None or win >= s else None),
-                        num_queries_per_block=(16 if q.shape[0] >= 16
-                                               else None),
-                        vmem_limit_bytes=100 * 1024 * 1024,
-                    )[:, None]
-                return attn, None
-
-            cos, sin = ropes[cfg.layer_rope(li)]
-            x, _ = L.block_core(cfg, lp, x, cos, sin, _tp_lin(lp), attn_fn,
-                                moe_fn=make_ep_moe_fn(cfg, model.tp, lp),
-                                qk_norm_fn=_tp_qk_norm_fn(cfg, model.tp),
-                                qk_l2=cfg.layer_qk_l2(li))
-        x = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
-        lgx = L.soft_cap(_plain_linear(model.lm_head, x[:, 0]),
-                         cfg.final_logit_softcap)
-        if cfg.logits_divider is not None:
-            lgx = lgx / cfg.logits_divider
-        return lgx, cache
-
     bsp = P(DATA_AXIS) if data_parallel else P()
     csp = cache_pspec(cache_template, data_parallel)
 
     def sharded(model, tokens, cache, block_tables, positions, s_bucket=None):
         return jax.shard_map(
-            functools.partial(local_step, s_bucket=s_bucket), mesh=mesh,
+            functools.partial(_tp_decode_local, s_bucket=s_bucket), mesh=mesh,
             in_specs=(model.specs(), bsp, csp,
                       None if block_tables is None else bsp, bsp),
             out_specs=(bsp, csp),
@@ -765,6 +801,69 @@ def build_tp_decode_step(mesh, cache_template, data_parallel: bool = False):
 
     return jax.jit(sharded, donate_argnums=(2,),
                    static_argnames=("s_bucket",))
+
+
+def build_tp_decode_loop(mesh, cache_template):
+    """Jitted TP multi-step decode tick: ``n_steps`` fused decode+sample
+    steps under ONE ``lax.fori_loop`` dispatch INSIDE the shard_map — the
+    tensor-parallel twin of ``serving.decode.decode_sample_loop`` (same
+    contract and PRNG chain, token-identical outputs).
+
+    This is what lets multi-chip serving amortize the per-token host sync
+    exactly like the single-chip fori tick (round-4 item: the engine's
+    multi-step paths used to hard-require ``mesh is None``, so multi-chip
+    decode paid one dispatch per token).  Sampling runs replicated inside
+    the shard_map: the logits and the PRNG key are identical on every
+    device, so every device samples the same token and the loop carry
+    stays consistent without any collective."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+
+    csp = cache_pspec(cache_template)
+
+    def make_local(n_steps, s_bucket, return_logprobs):
+        def local_loop(model, tokens, cache, block_tables, positions,
+                       temperatures, key, top_ks, top_ps, min_ps):
+            out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
+                         else (n_steps, tokens.shape[0]))
+            out0 = jnp.zeros(out_shape, jnp.int32)
+
+            def body(i, carry):
+                toks, cache, key, out = carry
+                logits, cache = _tp_decode_local(model, toks, cache,
+                                                 block_tables, positions + i,
+                                                 s_bucket=s_bucket)
+                key, sub = jax.random.split(key)
+                toks = sample_per_row(logits, sub, temperatures,
+                                      top_ks=top_ks, top_ps=top_ps,
+                                      min_ps=min_ps)
+                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+                       if return_logprobs else toks)
+                out = jax.lax.dynamic_update_slice(
+                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+                return toks, cache, key, out
+
+            _, cache, key, out = jax.lax.fori_loop(
+                0, n_steps, body, (tokens, cache, key, out0))
+            return out, cache, key
+        return local_loop
+
+    def sharded(model, tokens, cache, block_tables, positions, temperatures,
+                key, n_steps, s_bucket=None, top_ks=None, top_ps=None,
+                min_ps=None, return_logprobs=False):
+        return jax.shard_map(
+            make_local(n_steps, s_bucket, return_logprobs), mesh=mesh,
+            in_specs=(model.specs(), P(), csp,
+                      None if block_tables is None else P(), P(), P(), P(),
+                      P(), P(), P()),
+            out_specs=(P(), csp, P()),
+            check_vma=False,
+        )(model, tokens, cache, block_tables, positions, temperatures, key,
+          top_ks, top_ps, min_ps)
+
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("n_steps", "s_bucket",
+                                    "return_logprobs"))
 
 
 def _tp_ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
@@ -804,12 +903,18 @@ def _tp_ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
 
             nonlocal cache
             cache = kvc.write_kv_flat(cache, li, k[:, 0], v[:, 0],
-                                      tok_pages, tok_offs)
+                                      tok_pages, tok_offs,
+                                      kv_offset=_kv_write_offset(
+                                          cfg, model.tp, cache))
             qq = q
             qs = L.layer_q_scale(cfg, li, positions)
             if qs is not None:  # Llama-4 NoPE temperature
                 qq = qq * qs[:, None, None, None].astype(qq.dtype)
             chunked = cfg.layer_chunk(li) is not None
+            ks = None if cache.k_scales is None else cache.k_scales[li]
+            vs = None if cache.v_scales is None else cache.v_scales[li]
+            qq, ks, vs, out_fn = _fold_paged_scales_local(
+                cfg, model.tp, qq, ks, vs)
             attn = paged_ragged_attention(
                 qq[:, 0], cache.kv[li],
                 kv_lens_chunk if chunked else kv_lens,
@@ -819,12 +924,11 @@ def _tp_ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
                 sinks=_local_sinks(lp),
-                k_scale=(None if cache.k_scales is None
-                         else cache.k_scales[li]),
-                v_scale=(None if cache.v_scales is None
-                         else cache.v_scales[li]),
+                k_scale=ks, v_scale=vs,
                 kv_int4=cache.kv_bits == 4,
             )[:, None]
+            if out_fn is not None:
+                attn = out_fn(attn)
             return attn, None
 
         cos, sin = ropes[cfg.layer_rope(li)]
@@ -892,6 +996,80 @@ def build_tp_ragged_step(mesh):
 
     return jax.jit(sharded, donate_argnums=(2,),
                    static_argnames=("return_logprobs",))
+
+
+def build_tp_ragged_multi(mesh):
+    """Jitted TP multi-step DECODE-ONLY ragged tick — the tensor-parallel
+    twin of ``serving.decode.ragged_multi_step``: ``n_steps`` ragged
+    decode+sample steps under ONE ``lax.fori_loop`` inside the shard_map,
+    per-step (page, offset) write targets derived on device, sampling
+    replicated (identical logits + key on every device).  Same contract
+    as the single-device function."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+
+    csp = P(None, None, None, MODEL_AXIS, None)
+
+    def make_local(n_steps, return_logprobs):
+        def local_loop(model, tokens, cache, positions, block_tables,
+                       kv_lens, num_seqs, temperatures, key, top_ks, top_ps,
+                       min_ps):
+            cfg = model.cfg
+            s = tokens.shape[0]
+            ps = cache.page_size
+            cu = jnp.minimum(jnp.arange(s + 1, dtype=jnp.int32), num_seqs[0])
+            sample_rows = jnp.arange(s, dtype=jnp.int32)
+            row_active = jnp.arange(s) < num_seqs[0]
+            out_shape = (n_steps, s, 2) if return_logprobs else (n_steps, s)
+            out0 = jnp.zeros(out_shape, jnp.int32)
+
+            def body(i, carry):
+                toks, cache, key, out = carry
+                pos = positions + i
+                page_idx = jnp.clip(pos // ps, 0, block_tables.shape[1] - 1)
+                pg = jnp.take_along_axis(block_tables, page_idx[:, None],
+                                         axis=1)[:, 0]
+                pg = jnp.where(row_active, pg, 0)
+                of = jnp.where(row_active, pos % ps, 0)
+                x, cache = _tp_ragged_forward(model, toks, cache, pos, pg,
+                                              of, block_tables, kv_lens + i,
+                                              cu, num_seqs)
+                last = jnp.take(x, sample_rows, axis=0)
+                logits = L.soft_cap(_plain_linear(model.lm_head, last),
+                                    cfg.final_logit_softcap)
+                if cfg.logits_divider is not None:
+                    logits = logits / cfg.logits_divider
+                key, sub = jax.random.split(key)
+                toks = sample_per_row(logits, sub, temperatures,
+                                      top_ks=top_ks, top_ps=top_ps,
+                                      min_ps=min_ps)
+                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+                       if return_logprobs else toks)
+                out = jax.lax.dynamic_update_slice(
+                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+                return toks, cache, key, out
+
+            _, cache, key, out = jax.lax.fori_loop(
+                0, n_steps, body, (tokens, cache, key, out0))
+            return out, cache, key
+        return local_loop
+
+    def sharded(model, tokens, cache, positions, block_tables, kv_lens,
+                num_seqs, temperatures, key, n_steps, top_ks=None,
+                top_ps=None, min_ps=None, return_logprobs=False):
+        cache_spec = kvc.PagedKVCache(csp, cache.page_size, cache.k_scales,
+                                      cache.v_scales, cache.kv_bits)
+        return jax.shard_map(
+            make_local(n_steps, return_logprobs), mesh=mesh,
+            in_specs=(model.specs(), P(), cache_spec, P(), P(), P(), P(),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), cache_spec, P()),
+            check_vma=False,
+        )(model, tokens, cache, positions, block_tables, kv_lens, num_seqs,
+          temperatures, key, top_ks, top_ps, min_ps)
+
+    return jax.jit(sharded, donate_argnums=(2,),
+                   static_argnames=("n_steps", "return_logprobs"))
 
 
 def build_tp_ragged_spec_step(mesh):

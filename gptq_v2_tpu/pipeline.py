@@ -269,34 +269,41 @@ def _inc_hess_step_for(cfg, stage_linears: tuple, inject_firsts: tuple,
                        members_map: tuple, want_capture: bool,
                        donate_inj: tuple, use_kernel: bool,
                        window=L.AUTO_WINDOW, qk_l2=None):
-    """Jitted Hessian step with activation injection.
+    """Jitted Hessian step with activation injection, scanning ALL
+    calibration batches in ONE dispatch (round-5 host-tax fix: the old
+    per-batch dispatch loop paid one host round trip per batch per stage —
+    the dominant per-block wall cost on tunneled runtimes).
 
-    Args at call time: ``(lp, xb, cos_sin, inj_tuple, h)``.  Donates the
-    accumulator and any injected cache buffers at their last use.
+    Args at call time: ``(lp, xs (n_b, bs, L, D), cos_sin, h, *inj)`` with
+    each injected cache stacked ``(n_b, ...)``.  Donates the accumulator
+    and any injected cache stacks at their last use.  Returns ``h`` (and
+    the stacked capture when planned).
     """
     key = ("hess", cfg, stage_linears, inject_firsts, members_map,
            want_capture, donate_inj, use_kernel, window, qk_l2)
     if key not in _inc_step_cache:
         first = stage_linears[0]
         members = dict(members_map)
-        # signature: step(lp, xb, cos_sin, h, *inj) — h and last-use caches
-        # are donated (injected caches are separate positional args so each
-        # can be donated individually).
         donate = (3,) + tuple(i + 4 for i, d in enumerate(donate_inj) if d)
 
         @functools.partial(jax.jit, donate_argnums=donate)
-        def step(lp, xb, cos_sin, h, *inj):
-            injd = {m: inj[i] for i, f in enumerate(inject_firsts)
-                    for m in members[f]}
-            _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                    qk_l2=qk_l2,
-                                    capture=(first,), inject=injd,
-                                    window=window)
-            act = caps[first]
-            st = hs.accumulate(
-                hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
-                use_kernel=use_kernel)
-            return (st.hessian, act) if want_capture else st.hessian
+        def step(lp, xs, cos_sin, h, *inj):
+            def body(h, xsi):
+                xb, inj_b = xsi[0], xsi[1:]
+                injd = {m: inj_b[i] for i, f in enumerate(inject_firsts)
+                        for m in members[f]}
+                _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                        qk_l2=qk_l2,
+                                        capture=(first,), inject=injd,
+                                        window=window)
+                act = caps[first]
+                st = hs.accumulate(
+                    hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
+                    use_kernel=use_kernel)
+                return st.hessian, act if want_capture else None
+
+            h, caps = jax.lax.scan(body, h, (xs,) + tuple(inj))
+            return (h, caps) if want_capture else h
 
         _inc_step_cache[key] = step
     return _inc_step_cache[key]
@@ -314,12 +321,18 @@ def _inc_final_for(cfg, inject_firsts: tuple, members_map: tuple,
             donate = (1,) + donate
 
         @functools.partial(jax.jit, donate_argnums=donate)
-        def fwd(lp, xb, cos_sin, *inj):
-            injd = {m: inj[i] for i, f in enumerate(inject_firsts)
-                    for m in members[f]}
-            out, _ = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                   inject=injd, window=window, qk_l2=qk_l2)
-            return out
+        def fwd(lp, xs, cos_sin, *inj):
+            def body(_, xsi):
+                xb, inj_b = xsi[0], xsi[1:]
+                injd = {m: inj_b[i] for i, f in enumerate(inject_firsts)
+                        for m in members[f]}
+                out, _ = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                       inject=injd, window=window,
+                                       qk_l2=qk_l2)
+                return 0, out
+
+            _, outs = jax.lax.scan(body, 0, (xs,) + tuple(inj))
+            return outs
 
         _inc_step_cache[key] = fwd
     return _inc_step_cache[key]
@@ -335,17 +348,21 @@ def _wave_hess_step_for(cfg, firsts: tuple, use_kernel: bool,
     if key not in _inc_step_cache:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def step(lp, xb, cos_sin, hs_t):
-            _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
-                                    qk_l2=qk_l2,
-                                    capture=firsts, window=window)
-            out = []
-            for f, h in zip(firsts, hs_t):
-                st = hs.accumulate(
-                    hs.HessianState(h, jnp.zeros((), jnp.int32)), caps[f],
-                    use_kernel=use_kernel)
-                out.append(st.hessian)
-            return tuple(out)
+        def step(lp, xs, cos_sin, hs_t):
+            def body(hs_t, xb):
+                _, caps = L.block_apply(cfg, lp, xb, cos_sin[0], cos_sin[1],
+                                        qk_l2=qk_l2,
+                                        capture=firsts, window=window)
+                out = []
+                for f, h in zip(firsts, hs_t):
+                    st = hs.accumulate(
+                        hs.HessianState(h, jnp.zeros((), jnp.int32)),
+                        caps[f], use_kernel=use_kernel)
+                    out.append(st.hessian)
+                return tuple(out), None
+
+            hs_t, _ = jax.lax.scan(body, hs_t, xs)
+            return hs_t
 
         _inc_step_cache[key] = step
     return _inc_step_cache[key]
@@ -435,20 +452,26 @@ _hess_step_cache: Dict = {}
 
 def _hess_step_for(cfg, capture: tuple, use_kernel: bool, qk_l2=None,
                    window=L.AUTO_WINDOW):
+    """All-batches Hessian accumulation in one dispatch (scan over the
+    stacked ``xs``)."""
     key = (cfg, capture, use_kernel, window, qk_l2)
     if key not in _hess_step_cache:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def step(lp, xb, cos_sin, h):
+        def step(lp, xs, cos_sin, h):
             cos, sin = cos_sin
-            _, caps = L.block_apply(cfg, lp, xb, cos, sin, capture=capture,
-                                    window=window, qk_l2=qk_l2)
-            act = caps[capture[0]]
-            st = hs.accumulate(
-                hs.HessianState(h, jnp.zeros((), jnp.int32)), act,
-                use_kernel=use_kernel,
-            )
-            return st.hessian
+
+            def body(h, xb):
+                _, caps = L.block_apply(cfg, lp, xb, cos, sin,
+                                        capture=capture, window=window,
+                                        qk_l2=qk_l2)
+                st = hs.accumulate(
+                    hs.HessianState(h, jnp.zeros((), jnp.int32)),
+                    caps[capture[0]], use_kernel=use_kernel)
+                return st.hessian, None
+
+            h, _ = jax.lax.scan(body, h, xs)
+            return h
 
         _hess_step_cache[key] = step
     return _hess_step_cache[key]
@@ -458,18 +481,31 @@ _block_fwd_cache: Dict = {}
 
 
 def _block_fwd_for(cfg, window=L.AUTO_WINDOW, qk_l2=None):
+    """All-batches block forward in one dispatch (``lax.map`` over the
+    stacked ``(n_b, bs, L, D)`` batches)."""
     key = (cfg, window, qk_l2)
     if key not in _block_fwd_cache:
 
         @jax.jit
-        def fwd(lp, xb, cos_sin):
+        def fwd(lp, xs, cos_sin):
             cos, sin = cos_sin
-            out, _ = L.block_apply(cfg, lp, xb, cos, sin, window=window,
-                                   qk_l2=qk_l2)
-            return out
+            return jax.lax.map(
+                lambda xb: L.block_apply(cfg, lp, xb, cos, sin,
+                                         window=window, qk_l2=qk_l2)[0], xs)
 
         _block_fwd_cache[key] = fwd
     return _block_fwd_cache[key]
+
+
+def _stack_batches(batches: list) -> list:
+    """List of per-batch ``(bs, ...)`` device arrays → list of stacked
+    ``(n, bs, ...)`` chunks for the scan-based step functions (round-5
+    host-tax fix: one dispatch covers every batch).  A ragged final batch
+    becomes its own singleton chunk (different inner shape → its own
+    compiled program)."""
+    if len(batches) > 1 and batches[-1].shape[0] != batches[0].shape[0]:
+        return [jnp.stack(batches[:-1]), jnp.stack(batches[-1:])]
+    return [jnp.stack(batches)]
 
 
 def _pack_meta_for_host(meta: Dict) -> Dict:
@@ -653,6 +689,11 @@ def quantize_model(
         xs.append(shard_batch(
             embed_fn(embed_w, jnp.asarray(encodings[b:b + batch_size]))))
     del embed_w
+    if mesh is None:
+        # single-device: stacked chunks feed the scan-based step functions
+        # (one dispatch per stage instead of one per batch — the per-block
+        # host tax on tunneled runtimes); DP keeps per-batch sharded arrays
+        xs = _stack_batches(xs)
 
     # Stage schedule per block SIGNATURE (key set): homogeneous models
     # compute one schedule for all blocks; heterogeneous ones (DeepSeek

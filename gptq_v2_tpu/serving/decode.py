@@ -17,6 +17,48 @@ from gptq_v2_tpu.serving import kv_cache as kvc
 from gptq_v2_tpu.serving.model import PackedLlama, packed_block_apply
 
 
+def fold_paged_kv_scales(qq, ks, vs, n_kv_override=None, kv_offset=None):
+    """Per-KV-HEAD int4 scales on the paged path (round-5: the round-4
+    engine collapsed them to one per-layer max because the ragged kernel
+    fork takes scalar ``k_scale``/``v_scale`` only).  Per-head vectors now
+    fold OUTSIDE the kernel — exactly like the contiguous int4 path
+    (``_decode_block``): the k-scale multiplies each head's q group (every
+    score of a q head uses one kv head, so scaling q == scaling k), and
+    the v-scale multiplies the head's output slice (the PV contraction is
+    per-kv-head).  The kernel then runs on RAW nibble codes
+    (``k_scale=None``).
+
+    ``qq``: ``(..., Hq, hd)``.  ``ks``/``vs``: the per-layer scale entry —
+    a float (scalar per-layer: passed through to the kernel) or a tuple of
+    per-head floats (folded here).  ``n_kv_override``/``kv_offset``: under
+    TP each shard folds its own slice ``[kv_offset, kv_offset + n_kv_loc)``
+    of the full per-head tuples (``kv_offset`` may be traced).
+
+    Returns ``(qq, k_scale_for_kernel, v_scale_for_kernel, out_fn)`` where
+    ``out_fn`` (or None) applies the v-scale to the kernel output
+    ``(..., Hq, hd)``.  The kernel-side scales become 1.0 (the int4 fork
+    requires a scale; multiplying raw codes by 1.0 is free next to the
+    int→float convert it does anyway)."""
+    if ks is None or not isinstance(ks, tuple):
+        return qq, ks, vs, None
+    hq = qq.shape[-2]
+    ksa = jnp.asarray(ks, jnp.float32)
+    vsa = jnp.asarray(vs, jnp.float32)
+    if kv_offset is not None:
+        n_loc = n_kv_override
+        ksa = jax.lax.dynamic_slice(ksa, (kv_offset,), (n_loc,))
+        vsa = jax.lax.dynamic_slice(vsa, (kv_offset,), (n_loc,))
+    n_kv = ksa.shape[0]
+    shape = (1,) * (qq.ndim - 2) + (hq, 1)
+    qq = qq * jnp.repeat(ksa, hq // n_kv).reshape(shape).astype(qq.dtype)
+
+    def out_fn(attn):
+        return attn * jnp.repeat(vsa, hq // n_kv).reshape(
+            (1,) * (attn.ndim - 2) + (hq, 1)).astype(attn.dtype)
+
+    return qq, 1.0, 1.0, out_fn
+
+
 @functools.partial(jax.jit, donate_argnums=(2,))
 def prefill(
     model: PackedLlama,
@@ -238,19 +280,23 @@ def _decode_block(cfg, lp, x, cos, sin, cache, li, block_tables, positions,
             # blocks are what let it skip out-of-window pages.
             b = q.shape[0]
             whole = window is None or window >= s
+            ks = None if cache.k_scales is None else cache.k_scales[li]
+            vs = None if cache.v_scales is None else cache.v_scales[li]
+            qq, ks, vs, out_fn = fold_paged_kv_scales(qq, ks, vs)
             attn = paged_decode_attention(
                 qq[:, 0], new_cache.kv[li], lens, bt,
                 sliding_window=window,
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
                 sinks=lp.get("self_attn.sinks"),
-                k_scale=None if cache.k_scales is None else cache.k_scales[li],
-                v_scale=None if cache.v_scales is None else cache.v_scales[li],
+                k_scale=ks, v_scale=vs,
                 kv_int4=cache.kv_bits == 4,
                 num_kv_pages_per_block=min(n_pages, 128) if whole else None,
                 num_queries_per_block=16 if b >= 16 else None,
                 vmem_limit_bytes=100 * 1024 * 1024,
             )[:, None]
+            if out_fn is not None:
+                attn = out_fn(attn)
         return attn, new_cache
 
     return L.block_core(cfg, lp, x, cos, sin,
@@ -595,6 +641,9 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
             if qs is not None:  # Llama-4 NoPE temperature: fold into q
                 qq = qq * qs[:, None, None, None].astype(qq.dtype)
             chunked = cfg.layer_chunk(li) is not None
+            ks = None if cache.k_scales is None else cache.k_scales[li]
+            vs = None if cache.v_scales is None else cache.v_scales[li]
+            qq, ks, vs, out_fn = fold_paged_kv_scales(qq, ks, vs)
             attn = paged_ragged_attention(
                 qq[:, 0], cache.kv[li],
                 kv_lens_chunk if chunked else kv_lens,
@@ -604,10 +653,11 @@ def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,
                 sm_scale=cfg.sm_scale_,
                 soft_cap=cfg.attn_logit_softcap,
                 sinks=lp.get("self_attn.sinks"),
-                k_scale=None if cache.k_scales is None else cache.k_scales[li],
-                v_scale=None if cache.v_scales is None else cache.v_scales[li],
+                k_scale=ks, v_scale=vs,
                 kv_int4=cache.kv_bits == 4,
             )[:, None]
+            if out_fn is not None:
+                attn = out_fn(attn)
             return attn, None
 
         cos, sin = ropes[cfg.layer_rope(li)]

@@ -89,6 +89,7 @@ class Engine:
         multi_step: int = 1,
         multi_step_impl: str = "fori",
         fuse_stages: bool = True,
+        act_dtype: str = "native",
     ):
         """``mesh``: shard the model/cache tensor-parallel over the mesh's
         ``model`` axis and serve through the shard_map'd steps (multi-chip
@@ -159,6 +160,14 @@ class Engine:
             model = fuse_stage_linears(model)
             if draft is not None:
                 draft = fuse_stage_linears(draft)
+        # W4A8 tier: per-row dynamic int8 activations into int8 MXU dots
+        # (serving.model.to_w4a8; single-device — TP specs assume a16)
+        assert act_dtype in ("native", "int8"), act_dtype
+        if act_dtype == "int8":
+            from gptq_v2_tpu.serving.model import to_w4a8
+
+            assert mesh is None, "the W4A8 tier serves single-device"
+            model = to_w4a8(model)
         self.model = model
         cfg = model.cfg
         # GPT-OSS attention sinks ride every cache layout: the contiguous
@@ -190,8 +199,10 @@ class Engine:
         assert multi_step_impl in ("fori", "unroll"), multi_step_impl
         self.multi_step_impl = multi_step_impl
         if self.multi_step > 1:
-            assert draft is None and not mla_absorbed, (
+            assert draft is None, (
                 "multi_step rides the non-speculative decode ticks")
+            # mla_absorbed composes single-device via mla_decode_sample_
+            # loop (round-5); the TP absorbed step stays single-step
             # ragged: decode-only ticks fuse k steps (decode.ragged_multi_
             # step); ticks with admitting prompts stay single-step so
             # chunked prefill is never delayed
@@ -212,10 +223,16 @@ class Engine:
         else:
             raise ValueError(kv_dtype)
         if kv_dtype == "int4":
-            assert not mla_absorbed and draft is None, (
+            assert not mla_absorbed, (
                 "int4 KV rides the contiguous (two-pass XLA unpack) and "
                 "paged (in-kernel nibble unpack, ops/_ragged_sink_kernel "
-                "kv_int4) caches — no MLA/speculative composition yet")
+                "kv_int4) caches; the MLA latent cache has its own int8 "
+                "tier (kv_dtype='int8')")
+            # speculation composes on the ragged paged path (round-5): the
+            # verify dispatch runs the same int4-page kernels
+            assert draft is None or scheduler == "ragged", (
+                "int4 KV + speculation rides the ragged scheduler's paged "
+                "verify path (scheduler='ragged')")
             if mesh is not None:
                 from gptq_v2_tpu.parallel.mesh import tp_size
 
@@ -234,7 +251,9 @@ class Engine:
 
             assert cfg.mla, "mla_absorbed requires a DeepSeek MLA model"
             assert cache_kind == "contiguous" and scheduler == "phased"
-            assert draft is None and not logprobs
+            assert draft is None, (
+                "speculation over the absorbed latent cache is not built;"
+                " use the naive MLA engine for draft verification")
             # int8 latent: per-layer calibrated scales, like the K/V path
             self._mla_scales = (MLA.calibrate_mla_scales(model)
                                 if kv_dtype == "int8" else None)
@@ -258,13 +277,11 @@ class Engine:
         elif cache_kind == "paged":
             if n_pages is None:
                 n_pages = 1 + max_batch * self.max_pages_per_seq
-            if kv_dtype == "int4":
-                # the ragged kernel bakes ONE static scale per layer in, so
-                # collapse the per-kv-head int4 calibration to its max
-                k_scales = tuple(max(s) if not isinstance(s, float) else s
-                                 for s in k_scales)
-                v_scales = tuple(max(s) if not isinstance(s, float) else s
-                                 for s in v_scales)
+            # int4 pages keep the PER-KV-HEAD calibrated scales (round-5:
+            # the round-4 collapse to a per-layer max is gone — writes
+            # quantize per head, reads fold the head scales into q / the
+            # attention output outside the kernel, decode.fold_paged_kv_
+            # scales, so heads with small ranges keep their resolution)
             self.cache = kvc.init_cache(
                 cfg.num_hidden_layers, n_pages, page_size,
                 cfg.num_key_value_heads, cfg.head_dim_,
@@ -319,6 +336,11 @@ class Engine:
             self.prev_tokens = np.zeros((max_batch,), np.int32)
         self.mesh = mesh
         self._min_prefill_batch = 1
+        # multi-step tick builders for meshed serving (round-5: multi-step
+        # composes with TP and PP — the k-step fori body runs INSIDE the
+        # shard_map, so multi-chip serving amortizes the per-token host
+        # sync exactly like the single-chip tick)
+        self._tp_loop = self._pp_loop = self._tp_ragged_multi = None
         if mesh is not None and "stage" in mesh.axis_names:
             # pipeline-parallel serving: layer stages over the 'stage' axis
             from gptq_v2_tpu.parallel import pp as PP
@@ -335,6 +357,9 @@ class Engine:
                                              kv_scales=scales)
             self._decode = (lambda m, t, c, bt, pos, s_bucket=None:
                             pp_dec(m, t, c, pos))
+            if self.multi_step > 1:
+                self._pp_loop = PP.build_pp_decode_loop(mesh, max_batch,
+                                                        kv_scales=scales)
             prefills = {}
 
             def _pp_prefill(m, tokens, cache, bt, lengths, slot):
@@ -359,6 +384,10 @@ class Engine:
                                  else None)
             if draft is not None and scheduler != "ragged":
                 self._tp_verify = TP.build_tp_verify_chunk(mesh, self.cache)
+            if self.multi_step > 1:
+                self._tp_loop = TP.build_tp_decode_loop(mesh, self.cache)
+                if scheduler == "ragged":
+                    self._tp_ragged_multi = TP.build_tp_ragged_multi(mesh)
         elif mla_absorbed and mesh is not None:
             # TP absorbed decode: q_b + absorbed halves shard by head, the
             # tiny latent cache replicates (serving/mla.py)
@@ -411,11 +440,9 @@ class Engine:
         pad = self.spec_k if self.draft is not None else 0
         assert len(req.prompt) + req.max_new_tokens + pad <= self.max_seq_len, (
             f"request {req.uid} exceeds max_seq_len {self.max_seq_len}")
+        # round-5: warped sampling (top-k/top-p/min-p) composes with every
+        # engine mode incl. MLA-absorbed — add_request has no exclusions
         if req.top_k > 0 or req.top_p < 1.0 or req.min_p > 0.0:
-            if self.mla_absorbed:
-                raise ValueError(
-                    "this engine mode supports temperature-only sampling;"
-                    f" request {req.uid} sets top_k/top_p/min_p")
             self._sampling_full = True
         self.queue.append(req)
 
@@ -661,7 +688,8 @@ class Engine:
         # semantics as the phased multi-step chunk).  Mixed ticks stay
         # single-step so prefill chunking is never delayed.
         k_steps = self.multi_step
-        if (k_steps > 1 and not prefilling and self.mesh is None
+        if (k_steps > 1 and not prefilling
+                and (self.mesh is None or self._tp_ragged_multi is not None)
                 and max(self.slots[si].length for si in decoding) + k_steps
                 <= self.max_seq_len):
             return self._step_ragged_multi(decoding, k_steps)
@@ -778,7 +806,10 @@ class Engine:
                 tps[i] = slot.request.top_p
                 mps[i] = slot.request.min_p
             bt_rows[i] = self.block_tables[si]
-        out_dev, self.cache, self.key = D.ragged_multi_step(
+        ragged_multi = (self._tp_ragged_multi
+                        if self._tp_ragged_multi is not None
+                        else D.ragged_multi_step)
+        out_dev, self.cache, self.key = ragged_multi(
             self.model, jnp.asarray(tokens), self.cache,
             jnp.asarray(positions), jnp.asarray(bt_rows),
             jnp.asarray(kv_lens), jnp.asarray([len(decoding)], np.int32),
@@ -1099,18 +1130,42 @@ class Engine:
         # remote runtimes).  Falls back to single steps near the sequence
         # cap so the chunk never writes past max_seq_len.
         k_steps = self.multi_step
-        if (k_steps > 1 and self.mesh is None and not self.mla_absorbed
+        if (k_steps > 1
+                and (self.mesh is None or self._tp_loop is not None
+                     or self._pp_loop is not None)
+                and not (self.mla_absorbed and self.mesh is not None)
                 and max_pos + k_steps <= self.max_seq_len):
             s_bucket = min(_bucket(max_pos + k_steps, lo=self.page_size),
                            self.max_seq_len)
-            tick = (D.decode_sample_loop if self.multi_step_impl == "fori"
-                    else D.decode_sample_multi)
-            out_dev, self.cache, self.key = tick(
-                self.model, d["tokens"], self.cache, self._bt(),
-                d["positions"], d["temps"], self.key, k_steps,
-                s_bucket=s_bucket, top_ks=d["top_ks"], top_ps=d["top_ps"],
-                min_ps=d["min_ps"], return_logprobs=self.logprobs,
-            )
+            if self.mla_absorbed:  # single-device absorbed fori tick
+                from gptq_v2_tpu.serving import mla as MLA
+
+                out_dev, self.cache, self.key = MLA.mla_decode_sample_loop(
+                    self.model, self._absorbed, self.cache, d["tokens"],
+                    d["positions"], d["temps"], self.key, k_steps,
+                    s_bucket=s_bucket, scales=self._mla_scales,
+                    top_ks=d["top_ks"], top_ps=d["top_ps"],
+                    min_ps=d["min_ps"], return_logprobs=self.logprobs,
+                )
+            elif self._pp_loop is not None:  # PP mesh: no s_bucket/tables
+                out_dev, self.cache, self.key = self._pp_loop(
+                    self.model, d["tokens"], self.cache, d["positions"],
+                    d["temps"], self.key, k_steps, top_ks=d["top_ks"],
+                    top_ps=d["top_ps"], min_ps=d["min_ps"],
+                    return_logprobs=self.logprobs,
+                )
+            else:
+                tick = (self._tp_loop if self._tp_loop is not None
+                        else D.decode_sample_loop
+                        if self.multi_step_impl == "fori"
+                        else D.decode_sample_multi)
+                out_dev, self.cache, self.key = tick(
+                    self.model, d["tokens"], self.cache, self._bt(),
+                    d["positions"], d["temps"], self.key, k_steps,
+                    s_bucket=s_bucket, top_ks=d["top_ks"],
+                    top_ps=d["top_ps"], min_ps=d["min_ps"],
+                    return_logprobs=self.logprobs,
+                )
             toks_dev = out_dev[-1, :, 0] if self.logprobs else out_dev[-1]
             self._dev = {**d, "tokens": toks_dev,
                          "positions": d["positions"] + k_steps * d["mask"]}
@@ -1132,18 +1187,22 @@ class Engine:
         s_bucket = min(_bucket(max_pos + 1, lo=self.page_size),
                        self.max_seq_len)
         if self.mla_absorbed and self.mesh is not None:
-            toks_dev, self.cache, self.key = self._mla_tp_decode(
+            out_dev, self.cache, self.key = self._mla_tp_decode(
                 self.model, self._absorbed, self.cache, d["tokens"],
-                d["positions"], d["temps"], self.key, s_bucket=s_bucket)
-            out_dev = toks_dev
+                d["positions"], d["temps"], self.key, s_bucket=s_bucket,
+                top_ks=d["top_ks"], top_ps=d["top_ps"], min_ps=d["min_ps"],
+                return_logprobs=self.logprobs)
+            toks_dev = out_dev[:, 0] if self.logprobs else out_dev
         elif self.mesh is None and self.mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
 
-            toks_dev, self.cache, self.key = MLA.mla_decode_sample_step(
+            out_dev, self.cache, self.key = MLA.mla_decode_sample_step(
                 self.model, self._absorbed, self.cache, d["tokens"],
                 d["positions"], d["temps"], self.key, s_bucket=s_bucket,
-                scales=self._mla_scales)
-            out_dev = toks_dev
+                scales=self._mla_scales, top_ks=d["top_ks"],
+                top_ps=d["top_ps"], min_ps=d["min_ps"],
+                return_logprobs=self.logprobs)
+            toks_dev = out_dev[:, 0] if self.logprobs else out_dev
         elif self.mesh is None:
             # decode + sample + key split in ONE dispatch (RTT-bound hosts)
             out_dev, self.cache, self.key = D.decode_sample_step(

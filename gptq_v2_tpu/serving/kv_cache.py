@@ -133,14 +133,32 @@ def unpack_int4_rows_adj(p8: jax.Array) -> jax.Array:
     return st.reshape(*p8.shape[:-2], 2 * p8.shape[-2], p8.shape[-1])
 
 
-def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array):
+def _scale_arr(s, kv_offset=None, n_loc=None):
+    """Per-layer scale entry → broadcastable array over ``(..., n_kv, hd)``.
+    Scalar floats stay 0-d; per-head tuples become ``(n_kv, 1)`` — sliced
+    to the shard's ``[kv_offset, kv_offset + n_loc)`` heads under TP
+    (``kv_offset`` may be a traced ``axis_index`` product)."""
+    a = jnp.asarray(s, jnp.float32)
+    if a.ndim:
+        if kv_offset is not None:
+            a = jax.lax.dynamic_slice(a, (kv_offset,), (n_loc,))
+        a = a[:, None]
+    return a
+
+
+def quantize_kv_write(cache, layer: int, k: jax.Array, v: jax.Array,
+                      kv_offset=None):
     """Quantize new K/V for storage when the cache holds int8/int4-packed
-    (symmetric, per-layer static scale); identity for full precision."""
+    (symmetric, static per-layer scalar or per-kv-head scales); identity
+    for full precision.  ``kv_offset``: under TP, the shard's first global
+    kv-head index (slices per-head scale tuples shard-locally)."""
     if isinstance(cache, PagedKVCache) and cache.kv_bits == 4:
-        # paged int4: scalar per-layer scales (the kernel bakes them in),
-        # adjacent-pair nibble packing
-        ks = float(cache.k_scales[layer])
-        vs = float(cache.v_scales[layer])
+        # paged int4: per-kv-head (or scalar) scales, adjacent-pair nibble
+        # packing.  Per-head scales are folded outside the kernel at read
+        # (decode.fold_paged_kv_scales), so the kernel sees raw codes.
+        n_loc = k.shape[-2]
+        ks = _scale_arr(cache.k_scales[layer], kv_offset, n_loc)
+        vs = _scale_arr(cache.v_scales[layer], kv_offset, n_loc)
         k4 = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -7, 7)
         v4 = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -7, 7)
         return (pack_int4_rows_adj(k4.astype(jnp.int32)),
@@ -265,8 +283,10 @@ def write_kv(
     block_tables: jax.Array,  # (B, max_pages)
     positions: jax.Array,  # (B, N) logical positions of the new tokens
     pad_mask: Optional[jax.Array] = None,  # (B, N) → write to trash page
+    kv_offset=None,  # TP: shard's first global kv head (per-head scales)
 ) -> PagedKVCache:
-    k_new, v_new = quantize_kv_write(cache, layer, k_new, v_new)
+    k_new, v_new = quantize_kv_write(cache, layer, k_new, v_new,
+                                     kv_offset=kv_offset)
     pages, offs = page_offsets(block_tables, positions, cache.page_size,
                                pad_mask)
     b, n, n_kv, hd = k_new.shape
@@ -282,10 +302,11 @@ def write_kv_flat(
     v_new: jax.Array,
     pages: jax.Array,  # (T,) destination page per token (host-precomputed)
     offs: jax.Array,  # (T,) in-page offset per token
+    kv_offset=None,  # TP: shard's first global kv head (per-head scales)
 ) -> PagedKVCache:
     """Token-flat write for the ragged (mixed prefill+decode) step."""
     k_new, v_new = quantize_kv_write(cache, layer, k_new[:, None],
-                                     v_new[:, None])
+                                     v_new[:, None], kv_offset=kv_offset)
     t, _, n_kv, hd = k_new.shape
     rows = interleave_kv(k_new[:, 0], v_new[:, 0])
     return _store_rows(cache, layer, rows, pages, offs, dma_path=False)

@@ -320,7 +320,8 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
     from gptq_v2_tpu.serving.decode import sample_per_row
 
     def local_step(model, absorbed, cache, tokens, positions, temperatures,
-                   key, s_bucket=None):
+                   key, top_ks, top_ps, min_ps, s_bucket=None,
+                   return_logprobs=False):
         cfg = model.cfg
         eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
         nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
@@ -391,30 +392,39 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
         if cfg.logits_divider is not None:
             logits = logits / cfg.logits_divider
         key, sub = jax.random.split(key)
-        toks = sample_per_row(logits, sub, temperatures)
+        toks = sample_per_row(logits, sub, temperatures,
+                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+        if return_logprobs:
+            from gptq_v2_tpu.serving.decode import (chosen_logprob,
+                                                    pack_tok_logprob)
+
+            toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
         return toks, MLACache(lat=lat), key
 
     def sharded(model, absorbed, cache, tokens, positions, temperatures,
-                key, s_bucket=None):
+                key, s_bucket=None, top_ks=None, top_ps=None, min_ps=None,
+                return_logprobs=False):
         from gptq_v2_tpu.parallel.mesh import MODEL_AXIS
 
         aspec = AbsorbedKVB(wk=tuple(P(MODEL_AXIS) for _ in absorbed.wk),
                             wv=tuple(P(MODEL_AXIS) for _ in absorbed.wv))
         return jax.shard_map(
-            functools.partial(local_step, s_bucket=s_bucket),
+            functools.partial(local_step, s_bucket=s_bucket,
+                              return_logprobs=return_logprobs),
             mesh=mesh,
             in_specs=(model.specs(), aspec, MLACache(lat=P()), P(), P(),
-                      P(), P()),
+                      P(), P(), P(), P(), P()),
             out_specs=(P(), MLACache(lat=P()), P()),
             check_vma=False,
-        )(model, absorbed, cache, tokens, positions, temperatures, key)
+        )(model, absorbed, cache, tokens, positions, temperatures, key,
+          top_ks, top_ps, min_ps)
 
     return jax.jit(sharded, donate_argnums=(2,),
-                   static_argnames=("s_bucket",))
+                   static_argnames=("s_bucket", "return_logprobs"))
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),
-                   static_argnames=("s_bucket", "scales"))
+                   static_argnames=("s_bucket", "scales", "return_logprobs"))
 def mla_decode_sample_step(
     model: PackedLlama,
     absorbed: AbsorbedKVB,
@@ -425,10 +435,16 @@ def mla_decode_sample_step(
     key: jax.Array,
     s_bucket: Optional[int] = None,
     scales: Optional[Tuple[float, ...]] = None,
+    top_ks: Optional[jax.Array] = None,  # (B,) per-row warpers (round-5)
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
 ) -> Tuple[jax.Array, MLACache, jax.Array]:
     """One absorbed decode step + sampling + key split in ONE dispatch
-    (mirrors ``decode.decode_sample_step``'s contract)."""
-    from gptq_v2_tpu.serving.decode import sample_per_row
+    (mirrors ``decode.decode_sample_step``'s contract, incl. per-row
+    warped sampling and the packed token+logprob readback)."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
 
     cfg = model.cfg
     s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
@@ -448,5 +464,74 @@ def mla_decode_sample_step(
                    cfg.norm_unit_offset)
     logits = head_logits(cfg, model.lm_head, x)
     key, sub = jax.random.split(key)
-    toks = sample_per_row(logits, sub, temperatures)
+    toks = sample_per_row(logits, sub, temperatures,
+                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, MLACache(lat=lat), key
+
+
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("n_steps", "s_bucket", "scales",
+                                    "return_logprobs"))
+def mla_decode_sample_loop(
+    model: PackedLlama,
+    absorbed: AbsorbedKVB,
+    cache: MLACache,
+    tokens: jax.Array,  # (B,) last sampled token per slot
+    positions: jax.Array,  # (B,) position of the FIRST new token
+    temperatures: jax.Array,  # (B,)
+    key: jax.Array,
+    n_steps: int,
+    s_bucket: Optional[int] = None,  # must cover positions + n_steps
+    scales: Optional[Tuple[float, ...]] = None,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    return_logprobs: bool = False,
+) -> Tuple[jax.Array, MLACache, jax.Array]:
+    """``n_steps`` fused absorbed-decode+sample steps under ONE
+    ``lax.fori_loop`` dispatch — the MLA twin of
+    ``decode.decode_sample_loop`` (round-5: multi-step now composes with
+    MLA-absorbed serving, so the flagship DeepSeek path stops paying a
+    per-token host sync).  Same PRNG chain and semantics as k calls of
+    :func:`mla_decode_sample_step`; the donated latent cache updates in
+    place across iterations."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+
+    cfg = model.cfg
+    s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
+    out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
+                 else (n_steps, tokens.shape[0]))
+    out0 = jnp.zeros(out_shape, jnp.int32)
+
+    def body(i, carry):
+        toks, lat, key, out = carry
+        pos = positions + i
+        ropes = [(c[:, None, :], s_[:, None, :])
+                 for c, s_ in L.rope_tables(cfg, pos)]
+        x = L.embed_lookup(cfg, model.embed_tokens, toks)[:, None, :]
+        key_mask = jnp.arange(s)[None, :] <= pos[:, None]
+        for li, lp in enumerate(model.layers):
+            cos, sin = ropes[cfg.layer_rope(li)]
+            x, lat_li = _mla_absorbed_block(
+                cfg, lp, absorbed.wk[li], absorbed.wv[li], x, cos, sin,
+                lat[li, :, :s], pos, key_mask,
+                scale=None if scales is None else scales[li])
+            lat = lat.at[li, :, :s].set(lat_li)
+        x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                       cfg.norm_unit_offset)
+        logits = head_logits(cfg, model.lm_head, x)
+        key, sub = jax.random.split(key)
+        toks = sample_per_row(logits, sub, temperatures,
+                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+        rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+               if return_logprobs else toks)
+        out = jax.lax.dynamic_update_slice(
+            out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+        return toks, lat, key, out
+
+    _, lat, key, out = jax.lax.fori_loop(
+        0, n_steps, body, (tokens, cache.lat, key, out0))
+    return out, MLACache(lat=lat), key

@@ -3,7 +3,6 @@ import collections
 import glob
 import gzip
 import json
-import re
 import sys
 
 fpath = sorted(glob.glob("/tmp/foritrace/plugins/profile/*/*.trace.json.gz"))[-1]
@@ -22,7 +21,6 @@ for e in tr["traceEvents"]:
     if e["name"] == "while.7":
         continue
     ln = e.get("args", {}).get("long_name", e["name"])
-    m = re.match(r"%\S+ = (\S+?) (fusion|copy|custom-call)?", ln)
     sig = ln.split(" fusion(")[0].split(" = ")[-1][:40] if "=" in ln else e["name"]
     kind = e["name"].split(".")[0]
     key = (kind, sig)

@@ -1208,3 +1208,86 @@ class TestTPAbsorbedMLAEngine:
         got = mk(make_mesh(tp=2, dp=1)).run(
             [Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert got == want
+
+
+from gptq_v2_tpu.serving import Engine, Request  # noqa: E402
+
+
+class TestMeshMultiStep:
+    """Round-5: multi-step decode ticks compose with TP and PP meshes —
+    the k-step fori body runs INSIDE the shard_map (tp.build_tp_decode_loop
+    / tp.build_tp_ragged_multi / pp.build_pp_decode_loop), so multi-chip
+    serving amortizes the per-token host sync.  Oracle: the meshed
+    multi-step engine must be token-identical to the single-device
+    single-step engine (which is itself oracle-tested against full
+    recompute)."""
+
+    def _reqs(self, model, seed=33, lens=(6, 3), new=5):
+        rng = np.random.default_rng(seed)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in lens]
+        return lambda: [Request(uid=i, prompt=p, max_new_tokens=new)
+                        for i, p in enumerate(prompts)]
+
+    @pytest.mark.parametrize("kind", ["contiguous", "paged"])
+    def test_tp_phased_multi_step_matches_single_step(self, tiny_packed,
+                                                      kind):
+        model = tiny_packed
+        reqs = self._reqs(model)
+        want = Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                      cache_kind=kind).run(reqs())
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=32,
+                     cache_kind=kind, mesh=make_mesh(tp=2, dp=1),
+                     multi_step=3)
+        assert eng._tp_loop is not None
+        got = eng.run(reqs())
+        assert got == want
+
+    def test_tp_ragged_multi_step_matches_single_step(self, tiny_packed):
+        model = tiny_packed
+        reqs = self._reqs(model, seed=34, lens=(13, 5))
+        want = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                      cache_kind="paged", scheduler="ragged",
+                      token_budget=8).run(reqs())
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", token_budget=8,
+                     mesh=make_mesh(tp=2, dp=1), multi_step=3)
+        assert eng._tp_ragged_multi is not None
+        got = eng.run(reqs())
+        assert got == want
+
+    def test_pp_multi_step_matches_single_step(self, tiny_packed):
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+
+        model = tiny_packed
+        reqs = self._reqs(model, seed=35, lens=(6, 3, 9), new=4)
+        want = Engine(model, max_batch=4, max_seq_len=32,
+                      cache_kind="contiguous").run(reqs())
+        eng = Engine(model, max_batch=4, max_seq_len=32,
+                     cache_kind="contiguous", mesh=make_pp_mesh(2),
+                     multi_step=3)
+        assert eng._pp_loop is not None
+        got = eng.run(reqs())
+        assert got == want
+
+    def test_tp_multi_step_sampled_chain_matches_single_device(
+            self, tiny_packed):
+        """Sampled (temperature + warped) requests: the meshed multi-step
+        tick reproduces the single-device multi-step engine's exact PRNG
+        chain (same seed => identical tokens)."""
+        model = tiny_packed
+        rng = np.random.default_rng(36)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 3)]
+
+        def reqs():
+            return [Request(uid=0, prompt=prompts[0], max_new_tokens=5,
+                            temperature=0.8, top_k=4),
+                    Request(uid=1, prompt=prompts[1], max_new_tokens=5,
+                            temperature=1.2, top_p=0.9)]
+
+        want = Engine(model, max_batch=2, max_seq_len=32, seed=7,
+                      multi_step=3).run(reqs())
+        got = Engine(model, max_batch=2, max_seq_len=32, seed=7,
+                     mesh=make_mesh(tp=2, dp=1), multi_step=3).run(reqs())
+        assert got == want

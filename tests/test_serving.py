@@ -552,7 +552,8 @@ class TestEngine:
 
     def test_int4_kv_paged_engine_schedulers(self, packed_model):
         """Engine smoke: kv_dtype="int4" + paged cache serves through the
-        phased AND ragged schedulers with auto-calibrated scalar scales."""
+        phased AND ragged schedulers with auto-calibrated PER-KV-HEAD
+        scales (round-5: the per-layer max collapse is gone)."""
         model, _ = packed_model
         cfg = model.cfg
         rng = np.random.default_rng(31)
@@ -563,10 +564,122 @@ class TestEngine:
                          cache_kind="paged", kv_dtype="int4",
                          scheduler=scheduler)
             assert eng.cache.kv_bits == 4
-            assert all(isinstance(s, float) for s in eng.cache.k_scales)
+            assert all(isinstance(s, tuple)
+                       and len(s) == cfg.num_key_value_heads
+                       for s in eng.cache.k_scales)
             out = eng.run([Request(uid=i, prompt=p, max_new_tokens=6)
                            for i, p in enumerate(prompts)])
             assert all(len(out[i]) == 6 for i in range(len(prompts)))
+
+    def test_int4_kv_paged_per_head_close_to_simulated(self, packed_model):
+        """Paged int4 with PER-KV-HEAD scales: decode logits track a
+        full-precision paged cache snapped to each head's own int4 grid
+        (the contiguous path's methodology).  A mis-indexed head fold —
+        wrong repeat order, wrong slice — would blow this up."""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        cfg = model.cfg
+        ks, vs = calibrate_kv_scales(model, bits=4)  # per-head tuples
+        assert all(isinstance(s, tuple) for s in ks)
+
+        rng = np.random.default_rng(43)
+        B, PLEN, PS = 2, 9, 8
+        n_pages = 1 + B * 4
+        prompts = rng.integers(0, cfg.vocab_size, (B, PLEN)).astype(np.int32)
+        lengths = jnp.full((B,), PLEN, jnp.int32)
+        bt = jnp.asarray(np.arange(1, 1 + B * 4).reshape(B, 4), jnp.int32)
+        steps = np.random.default_rng(44).integers(
+            0, cfg.vocab_size, (3, B)).astype(np.int32)
+
+        def roundtrip(cache):
+            # (L, n_kv) per-head grids; K even, V odd on the combined axis
+            kq = jnp.asarray(ks)[:, None, None, :, None]
+            vq = jnp.asarray(vs)[:, None, None, :, None]
+            k = cache.kv[:, :, :, 0::2]
+            v = cache.kv[:, :, :, 1::2]
+            k = (jnp.clip(jnp.round(k / kq), -7, 7) * kq).astype(cache.kv.dtype)
+            v = (jnp.clip(jnp.round(v / vq), -7, 7) * vq).astype(cache.kv.dtype)
+            kv = jnp.stack([k, v], axis=4).reshape(cache.kv.shape)
+            return cache._replace(kv=kv)
+
+        def run(kv_bits, simulate=False):
+            cache = kvc.init_cache(
+                cfg.num_hidden_layers, n_pages, PS,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+                k_scales=ks if kv_bits == 4 else None,
+                v_scales=vs if kv_bits == 4 else None, kv_bits=kv_bits)
+            logits, cache = D.prefill(model, jnp.asarray(prompts), cache,
+                                      bt, lengths)
+            outs = [logits]
+            for step in range(3):
+                if simulate:
+                    cache = roundtrip(cache)
+                pos = jnp.full((B,), PLEN + step, jnp.int32)
+                logits, cache = D.decode_step(model, jnp.asarray(steps[step]),
+                                              cache, bt, pos)
+                outs.append(logits)
+            return outs
+
+        quant = run(4)
+        sim = run(None, simulate=True)
+        for i, (a, b) in enumerate(zip(sim, quant)):
+            rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+            assert rel < 0.15, (i, rel)
+
+    def test_int4_kv_per_head_beats_or_matches_collapsed(self, packed_model):
+        """Quality guard for the round-4 collapse removal: against the
+        exact-rounded oracle (full-precision cache snapped per head), the
+        per-head paged engine's decode logits are at least as close as a
+        collapsed-scalar cache's.  (The A/B the round-4 verdict asked
+        for, in logits space where the CPU-size model has signal.)"""
+        from gptq_v2_tpu.serving import decode as D
+        from gptq_v2_tpu.serving import kv_cache as kvc
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        cfg = model.cfg
+        ks, vs = calibrate_kv_scales(model, bits=4)
+        ks_c = tuple(max(s) for s in ks)
+        vs_c = tuple(max(s) for s in vs)
+
+        rng = np.random.default_rng(47)
+        B, PLEN, PS = 2, 9, 8
+        n_pages = 1 + B * 4
+        prompts = rng.integers(0, cfg.vocab_size, (B, PLEN)).astype(np.int32)
+        lengths = jnp.full((B,), PLEN, jnp.int32)
+        bt = jnp.asarray(np.arange(1, 1 + B * 4).reshape(B, 4), jnp.int32)
+        steps = np.random.default_rng(48).integers(
+            0, cfg.vocab_size, (4, B)).astype(np.int32)
+
+        def run(k_scales, v_scales, kv_bits):
+            cache = kvc.init_cache(
+                cfg.num_hidden_layers, n_pages, PS,
+                cfg.num_key_value_heads, cfg.head_dim_,
+                dtype=model.embed_tokens.dtype,
+                k_scales=k_scales, v_scales=v_scales, kv_bits=kv_bits)
+            logits, cache = D.prefill(model, jnp.asarray(prompts), cache,
+                                      bt, lengths)
+            outs = [logits]
+            for step in range(4):
+                pos = jnp.full((B,), PLEN + step, jnp.int32)
+                logits, cache = D.decode_step(model, jnp.asarray(steps[step]),
+                                              cache, bt, pos)
+                outs.append(logits)
+            return outs
+
+        exact = run(None, None, None)
+        per_head = run(ks, vs, 4)
+        collapsed = run(ks_c, vs_c, 4)
+        err_ph = sum(float(jnp.mean(jnp.abs(a - b)))
+                     for a, b in zip(exact, per_head))
+        err_c = sum(float(jnp.mean(jnp.abs(a - b)))
+                    for a, b in zip(exact, collapsed))
+        # per-head scales can only refine the grid; allow float fuzz
+        assert err_ph <= err_c * 1.05, (err_ph, err_c)
 
     def test_int4_paged_pack_roundtrip(self):
         """pack_int4_rows_adj/unpack_int4_rows_adj invert each other and
@@ -1032,13 +1145,42 @@ class TestTopKTopP:
         assert out[0] == expected
         assert len(out[1]) == 5
 
-    def test_speculative_engine_rejects_topk(self, packed_model):
+    def test_speculative_engine_accepts_topk(self, packed_model):
+        """Warped sampling (top-k/top-p/min-p) is supported on the
+        speculative engine since the warped-acceptance rule landed;
+        positive behavior is covered by
+        ``test_speculative_warped_self_draft_accepts_everything`` — here
+        just assert admission no longer raises."""
         model, _ = packed_model
         eng = Engine(model, max_batch=1, max_seq_len=64, draft=model,
                      spec_k=2)
-        with pytest.raises(ValueError, match="temperature-only"):
-            eng.add_request(Request(uid=0, prompt=[1, 2], max_new_tokens=2,
-                                    top_k=5))
+        eng.add_request(Request(uid=0, prompt=[1, 2], max_new_tokens=2,
+                                top_k=5))
+        assert len(eng.queue) == 1
+
+    def test_mla_absorbed_topk1_equals_greedy(self):
+        """Round-5: warped sampling composes with MLA-absorbed decode —
+        top_k=1 at high temperature must reproduce the greedy output
+        (the same invariant the other engine modes assert)."""
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=55,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(57)
+        prompt = rng.integers(0, cfg.vocab_size, (6,)).tolist()
+        want = Engine(model, max_batch=1, max_seq_len=64,
+                      mla_absorbed=True).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        got = Engine(model, max_batch=1, max_seq_len=64,
+                     mla_absorbed=True).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5,
+                     temperature=4.0, top_k=1)])
+        assert got == want
 
 
 class TestPrefixCache:
@@ -1283,6 +1425,24 @@ class TestRaggedSpecEngine:
         assert eng.spec_proposed > 0
         assert 0 <= eng.spec_accepted <= eng.spec_proposed
 
+    def test_int4_kv_composes_with_speculation(self, packed_model):
+        """int4 KV × speculation (round-5: the round-4 exclusion dropped):
+        the spec engine's ragged verify runs on int4 pages (per-head
+        scales folded outside the kernel) and its greedy outputs equal the
+        plain ragged int4 engine's."""
+        model, _ = packed_model
+        rng = np.random.default_rng(95)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (21, 5, 11)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = self._mk(model, kv_dtype="int4").run(reqs())
+        eng = self._mk(model, draft=self._draft(), kv_dtype="int4")
+        assert eng.cache.kv_bits == 4
+        got = eng.run(reqs())
+        assert got == want
+        assert eng.spec_proposed > 0
+
     def test_self_draft_fewer_ticks(self, packed_model):
         """draft == target accepts everything: far fewer spec rounds than
         token-by-token decode."""
@@ -1425,6 +1585,44 @@ class TestMLAAbsorbed:
         # the cache really is the compressed latent: one shared row of
         # kv_lora + rope_dim per token, no per-head K/V
         assert eng.cache.lat.shape == (2, 2, 64, 40)
+
+    def test_logprobs_match_naive_engine(self):
+        """Round-5: logprobs compose with MLA-absorbed decode.  The
+        absorbed engine's per-token raw-distribution logprobs match the
+        naive engine's (itself checked against a full forward in
+        TestLogprobs) to float tolerance."""
+        model = self._model()
+        rng = np.random.default_rng(58)
+        prompt = rng.integers(0, model.cfg.vocab_size, (7,)).tolist()
+        r_naive = Request(uid=0, prompt=prompt, max_new_tokens=5)
+        Engine(model, max_batch=1, max_seq_len=64,
+               logprobs=True).run([r_naive])
+        r_abs = Request(uid=0, prompt=prompt, max_new_tokens=5)
+        Engine(model, max_batch=1, max_seq_len=64, logprobs=True,
+               mla_absorbed=True).run([r_abs])
+        assert r_abs.output == r_naive.output
+        assert len(r_abs.logprobs) == 5
+        np.testing.assert_allclose(r_abs.logprobs, r_naive.logprobs,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_multi_step_matches_single_step(self):
+        """Round-5: multi-step fori ticks compose with MLA-absorbed decode
+        (``mla.mla_decode_sample_loop``) — token-identical to the
+        single-step absorbed engine, logprobs riding along."""
+        model = self._model()
+        rng = np.random.default_rng(59)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 9)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=6)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=64,
+                      mla_absorbed=True).run(reqs())
+        eng = Engine(model, max_batch=2, max_seq_len=64, mla_absorbed=True,
+                     multi_step=3, logprobs=True)
+        rs = reqs()
+        got = eng.run(rs)
+        assert got == want
+        assert all(len(r.logprobs) == 6 for r in rs)
 
     def test_moe_deepseek_absorbed(self):
         """Absorbed decode composes with the DeepSeek MoE MLP (shared

@@ -209,3 +209,70 @@ class TestBitSliced3Bit:
         eng = Engine(model, max_batch=2, max_seq_len=64)
         out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert out[0] == expected
+
+
+class TestW4A8:
+    """Round-5 W4A8 tier: per-row dynamic int8 activations feeding int8
+    MXU dots (PackedLinear.act_bits=8, ops/w4a16.py::_kernel_a8)."""
+
+    def _packed(self, C=256, R=128, g=32, seed=5):
+        import dataclasses
+
+        w = rand((C, R), seed=seed) * 0.05
+        p = jax.tree_util.tree_map(jnp.asarray, pk.rtn_pack_dense(w, g))
+        return p, dataclasses.replace(p, act_bits=8)
+
+    def test_matches_integer_simulation(self):
+        """Kernel output == the explicit integer-math simulation: quantize
+        x per row, int32 dot against the codes, per-group scale algebra,
+        per-row dequant — exact up to output-dtype rounding."""
+        p, p8 = self._packed()
+        x = jnp.asarray(rand((16, p.in_features), seed=6), jnp.float32)
+
+        got = w4a16_matmul(x, p8)
+
+        amax = np.abs(np.asarray(x, np.float32)).max(axis=1, keepdims=True)
+        x_scale = np.maximum(amax, 1e-12) / 127.0
+        xq = np.clip(np.round(np.asarray(x) / x_scale), -127, 127)
+        codes = pk.unpack_codes(np.asarray(p.qweight), p.group_size,
+                                p.bits).astype(np.float64).T  # (C_pad, R)
+        xq_pad = np.zeros((16, codes.shape[0]))
+        xq_pad[:, :xq.shape[1]] = xq[:, np.asarray(p.perm)] \
+            if p.perm is not None else xq
+        g = p.group_size
+        sc = np.repeat(np.asarray(p.scales, np.float64), g, axis=0)
+        zr = np.repeat(np.asarray(p.zeros, np.float64), g, axis=0)
+        want = (xq_pad @ (codes * sc) - xq_pad @ (zr * sc)) * x_scale
+        # the kernel multiplies the exact int32 dot by the STORED
+        # (dtype-rounded) scales and z*s products; the f64 simulation uses
+        # exact ones — tolerance covers that storage rounding
+        assert_close_scaled(got, want, rel=1e-2)
+
+    def test_close_to_a16_path(self):
+        """The a8 tier tracks the bf16-activation path to ~1% (the
+        documented per-row int8 activation-quant trade)."""
+        p, p8 = self._packed(seed=7)
+        x = jnp.asarray(rand((8, p.in_features), seed=8) * 0.3, jnp.float32)
+        a16 = np.asarray(w4a16_matmul(x, p), np.float32)
+        a8 = np.asarray(w4a16_matmul(x, p8), np.float32)
+        rel = np.abs(a16 - a8).max() / np.abs(a16).max()
+        assert rel < 0.03, rel
+
+    def test_engine_serves_w4a8(self):
+        """Engine(act_dtype='int8') serves end-to-end; greedy outputs
+        track the W4A16 engine on a well-conditioned tiny model."""
+        from gptq_v2_tpu.models import llama as L
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(dtype="float32")
+        model = random_packed_llama(cfg, group_size=16, seed=11,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(12)
+        prompt = rng.integers(0, cfg.vocab_size, (7,)).tolist()
+        eng = Engine(model, max_batch=1, max_seq_len=32, act_dtype="int8")
+        assert all(w.act_bits == 8
+                   for lp in eng.model.layers for w in lp.values()
+                   if isinstance(w, pk.PackedLinear))
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert len(out[0]) == 5

@@ -222,14 +222,30 @@ def run(batch):
                                 compute_dtype=cfg.jdtype)
     # the engine's default serving transform: fused qkv/gate_up stages =
     # one act-order gather + one kernel dispatch per stage
-    model = jax.device_put(fuse_stage_linears(model))
+    model = fuse_stage_linears(model)
+    if on_tpu:
+        # full-quantized serving config: block linears INT4 + lm_head INT8
+        # (RTN g128 — quality-negligible on the head, and the dense bf16
+        # head was the largest non-roofline term in the decode profile:
+        # 262 MB/step read at thin-matmul bandwidth.  Measured same-epoch
+        # at b32x1024: 1190.5 -> 1237.0 tok/s; int4 head measures the
+        # same as int8, so the quality-safer tier wins.)
+        import dataclasses
+
+        from gptq_v2_tpu.ops.packing import rtn_pack_dense
+
+        lm8 = jax.tree_util.tree_map(jnp.asarray, rtn_pack_dense(
+            np.asarray(model.lm_head, np.float32), 128,
+            compute_dtype=cfg.jdtype, bits=8))
+        model = dataclasses.replace(model, lm_head=lm8)
+    model = jax.device_put(model)
     print(f"setup {time.time() - t0:.1f}s", file=sys.stderr)
 
     def leaf_bytes(tree):
         return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree))
 
     weight_bytes = (sum(leaf_bytes(lp) for lp in model.layers)
-                    + model.lm_head.nbytes + model.norm.nbytes)
+                    + leaf_bytes(model.lm_head) + model.norm.nbytes)
     spec_bw = HBM_BW_SPEC.get(dev.device_kind, 819e9)
 
     # Serving-config sweep (CONFIGS): absolute-throughput configs plus the

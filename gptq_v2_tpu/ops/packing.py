@@ -275,12 +275,13 @@ def pack_quant_meta(quant_meta: dict, compute_dtype=jnp.bfloat16) -> PackedLinea
 
 
 def rtn_pack_dense(w: np.ndarray, group_size: int,
-                   compute_dtype=None) -> PackedLinear:
-    """RTN-quantize a dense ``(C, R)`` weight to a packed INT4 linear.
+                   compute_dtype=None, bits: int = 4) -> PackedLinear:
+    """RTN-quantize a dense ``(C, R)`` weight to a packed low-bit linear.
 
-    Asymmetric per-group (along C) 4-bit, no Hessian — for weights outside
-    the GPTQ pass (e.g. the optional packed lm_head; the reference never
-    quantizes lm_head, so RTN keeps this strictly additive).
+    Asymmetric per-group (along C), no Hessian — for weights outside the
+    GPTQ pass (e.g. the optional packed lm_head; the reference never
+    quantizes lm_head, so RTN keeps this strictly additive).  ``bits``:
+    4 (default) or 8/2 via the same plane-per-group layout.
     """
     import jax.numpy as _jnp
 
@@ -289,17 +290,18 @@ def rtn_pack_dense(w: np.ndarray, group_size: int,
     w = np.asarray(w, dtype=np.float32)
     c, r = w.shape
     g = group_size
+    maxq = (1 << bits) - 1
     assert c % g == 0, (c, g)
     wg = w.reshape(c // g, g, r)
     x_max = np.maximum(wg.max(axis=1), 0.0)  # (G, R)
     x_min = np.minimum(wg.min(axis=1), 0.0)
-    scale = (x_max - x_min) / 15.0 + 1e-12
+    scale = (x_max - x_min) / maxq + 1e-12
     zero = np.round(-x_min / scale)
     codes = np.clip(np.round(wg / scale[:, None, :]) + zero[:, None, :],
-                    0.0, 15.0).astype(np.uint8)
+                    0.0, maxq).astype(np.uint8)
     codes_rc = codes.reshape(c, r).T  # (R, C)
-    packed = pack_int4(codes_rc, g)
-    g_pad = packed.shape[0] // g * 8
+    packed = pack_codes(codes_rc, g, bits=bits)
+    g_pad = packed.shape[0] // g * (32 // bits)
     pad = g_pad - c // g
     if pad:
         scale = np.concatenate([scale, np.zeros((pad, r), np.float32)])
@@ -311,6 +313,7 @@ def rtn_pack_dense(w: np.ndarray, group_size: int,
         perm=None,
         group_size=g,
         in_features=c,
+        bits=bits,
     )
 
 

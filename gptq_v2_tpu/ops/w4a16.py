@@ -47,6 +47,10 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size,
     # (tests / f32 serving) keep an f32 dot.  Accumulation is fp32 either
     # way.  Kernel cost anatomy (v5e, 7B decode): HBM floor ~78%, the 8
     # shift+mask extractions ~18%, converts+dots ~4%.
+    # scales/zs refs are (1, planes, bn): a 3-D layout whose trailing dims
+    # satisfy Mosaic's block rule for EVERY plane count (planes=4 at
+    # bits=8 violated the 8-sublane divisibility in the old 2-D layout —
+    # a real-TPU-only lowering failure the CPU interpret tests never hit)
     code_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
     planes, mask = 32 // bits, (1 << bits) - 1
     for i in range(planes):
@@ -58,8 +62,8 @@ def _kernel(x_ref, w_ref, s_ref, zs_ref, out_ref, acc_ref, *, group_size,
             preferred_element_type=jnp.float32,
         )
         x_sum = jnp.sum(x_i.astype(jnp.float32), axis=1, keepdims=True)  # (B, 1)
-        acc += dot * s_ref[i, :][None, :].astype(jnp.float32) \
-            - x_sum * zs_ref[i, :][None, :].astype(jnp.float32)
+        acc += dot * s_ref[0, i, :][None, :].astype(jnp.float32) \
+            - x_sum * zs_ref[0, i, :][None, :].astype(jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -98,8 +102,9 @@ def _kernel_a8(x_ref, w_ref, s_ref, zs_ref, xs_ref, out_ref, acc_ref, *,
         )
         x_sum = jnp.sum(x_i.astype(jnp.int32), axis=1,
                         keepdims=True).astype(jnp.float32)  # (bm, 1)
-        acc += dot.astype(jnp.float32) * s_ref[i, :][None, :].astype(jnp.float32) \
-            - x_sum * zs_ref[i, :][None, :].astype(jnp.float32)
+        acc += dot.astype(jnp.float32) \
+            * s_ref[0, i, :][None, :].astype(jnp.float32) \
+            - x_sum * zs_ref[0, i, :][None, :].astype(jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -126,6 +131,8 @@ def _w4a8_2d(xq, x_scale, qweight, scales, zeros, group_size: int,
 
     zs = (zeros.astype(jnp.float32)
           * scales.astype(jnp.float32)).astype(scales.dtype)
+    s3 = scales.reshape(n_k, planes, r)
+    zs3 = zs.reshape(n_k, planes, r)
     kernel = functools.partial(_kernel_a8, group_size=g, n_k=n_k, bits=bits)
     return pl.pallas_call(
         kernel,
@@ -135,9 +142,9 @@ def _w4a8_2d(xq, x_scale, qweight, scales, zeros, group_size: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, block_n), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, planes, block_n), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, planes, block_n), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -154,7 +161,7 @@ def _w4a8_2d(xq, x_scale, qweight, scales, zeros, group_size: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xq, qweight, scales, zs, x_scale)
+    )(xq, qweight, s3, zs3, x_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "block_n",
@@ -179,6 +186,10 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
     n_i = b // bm
 
     zs = (zeros.astype(jnp.float32) * scales.astype(jnp.float32)).astype(scales.dtype)
+    # 3-D (n_k, planes, R) scale layout — trailing dims (planes, bn) are
+    # full-dim/aligned for every bits value (see the kernel comment)
+    s3 = scales.reshape(n_k, planes, r)
+    zs3 = zs.reshape(n_k, planes, r)
     kernel = functools.partial(_kernel, group_size=g, n_k=n_k, bits=bits)
     return pl.pallas_call(
         kernel,
@@ -186,9 +197,9 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, block_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, planes, block_n), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((planes, block_n), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, planes, block_n), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j, k: (i, j),
@@ -203,7 +214,7 @@ def _w4a16_2d(x, qweight, scales, zeros, group_size: int, block_n: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qweight, scales, zs)
+    )(x, qweight, s3, zs3)
 
 
 def w4a16_matmul(

@@ -82,7 +82,12 @@ def parse_serve_args(argv=None):
                         "benchmark run (TensorBoard/Perfetto)")
     p.add_argument("--multi-step", type=int, default=1,
                    help="k fused decode+sample steps per host sync "
-                        "(phased scheduler; k x fewer per-token RTTs)")
+                        "(composes with TP/PP meshes, the ragged "
+                        "scheduler, and MLA-absorbed decode)")
+    p.add_argument("--act-dtype", type=str, default="native",
+                   choices=("native", "int8"),
+                   help="int8 = the W4A8 tier: per-row dynamic int8 "
+                        "activations into int8 MXU dots (single-device)")
     # multi-host entry (jax.distributed): one process per host
     p.add_argument("--coordinator", type=str, default="",
                    help="host:port of process 0's coordinator service")
@@ -126,7 +131,8 @@ def build_engine(args):
                   token_budget=args.token_budget or None,
                   prefix_cache=args.prefix_cache,
                   mla_absorbed=args.mla_absorbed,
-                  multi_step=args.multi_step)
+                  multi_step=args.multi_step,
+                  act_dtype=args.act_dtype)
 
 
 def main(argv=None) -> dict:

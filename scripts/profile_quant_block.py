@@ -13,6 +13,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from gptq_v2_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # the CLI's policy: compile once per host
+
 from gptq_v2_tpu.models import llama as L
 from gptq_v2_tpu.pipeline import QuantConfig, quantize_model
 from gptq_v2_tpu.models.llama import init_params

@@ -1291,3 +1291,20 @@ class TestMeshMultiStep:
         got = Engine(model, max_batch=2, max_seq_len=32, seed=7,
                      mesh=make_mesh(tp=2, dp=1), multi_step=3).run(reqs())
         assert got == want
+
+    def test_pp2_tp2_multi_step_matches_single_step(self, tiny_packed):
+        """TPxPP composition: the PP multi-step fori tick with TP shards
+        inside each stage is token-identical to the single-device
+        single-step engine."""
+        from gptq_v2_tpu.parallel.pp import make_pp_mesh
+
+        model = tiny_packed
+        reqs = self._reqs(model, seed=37, lens=(6, 3, 9, 4), new=4)
+        want = Engine(model, max_batch=4, max_seq_len=32,
+                      cache_kind="contiguous").run(reqs())
+        eng = Engine(model, max_batch=4, max_seq_len=32,
+                     cache_kind="contiguous", mesh=make_pp_mesh(2, tp=2),
+                     multi_step=3)
+        assert eng._pp_loop is not None
+        got = eng.run(reqs())
+        assert got == want

@@ -250,21 +250,37 @@ class Engine:
             from gptq_v2_tpu.serving import mla as MLA
 
             assert cfg.mla, "mla_absorbed requires a DeepSeek MLA model"
-            assert cache_kind == "contiguous" and scheduler == "phased"
+            assert ((cache_kind == "contiguous" and scheduler == "phased")
+                    or (cache_kind == "paged" and scheduler == "ragged"
+                        and mesh is None)), (
+                "mla_absorbed serves contiguous+phased, or (round-5) the "
+                "paged latent cache under the ragged scheduler "
+                "(single-device)")
             assert draft is None, (
                 "speculation over the absorbed latent cache is not built;"
                 " use the naive MLA engine for draft verification")
             # int8 latent: per-layer calibrated scales, like the K/V path
             self._mla_scales = (MLA.calibrate_mla_scales(model)
                                 if kv_dtype == "int8" else None)
-            self.cache = MLA.init_mla_cache(
-                cfg.num_hidden_layers, max_batch, self.max_seq_len,
-                cfg.kv_lora_rank + cfg.qk_rope_head_dim,
-                dtype=jnp.int8 if kv_dtype == "int8"
-                else model.embed_tokens.dtype)
+            lat_dim = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+            lat_dtype = (jnp.int8 if kv_dtype == "int8"
+                         else model.embed_tokens.dtype)
             self._absorbed = MLA.absorb_kv_b(model)
-            self.free_pages = []
-            self.block_tables = None
+            if scheduler == "ragged":
+                if n_pages is None:
+                    n_pages = 1 + max_batch * self.max_pages_per_seq
+                self.cache = MLA.init_mla_paged_cache(
+                    cfg.num_hidden_layers, n_pages, page_size, lat_dim,
+                    dtype=lat_dtype)
+                self.free_pages = list(range(1, n_pages))  # page 0 = trash
+                self.block_tables = np.zeros(
+                    (max_batch, self.max_pages_per_seq), np.int32)
+            else:
+                self.cache = MLA.init_mla_cache(
+                    cfg.num_hidden_layers, max_batch, self.max_seq_len,
+                    lat_dim, dtype=lat_dtype)
+                self.free_pages = []
+                self.block_tables = None
         elif cache_kind == "contiguous":
             self.cache = kvc.init_contiguous_cache(
                 cfg.num_hidden_layers, max_batch, self.max_seq_len,
@@ -411,10 +427,29 @@ class Engine:
         elif mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
 
-            self._prefill = (lambda m, t, c, bt, lens, slot:
-                             MLA.mla_prefill(m, t, c, lens, slot,
-                                             scales=self._mla_scales))
-            self._decode = self._ragged = None
+            if scheduler == "ragged":
+                # every tick (mixed prefill+decode) runs the absorbed
+                # ragged step over the paged latent cache
+                self._prefill = None
+
+                def _mla_ragged(m, tokens, cache, positions, tok_pages,
+                                tok_offs, bt, kv_lens, cu, num_seqs,
+                                sample_rows, temps, key, tks=None, tps=None,
+                                mps=None, return_logprobs=False):
+                    return MLA.mla_ragged_step(
+                        m, self._absorbed, tokens, cache, positions,
+                        tok_pages, tok_offs, bt, kv_lens, cu, num_seqs,
+                        sample_rows, temps, key, tks, tps, mps,
+                        scales=self._mla_scales,
+                        return_logprobs=return_logprobs)
+
+                self._ragged = _mla_ragged
+                self._decode = None
+            else:
+                self._prefill = (lambda m, t, c, bt, lens, slot:
+                                 MLA.mla_prefill(m, t, c, lens, slot,
+                                                 scales=self._mla_scales))
+                self._decode = self._ragged = None
         else:
             self._prefill = D.prefill
             self._decode = D.decode_step
@@ -688,7 +723,7 @@ class Engine:
         # semantics as the phased multi-step chunk).  Mixed ticks stay
         # single-step so prefill chunking is never delayed.
         k_steps = self.multi_step
-        if (k_steps > 1 and not prefilling
+        if (k_steps > 1 and not prefilling and not self.mla_absorbed
                 and (self.mesh is None or self._tp_ragged_multi is not None)
                 and max(self.slots[si].length for si in decoding) + k_steps
                 <= self.max_seq_len):

@@ -51,6 +51,27 @@ class MLACache(NamedTuple):
         return self.lat.shape[2]
 
 
+class MLAPagedCache(NamedTuple):
+    """Paged latent rows for the ragged scheduler:
+    ``lat[(L, n_pages, page_size, lat_dim)]`` — page 0 is the reserved
+    trash page, exactly the ``PagedKVCache`` convention.  The latent is
+    ~85x smaller per token than padded K/V at V3 shapes, so the ragged
+    attention can afford a plain XLA page gather (no kernel needed:
+    even at 4k context the per-step gather moves only ~MBs)."""
+
+    lat: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.lat.shape[2]
+
+
+def init_mla_paged_cache(n_layers: int, n_pages: int, page_size: int,
+                         lat_dim: int, dtype=jnp.bfloat16) -> MLAPagedCache:
+    return MLAPagedCache(
+        lat=jnp.zeros((n_layers, n_pages, page_size, lat_dim), dtype))
+
+
 class AbsorbedKVB(NamedTuple):
     """Per-layer absorbed halves of ``kv_b`` (dense, small):
     ``wk[(nq, nope, kv_lora)]`` (key half, transposed for the q-side
@@ -469,6 +490,131 @@ def mla_decode_sample_step(
     if return_logprobs:
         toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, MLACache(lat=lat), key
+
+
+@functools.partial(jax.jit, donate_argnums=(3,),
+                   static_argnames=("scales", "return_logprobs"))
+def mla_ragged_step(
+    model: PackedLlama,
+    absorbed: AbsorbedKVB,
+    tokens: jax.Array,  # (T,) new tokens, grouped by sequence (padded)
+    cache: MLAPagedCache,
+    positions: jax.Array,  # (T,) each token's position in its sequence
+    tok_pages: jax.Array,  # (T,) destination page (0 = trash for padding)
+    tok_offs: jax.Array,  # (T,) in-page offset
+    block_tables: jax.Array,  # (S, max_pages)
+    kv_lens: jax.Array,  # (S,) context length per seq incl. new tokens
+    cu_q_lens: jax.Array,  # (S+1,) cumulative new-token counts
+    num_seqs: jax.Array,  # (1,) int32
+    sample_rows: jax.Array,  # (S,) row of each sequence's last token
+    temperatures: jax.Array,  # (S,)
+    key: jax.Array,
+    top_ks: Optional[jax.Array] = None,
+    top_ps: Optional[jax.Array] = None,
+    min_ps: Optional[jax.Array] = None,
+    scales: Optional[Tuple[float, ...]] = None,  # int8 latent per layer
+    return_logprobs: bool = False,
+):
+    """Mixed prefill+decode tick over the PAGED latent cache (round-5:
+    MLA-absorbed composes with the ragged scheduler / chunked prefill).
+
+    Same contract as ``decode.ragged_step``.  Per layer: build absorbed
+    queries for every row, write each row's latent at its host-computed
+    (page, offset) slot, gather each row's sequence pages (cheap — the
+    latent is one ~576-value row/token), and run MQA attention with
+    in-run causal masking.  Prefill chunks run the ABSORBED attention
+    math (the phased engine prefills with exact naive attention; the two
+    are algebraically identical, within float reassociation — the parity
+    test bounds the drift)."""
+    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
+                                            sample_per_row)
+
+    cfg = model.cfg
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    t = tokens.shape[0]
+    ps = cache.page_size
+    mp = block_tables.shape[1]
+    s_kv = mp * ps
+    ropes = [(c[:, None, :], s_[:, None, :])  # (T, 1, rd)
+             for c, s_ in L.rope_tables(cfg, positions)]
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]  # (T,1,D)
+
+    # row -> sequence map + in-run causal data (decode.paged_ragged twin)
+    rows = jnp.arange(t)
+    seg = jnp.searchsorted(cu_q_lens[1:], rows, side="right")
+    seg = jnp.minimum(seg, block_tables.shape[0] - 1)
+    valid_row = rows < cu_q_lens[jnp.minimum(num_seqs[0],
+                                             block_tables.shape[0])]
+    kj = jnp.arange(s_kv)[None, :]
+    key_mask = ((kj <= positions[:, None])
+                & (kj < kv_lens[seg][:, None]) & valid_row[:, None])
+
+    lat = cache.lat
+    for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
+        wk, wv = absorbed.wk[li], absorbed.wv[li]
+        scale = None if scales is None else scales[li]
+        h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
+        if cfg.q_lora_rank:
+            qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
+                            lp["self_attn.q_a_layernorm"], eps, uo)
+            q = _lin(lp, "self_attn.q_b_proj", qa)
+        else:
+            q = _lin(lp, "self_attn.q_proj", h)
+        q = q.reshape(t, 1, -1, nope + rd)
+        q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (T, 1, nq, rd)
+        q_lat = jnp.einsum("bnhq,hqc->bnhc",
+                           q[..., :nope].astype(jnp.float32),
+                           wk.astype(jnp.float32))
+        q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot],
+                                axis=-1)[:, 0]  # (T, nq, lat)
+
+        kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
+        c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                            lp["self_attn.kv_a_layernorm"], eps, uo)
+        k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
+        new_row = jnp.concatenate([c_kv_n[:, 0], k_rot[:, 0, 0]], axis=-1)
+        lat = lat.at[li, tok_pages, tok_offs].set(
+            _quantize_row(new_row, scale).astype(lat.dtype))
+
+        # gather each row's sequence pages: (T, mp, ps, lat) -> (T, S, lat)
+        keys = jnp.take(lat[li], block_tables[seg], axis=0).reshape(
+            t, s_kv, -1)
+        qk = q_eff
+        if scale is not None:  # int8 latent: fold the scale into q
+            qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)
+            keys = keys.astype(q_eff.dtype)
+        scores = jnp.einsum("thl,tsl->ths", qk, keys,
+                            preferred_element_type=jnp.float32)
+        scores = scores * cfg.sm_scale_
+        scores = jnp.where(key_mask[:, None, :], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(valid_row[:, None, None], probs, 0.0)
+        ctx = jnp.einsum("ths,tsl->thl", probs.astype(keys.dtype),
+                         keys[..., :cfg.kv_lora_rank])
+        if scale is not None:
+            ctx = ctx * jnp.asarray(scale, ctx.dtype)
+        out = jnp.einsum("thc,hcv->thv", ctx.astype(jnp.float32),
+                         wv.astype(jnp.float32)).astype(x.dtype)
+        o = _lin(lp, "self_attn.o_proj", out.reshape(t, 1, -1))
+        x = x + o
+        h = L.rms_norm(x, lp["post_attention_layernorm"], eps, uo)
+        mlp = L._mlp_tail(cfg, lp, lambda name, tt, lp=lp: _lin(lp, name, tt),
+                          h, None)
+        x = x + mlp
+
+    hid = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
+                     cfg.norm_unit_offset)
+    last = jnp.take(hid, sample_rows, axis=0)
+    logits = head_logits(cfg, model.lm_head, last)
+    key, sub = jax.random.split(key)
+    toks = sample_per_row(logits, sub, temperatures,
+                          top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+    if return_logprobs:
+        toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
+    return toks, MLAPagedCache(lat=lat), key
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),

@@ -1624,6 +1624,52 @@ class TestMLAAbsorbed:
         assert got == want
         assert all(len(r.logprobs) == 6 for r in rs)
 
+    def test_ragged_scheduler_matches_phased(self):
+        """Round-5: MLA-absorbed composes with the ragged scheduler — the
+        paged latent cache + chunked prefill (mla.mla_ragged_step)
+        produces the same greedy outputs as the phased absorbed engine
+        (prompts longer than the token budget force multi-tick
+        chunking; slot reuse via 3 requests through 2 slots)."""
+        model = self._model()
+        rng = np.random.default_rng(61)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (21, 5, 11)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=64,
+                      mla_absorbed=True).run(reqs())
+        eng = Engine(model, max_batch=2, page_size=8, max_seq_len=64,
+                     cache_kind="paged", scheduler="ragged", token_budget=8,
+                     mla_absorbed=True)
+        got = eng.run(reqs())
+        assert got == want
+        # the paged cache really is the compressed latent
+        assert eng.cache.lat.ndim == 4 and eng.cache.lat.shape[-1] == 40
+
+    def test_ragged_int8_latent_and_logprobs(self):
+        """MLA-ragged with the int8 latent tier + logprobs + warped
+        sampling: serves end-to-end; greedy rows match the full-precision
+        ragged engine's outputs closely (int8 latent quantization)."""
+        model = self._model()
+        rng = np.random.default_rng(62)
+        prompt = rng.integers(0, model.cfg.vocab_size, (9,)).tolist()
+
+        def mk(**kw):
+            return Engine(model, max_batch=1, page_size=8, max_seq_len=64,
+                          cache_kind="paged", scheduler="ragged",
+                          mla_absorbed=True, **kw)
+        want = mk().run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        eng = mk(kv_dtype="int8", logprobs=True)
+        assert eng.cache.lat.dtype == jnp.int8
+        r = Request(uid=0, prompt=prompt, max_new_tokens=5, temperature=4.0,
+                    top_k=1)
+        out = eng.run([r])
+        # top_k=1 == greedy; int8 latent noise may flip a late token on a
+        # random tiny model (the contiguous int8-latent test's bound)
+        agree = sum(a == b for a, b in zip(out[0], want[0]))
+        assert agree >= 3, (out[0], want[0])
+        assert len(r.logprobs) == 5
+
     def test_moe_deepseek_absorbed(self):
         """Absorbed decode composes with the DeepSeek MoE MLP (shared
         experts + sigmoid routing) and a dense first layer."""
@@ -1647,6 +1693,12 @@ class TestMLAAbsorbed:
                      mla_absorbed=True).run(
             [Request(uid=0, prompt=prompt, max_new_tokens=5)])
         assert got == want
+        # V3-style MLA + MoE through the RAGGED absorbed path too (round-5)
+        got_r = Engine(model, max_batch=1, page_size=8, max_seq_len=64,
+                       cache_kind="paged", scheduler="ragged",
+                       mla_absorbed=True).run(
+            [Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert got_r == want
 
     def test_int8_latent_cache(self):
         """Absorbed MLA with an int8 latent cache: per-layer calibrated

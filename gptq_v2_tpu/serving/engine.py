@@ -201,8 +201,8 @@ class Engine:
         if self.multi_step > 1:
             assert draft is None, (
                 "multi_step rides the non-speculative decode ticks")
-            # mla_absorbed composes single-device via mla_decode_sample_
-            # loop (round-5); the TP absorbed step stays single-step
+            # mla_absorbed composes: mla_decode_sample_loop single-device,
+            # the TP absorbed fori tick over the mesh (round-5)
             # ragged: decode-only ticks fuse k steps (decode.ragged_multi_
             # step); ticks with admitting prompts stay single-step so
             # chunked prefill is never delayed
@@ -256,9 +256,13 @@ class Engine:
                 "mla_absorbed serves contiguous+phased, or (round-5) the "
                 "paged latent cache under the ragged scheduler "
                 "(single-device)")
-            assert draft is None, (
-                "speculation over the absorbed latent cache is not built;"
-                " use the naive MLA engine for draft verification")
+            # round-5: speculation composes — the target verifies chunks
+            # over the absorbed latent cache (mla.mla_verify_chunk);
+            # phased + contiguous only (the spec engine's scheduling mode)
+            assert draft is None or (cache_kind == "contiguous"
+                                     and scheduler == "phased" and
+                                     mesh is None), (
+                "MLA speculation runs phased+contiguous, single-device")
             # int8 latent: per-layer calibrated scales, like the K/V path
             self._mla_scales = (MLA.calibrate_mla_scales(model)
                                 if kv_dtype == "int8" else None)
@@ -357,6 +361,7 @@ class Engine:
         # shard_map, so multi-chip serving amortizes the per-token host
         # sync exactly like the single-chip tick)
         self._tp_loop = self._pp_loop = self._tp_ragged_multi = None
+        self._mla_tp_loop = None
         if mesh is not None and "stage" in mesh.axis_names:
             # pipeline-parallel serving: layer stages over the 'stage' axis
             from gptq_v2_tpu.parallel import pp as PP
@@ -421,8 +426,8 @@ class Engine:
             _pf = MLA.build_tp_mla_prefill(mesh, scales=self._mla_scales)
             self._prefill = (lambda m, t, c, bt, lens, slot:
                              _pf(m, t, c, lens, slot))
-            self._mla_tp_decode = MLA.build_tp_mla_decode_step(
-                mesh, scales=self._mla_scales)
+            self._mla_tp_decode, self._mla_tp_loop = \
+                MLA.build_tp_mla_decode_step(mesh, scales=self._mla_scales)
             self._decode = self._ragged = None
         elif mla_absorbed:
             from gptq_v2_tpu.serving import mla as MLA
@@ -896,6 +901,12 @@ class Engine:
         return jnp.stack(d_lgs, axis=1), jnp.stack(d_tks, axis=1)
 
     def _verify(self, chunk, positions):
+        if self.mla_absorbed:  # round-5: verify over the latent cache
+            from gptq_v2_tpu.serving import mla as MLA
+
+            return MLA.mla_verify_chunk(self.model, self._absorbed, chunk,
+                                        self.cache, positions,
+                                        scales=self._mla_scales)
         if self._tp_verify is not None:
             return self._tp_verify(self.model, chunk, self.cache, positions)
         from gptq_v2_tpu.serving.speculative import verify_chunk
@@ -1167,12 +1178,20 @@ class Engine:
         k_steps = self.multi_step
         if (k_steps > 1
                 and (self.mesh is None or self._tp_loop is not None
-                     or self._pp_loop is not None)
-                and not (self.mla_absorbed and self.mesh is not None)
+                     or self._pp_loop is not None
+                     or self._mla_tp_loop is not None)
                 and max_pos + k_steps <= self.max_seq_len):
             s_bucket = min(_bucket(max_pos + k_steps, lo=self.page_size),
                            self.max_seq_len)
-            if self.mla_absorbed:  # single-device absorbed fori tick
+            if self._mla_tp_loop is not None:  # TP absorbed fori tick
+                out_dev, self.cache, self.key = self._mla_tp_loop(
+                    self.model, self._absorbed, self.cache, d["tokens"],
+                    d["positions"], d["temps"], self.key, k_steps,
+                    s_bucket=s_bucket, top_ks=d["top_ks"],
+                    top_ps=d["top_ps"], min_ps=d["min_ps"],
+                    return_logprobs=self.logprobs,
+                )
+            elif self.mla_absorbed:  # single-device absorbed fori tick
                 from gptq_v2_tpu.serving import mla as MLA
 
                 out_dev, self.cache, self.key = MLA.mla_decode_sample_loop(

@@ -322,7 +322,10 @@ def build_tp_mla_prefill(mesh, scales: Optional[Tuple[float, ...]] = None):
 
 def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
     """Tensor-parallel absorbed-MLA decode+sample step (same contract as
-    :func:`mla_decode_sample_step`).
+    :func:`mla_decode_sample_step`).  Returns ``(step, loop)`` — ``loop``
+    is the round-5 multi-step fori tick (``mla_decode_sample_loop``'s
+    contract minus ``scales``), sharing the same device-local body so
+    TP-absorbed serving also amortizes the per-token host sync.
 
     Layout (the natural DeepSeek-scale TP): ``q_b`` column-parallel by
     whole heads (already so in ``tp.shard_packed_llama``), the absorbed
@@ -340,20 +343,18 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
                                          _tp_lin, make_ep_moe_fn)
     from gptq_v2_tpu.serving.decode import sample_per_row
 
-    def local_step(model, absorbed, cache, tokens, positions, temperatures,
-                   key, top_ks, top_ps, min_ps, s_bucket=None,
-                   return_logprobs=False):
+    def local_body(model, absorbed, lat, tokens, positions, s):
+        """One absorbed TP decode step on the device-local view: returns
+        ``(logits, lat)``; shared by the single-step and fori-loop
+        builders."""
         cfg = model.cfg
         eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
         nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
         b = tokens.shape[0]
-        s = cache.max_len if s_bucket is None else min(cache.max_len,
-                                                       s_bucket)
         ropes = [(c[:, None, :], s_[:, None, :])
                  for c, s_ in L.rope_tables(cfg, positions)]
         x = L.embed_lookup(cfg, model.embed_tokens, tokens)[:, None, :]
         key_mask = jnp.arange(s)[None, :] <= positions[:, None]
-        lat = cache.lat
         for li, lp in enumerate(model.layers):
             cos, sin = ropes[cfg.layer_rope(li)]
             wk = absorbed.wk[li][0]  # (nq_loc, nope, kvl) local head shard
@@ -412,6 +413,15 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
                             cfg.final_logit_softcap)
         if cfg.logits_divider is not None:
             logits = logits / cfg.logits_divider
+        return logits, lat
+
+    def local_step(model, absorbed, cache, tokens, positions, temperatures,
+                   key, top_ks, top_ps, min_ps, s_bucket=None,
+                   return_logprobs=False):
+        s = cache.max_len if s_bucket is None else min(cache.max_len,
+                                                       s_bucket)
+        logits, lat = local_body(model, absorbed, cache.lat, tokens,
+                                 positions, s)
         key, sub = jax.random.split(key)
         toks = sample_per_row(logits, sub, temperatures,
                               top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
@@ -440,8 +450,57 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
         )(model, absorbed, cache, tokens, positions, temperatures, key,
           top_ks, top_ps, min_ps)
 
-    return jax.jit(sharded, donate_argnums=(2,),
-                   static_argnames=("s_bucket", "return_logprobs"))
+    def make_local_loop(n_steps, s_bucket, return_logprobs):
+        from gptq_v2_tpu.serving.decode import chosen_logprob, pack_tok_logprob
+
+        def local_loop(model, absorbed, cache, tokens, positions,
+                       temperatures, key, top_ks, top_ps, min_ps):
+            s = cache.max_len if s_bucket is None else min(cache.max_len,
+                                                           s_bucket)
+            out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
+                         else (n_steps, tokens.shape[0]))
+            out0 = jnp.zeros(out_shape, jnp.int32)
+
+            def body(i, carry):
+                toks, lat, key, out = carry
+                logits, lat = local_body(model, absorbed, lat, toks,
+                                         positions + i, s)
+                key, sub = jax.random.split(key)
+                toks = sample_per_row(logits, sub, temperatures,
+                                      top_ks=top_ks, top_ps=top_ps,
+                                      min_ps=min_ps)
+                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+                       if return_logprobs else toks)
+                out = jax.lax.dynamic_update_slice(
+                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+                return toks, lat, key, out
+
+            _, lat, key, out = jax.lax.fori_loop(
+                0, n_steps, body, (tokens, cache.lat, key, out0))
+            return out, MLACache(lat=lat), key
+        return local_loop
+
+    def sharded_loop(model, absorbed, cache, tokens, positions,
+                     temperatures, key, n_steps, s_bucket=None, top_ks=None,
+                     top_ps=None, min_ps=None, return_logprobs=False):
+        from gptq_v2_tpu.parallel.mesh import MODEL_AXIS
+
+        aspec = AbsorbedKVB(wk=tuple(P(MODEL_AXIS) for _ in absorbed.wk),
+                            wv=tuple(P(MODEL_AXIS) for _ in absorbed.wv))
+        return jax.shard_map(
+            make_local_loop(n_steps, s_bucket, return_logprobs), mesh=mesh,
+            in_specs=(model.specs(), aspec, MLACache(lat=P()), P(), P(),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), MLACache(lat=P()), P()),
+            check_vma=False,
+        )(model, absorbed, cache, tokens, positions, temperatures, key,
+          top_ks, top_ps, min_ps)
+
+    return (jax.jit(sharded, donate_argnums=(2,),
+                    static_argnames=("s_bucket", "return_logprobs")),
+            jax.jit(sharded_loop, donate_argnums=(2,),
+                    static_argnames=("n_steps", "s_bucket",
+                                     "return_logprobs")))
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),
@@ -615,6 +674,92 @@ def mla_ragged_step(
     if return_logprobs:
         toks = pack_tok_logprob(toks, chosen_logprob(logits, toks))
     return toks, MLAPagedCache(lat=lat), key
+
+
+@functools.partial(jax.jit, donate_argnums=(3,),
+                   static_argnames=("scales",))
+def mla_verify_chunk(
+    model: PackedLlama,
+    absorbed: AbsorbedKVB,
+    tokens: jax.Array,  # (B, Q) chunk tokens per slot
+    cache: MLACache,
+    positions: jax.Array,  # (B,) position of each chunk's FIRST token
+    scales: Optional[Tuple[float, ...]] = None,
+):
+    """Speculative chunk verification over the absorbed LATENT cache
+    (round-5: the last MLA composition hole).  The target scores every
+    chunk position in ONE dispatch — same contract as
+    ``speculative.verify_chunk``: ``(logits (B, Q, V), cache)``.
+
+    Latent rows for all Q chunk positions write first, then each query
+    attends the latent with a per-row causal offset (a rejected token's
+    row is rewritten by the next tick's chunk before any later query can
+    attend it — the standard no-rollback invariant, unchanged because
+    the latent row at position p is only read by queries at >= p)."""
+    cfg = model.cfg
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    b, qn = tokens.shape
+    s = cache.max_len
+    pos_b = positions[:, None] + jnp.arange(qn)[None]  # (B, Q)
+    ropes = [(c.reshape(b, qn, -1), s_.reshape(b, qn, -1))
+             for c, s_ in L.rope_tables(cfg, pos_b.reshape(-1))]
+    x = L.embed_lookup(cfg, model.embed_tokens, tokens)  # (B, Q, D)
+    key_mask = (jnp.arange(s)[None, None, :]
+                <= pos_b[:, :, None])  # (B, Q, S)
+    lat = cache.lat
+    rows_b = jnp.broadcast_to(jnp.arange(b)[:, None], pos_b.shape)
+    for li, lp in enumerate(model.layers):
+        cos, sin = ropes[cfg.layer_rope(li)]
+        wk, wv = absorbed.wk[li], absorbed.wv[li]
+        scale = None if scales is None else scales[li]
+        h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
+        if cfg.q_lora_rank:
+            qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
+                            lp["self_attn.q_a_layernorm"], eps, uo)
+            q = _lin(lp, "self_attn.q_b_proj", qa)
+        else:
+            q = _lin(lp, "self_attn.q_proj", h)
+        q = q.reshape(b, qn, -1, nope + rd)
+        q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (B, Q, nq, rd)
+        q_lat = jnp.einsum("bnhq,hqc->bnhc",
+                           q[..., :nope].astype(jnp.float32),
+                           wk.astype(jnp.float32))
+        q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
+
+        kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
+        c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                            lp["self_attn.kv_a_layernorm"], eps, uo)
+        k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
+        new_rows = jnp.concatenate([c_kv_n, k_rot[:, :, 0]], axis=-1)
+        lat = lat.at[li, rows_b, pos_b].set(
+            _quantize_row(new_rows, scale).astype(lat.dtype))
+
+        keys = lat[li]  # (B, S, lat)
+        qk = q_eff
+        if scale is not None:
+            qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)
+            keys = keys.astype(q_eff.dtype)
+        scores = jnp.einsum("bnhl,bsl->bnhs", qk, keys,
+                            preferred_element_type=jnp.float32)
+        scores = scores * cfg.sm_scale_
+        scores = jnp.where(key_mask[:, :, None, :], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bnhs,bsl->bnhl", probs.astype(keys.dtype),
+                         keys[..., :cfg.kv_lora_rank])
+        if scale is not None:
+            ctx = ctx * jnp.asarray(scale, ctx.dtype)
+        out = jnp.einsum("bnhc,hcv->bnhv", ctx.astype(jnp.float32),
+                         wv.astype(jnp.float32)).astype(x.dtype)
+        o = _lin(lp, "self_attn.o_proj", out.reshape(b, qn, -1))
+        x = x + o
+        h = L.rms_norm(x, lp["post_attention_layernorm"], eps, uo)
+        mlp = L._mlp_tail(cfg, lp, lambda name, t, lp=lp: _lin(lp, name, t),
+                          h, None)
+        x = x + mlp
+    hid = L.rms_norm(x, model.norm, cfg.rms_norm_eps, cfg.norm_unit_offset)
+    return head_logits(cfg, model.lm_head, hid), MLACache(lat=lat)
 
 
 @functools.partial(jax.jit, donate_argnums=(2,),

@@ -1182,6 +1182,33 @@ class TestTPAbsorbedMLAEngine:
     def test_engine_over_mesh_int8_latent(self):
         self._run(kv_dtype="int8")
 
+    def test_multi_step_over_mesh_matches_single_device(self):
+        """Round-5: the TP-absorbed multi-step fori tick
+        (build_tp_mla_decode_step's loop variant) is token-identical to
+        the single-device single-step absorbed engine."""
+        from gptq_v2_tpu.serving import Engine, Request
+        from gptq_v2_tpu.serving.model import random_packed_llama
+
+        cfg = L.LlamaConfig.tiny(
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, mla=True, q_lora_rank=48,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16)
+        model = random_packed_llama(cfg, group_size=16, seed=99,
+                                    compute_dtype=jnp.float32)
+        rng = np.random.default_rng(100)
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).tolist()
+                   for n in (7, 5)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=6)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=32,
+                      mla_absorbed=True).run(reqs())
+        eng = Engine(model, max_batch=2, max_seq_len=32, mla_absorbed=True,
+                     mesh=make_mesh(tp=2, dp=1), multi_step=3)
+        assert eng._mla_tp_loop is not None
+        got = eng.run(reqs())
+        assert got == want
+
     def test_v3_moe_over_mesh(self):
         """Absorbed MLA + the full V3 MoE shape (sigmoid routing, shared
         experts) through the TP engine (EP experts)."""

@@ -1670,6 +1670,27 @@ class TestMLAAbsorbed:
         assert agree >= 3, (out[0], want[0])
         assert len(r.logprobs) == 5
 
+    def test_speculative_matches_plain_absorbed(self):
+        """Round-5: speculation composes with MLA-absorbed serving — the
+        target verifies draft chunks over the LATENT cache
+        (mla.mla_verify_chunk).  Greedy outputs equal the plain absorbed
+        engine's across slot reuse; self-draft accepts everything."""
+        model = self._model()
+        rng = np.random.default_rng(63)
+        prompts = [rng.integers(0, model.cfg.vocab_size, (n,)).tolist()
+                   for n in (6, 9, 4)]
+        reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=5)
+                        for i, p in enumerate(prompts)]
+        want = Engine(model, max_batch=2, max_seq_len=64,
+                      mla_absorbed=True).run(reqs())
+        eng = Engine(model, max_batch=2, max_seq_len=64, mla_absorbed=True,
+                     draft=model, spec_k=3)
+        got = eng.run(reqs())
+        assert got == want
+        assert eng.spec_proposed > 0
+        # self-draft: every proposal the target would emit is accepted
+        assert eng.spec_accepted == eng.spec_proposed
+
     def test_moe_deepseek_absorbed(self):
         """Absorbed decode composes with the DeepSeek MoE MLP (shared
         experts + sigmoid routing) and a dense first layer."""

@@ -92,16 +92,23 @@ def _kernel_a8(x_ref, w_ref, s_ref, zs_ref, xs_ref, out_ref, acc_ref, *,
     g = group_size
     acc = acc_ref[:]
     planes, mask = 32 // bits, (1 << bits) - 1
+    # bits=8 codes span [0, 255] and would WRAP in the int8 MXU operand;
+    # center them by 128 and add the offset back through the (exact) row
+    # sums:  x @ q = x @ (q - 128) + 128·Σx.  bits<=4 codes fit directly.
+    off = 128 if bits == 8 else 0
     for i in range(planes):
-        codes = ((words >> (bits * i)) & mask).astype(jnp.int8)  # (g, bn)
+        codes = (((words >> (bits * i)) & mask) - off).astype(jnp.int8)
         x_i = x_ref[:, i * g:(i + 1) * g]  # (bm, g) int8
         dot = jax.lax.dot_general(
             x_i, codes,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        x_sum = jnp.sum(x_i.astype(jnp.int32), axis=1,
-                        keepdims=True).astype(jnp.float32)  # (bm, 1)
+        x_sum_i = jnp.sum(x_i.astype(jnp.int32), axis=1,
+                          keepdims=True)  # (bm, 1) exact
+        if off:
+            dot = dot + off * x_sum_i
+        x_sum = x_sum_i.astype(jnp.float32)
         acc += dot.astype(jnp.float32) \
             * s_ref[0, i, :][None, :].astype(jnp.float32) \
             - x_sum * zs_ref[0, i, :][None, :].astype(jnp.float32)

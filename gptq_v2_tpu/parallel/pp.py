@@ -562,10 +562,13 @@ def build_pp_decode_loop(mesh: Mesh, n_slots: int, kv_scales=None):
 
     Amortizes the per-token host sync over ``n_steps`` pipeline fills —
     the fill/drain bubble per token is unchanged, but multi-chip PP
-    serving stops paying one dispatch RTT per token.  ``mask`` guards
-    position advance for inactive slots (their trash-steered writes stay
-    at the trash position every step).  Sampling runs replicated on every
-    stage (identical psum'd logits + key)."""
+    serving stops paying one dispatch RTT per token.  Every slot's
+    position advances each iteration (inactive slots write junk K/V at
+    their advancing positions — safe by the rewrite-before-attend
+    invariant, the same as the single-device multi-step tick; the
+    ENGINE's host-side mask keeps their scheduler positions fixed).
+    Sampling runs replicated on every stage (identical psum'd logits +
+    key)."""
     from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
                                             sample_per_row)
 

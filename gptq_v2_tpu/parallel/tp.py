@@ -637,7 +637,8 @@ def _kv_write_offset(cfg, tp: int, cache):
     """The shard's first global kv-head index for per-head int4 scale
     slicing at KV-write time (None when scales are scalar / absent)."""
     if (getattr(cache, "kv_bits", 0) == 4 and cache.k_scales is not None
-            and isinstance(cache.k_scales[0], tuple)):
+            and (isinstance(cache.k_scales[0], tuple)
+                 or isinstance(cache.v_scales[0], tuple))):
         return jax.lax.axis_index(MODEL_AXIS) * (
             cfg.num_key_value_heads // tp)
     return None
@@ -651,8 +652,13 @@ def _fold_paged_scales_local(cfg, tp: int, qq, ks, vs):
     scales pass straight through to the kernel."""
     from gptq_v2_tpu.serving.decode import fold_paged_kv_scales
 
-    if ks is None or not isinstance(ks, tuple):
+    if ks is None or not (isinstance(ks, tuple) or isinstance(vs, tuple)):
         return qq, ks, vs, None
+    n_heads = len(ks) if isinstance(ks, tuple) else len(vs)
+    if not isinstance(ks, tuple):  # mixed scalar/tuple pair: broadcast
+        ks = (float(ks),) * n_heads
+    if not isinstance(vs, tuple):
+        vs = (float(vs),) * n_heads
     kv_loc = cfg.num_key_value_heads // tp
     off = jax.lax.axis_index(MODEL_AXIS) * kv_loc
     return fold_paged_kv_scales(qq, ks, vs, n_kv_override=kv_loc,

@@ -39,9 +39,16 @@ def fold_paged_kv_scales(qq, ks, vs, n_kv_override=None, kv_offset=None):
     ``(..., Hq, hd)``.  The kernel-side scales become 1.0 (the int4 fork
     requires a scale; multiplying raw codes by 1.0 is free next to the
     int→float convert it does anyway)."""
-    if ks is None or not isinstance(ks, tuple):
+    if ks is None or not (isinstance(ks, tuple) or isinstance(vs, tuple)):
         return qq, ks, vs, None
     hq = qq.shape[-2]
+    # mixed scalar/tuple pairs (public kv_scales API): broadcast the
+    # scalar side to the tuple side's head count so both fold per head
+    n_heads = len(ks) if isinstance(ks, tuple) else len(vs)
+    if not isinstance(ks, tuple):
+        ks = (float(ks),) * n_heads
+    if not isinstance(vs, tuple):
+        vs = (float(vs),) * n_heads
     ksa = jnp.asarray(ks, jnp.float32)
     vsa = jnp.asarray(vs, jnp.float32)
     if kv_offset is not None:

@@ -904,9 +904,16 @@ class Engine:
         if self.mla_absorbed:  # round-5: verify over the latent cache
             from gptq_v2_tpu.serving import mla as MLA
 
+            # bound the attended context like the decode ticks: the chunk
+            # writes through max_len(active) + spec_k
+            max_pos = max((s.length for s in self.slots if s is not None),
+                          default=0)
+            s_bucket = min(_bucket(max_pos + self.spec_k + 1,
+                                   lo=self.page_size), self.max_seq_len)
             return MLA.mla_verify_chunk(self.model, self._absorbed, chunk,
                                         self.cache, positions,
-                                        scales=self._mla_scales)
+                                        scales=self._mla_scales,
+                                        s_bucket=s_bucket)
         if self._tp_verify is not None:
             return self._tp_verify(self.model, chunk, self.cache, positions)
         from gptq_v2_tpu.serving.speculative import verify_chunk

@@ -605,9 +605,12 @@ def mla_ragged_step(
     seg = jnp.minimum(seg, block_tables.shape[0] - 1)
     valid_row = rows < cu_q_lens[jnp.minimum(num_seqs[0],
                                              block_tables.shape[0])]
-    kj = jnp.arange(s_kv)[None, :]
-    key_mask = ((kj <= positions[:, None])
-                & (kj < kv_lens[seg][:, None]) & valid_row[:, None])
+    # token rows process in fixed chunks (lax.map below) so the per-row
+    # sequence-page gather transient is bounded at (CH, s_kv, lat) per
+    # chunk instead of (T, s_kv, lat) for the whole tick — prefill chunks
+    # of one long sequence would otherwise duplicate its pages per token
+    ch = min(16, t)
+    t_pad = -(-t // ch) * ch
 
     lat = cache.lat
     for li, lp in enumerate(model.layers):
@@ -637,22 +640,40 @@ def mla_ragged_step(
         lat = lat.at[li, tok_pages, tok_offs].set(
             _quantize_row(new_row, scale).astype(lat.dtype))
 
-        # gather each row's sequence pages: (T, mp, ps, lat) -> (T, S, lat)
-        keys = jnp.take(lat[li], block_tables[seg], axis=0).reshape(
-            t, s_kv, -1)
+        # chunked per-row attention: gather + score CH rows at a time
         qk = q_eff
         if scale is not None:  # int8 latent: fold the scale into q
             qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)
-            keys = keys.astype(q_eff.dtype)
-        scores = jnp.einsum("thl,tsl->ths", qk, keys,
+
+        def pad_rows(a):
+            return jnp.pad(a, ((0, t_pad - t),) + ((0, 0),) * (a.ndim - 1))
+
+        lat_li = lat[li]
+
+        def attn_chunk(args):
+            q_c, seg_c, pos_c, valid_c = args
+            keys_c = jnp.take(lat_li, block_tables[seg_c], axis=0).reshape(
+                ch, s_kv, -1)
+            if scale is not None:
+                keys_c = keys_c.astype(q_c.dtype)
+            sc = jnp.einsum("thl,tsl->ths", q_c, keys_c,
                             preferred_element_type=jnp.float32)
-        scores = scores * cfg.sm_scale_
-        scores = jnp.where(key_mask[:, None, :], scores,
-                           jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = jnp.where(valid_row[:, None, None], probs, 0.0)
-        ctx = jnp.einsum("ths,tsl->thl", probs.astype(keys.dtype),
-                         keys[..., :cfg.kv_lora_rank])
+            sc = sc * cfg.sm_scale_
+            kj = jnp.arange(s_kv)[None, :]
+            m = ((kj <= pos_c[:, None]) & (kj < kv_lens[seg_c][:, None])
+                 & valid_c[:, None])
+            sc = jnp.where(m[:, None, :], sc, jnp.finfo(jnp.float32).min)
+            p = jax.nn.softmax(sc, axis=-1)
+            p = jnp.where(valid_c[:, None, None], p, 0.0)
+            return jnp.einsum("ths,tsl->thl", p.astype(keys_c.dtype),
+                              keys_c[..., :cfg.kv_lora_rank])
+
+        ctx = jax.lax.map(attn_chunk, (
+            pad_rows(qk).reshape(t_pad // ch, ch, *qk.shape[1:]),
+            pad_rows(seg).reshape(-1, ch),
+            pad_rows(positions).reshape(-1, ch),
+            pad_rows(valid_row).reshape(-1, ch),
+        )).reshape(t_pad, *q_eff.shape[1:-1], cfg.kv_lora_rank)[:t]
         if scale is not None:
             ctx = ctx * jnp.asarray(scale, ctx.dtype)
         out = jnp.einsum("thc,hcv->thv", ctx.astype(jnp.float32),
@@ -677,7 +698,7 @@ def mla_ragged_step(
 
 
 @functools.partial(jax.jit, donate_argnums=(3,),
-                   static_argnames=("scales",))
+                   static_argnames=("scales", "s_bucket"))
 def mla_verify_chunk(
     model: PackedLlama,
     absorbed: AbsorbedKVB,
@@ -685,6 +706,7 @@ def mla_verify_chunk(
     cache: MLACache,
     positions: jax.Array,  # (B,) position of each chunk's FIRST token
     scales: Optional[Tuple[float, ...]] = None,
+    s_bucket: Optional[int] = None,  # bound attended context (power-of-2)
 ):
     """Speculative chunk verification over the absorbed LATENT cache
     (round-5: the last MLA composition hole).  The target scores every
@@ -700,7 +722,7 @@ def mla_verify_chunk(
     eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
     nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     b, qn = tokens.shape
-    s = cache.max_len
+    s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
     pos_b = positions[:, None] + jnp.arange(qn)[None]  # (B, Q)
     ropes = [(c.reshape(b, qn, -1), s_.reshape(b, qn, -1))
              for c, s_ in L.rope_tables(cfg, pos_b.reshape(-1))]
@@ -735,7 +757,7 @@ def mla_verify_chunk(
         lat = lat.at[li, rows_b, pos_b].set(
             _quantize_row(new_rows, scale).astype(lat.dtype))
 
-        keys = lat[li]  # (B, S, lat)
+        keys = lat[li, :, :s]  # (B, s, lat)
         qk = q_eff
         if scale is not None:
             qk = q_eff * jnp.asarray(scale, jnp.float32).astype(q_eff.dtype)

@@ -630,6 +630,23 @@ class TestEngine:
             rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
             assert rel < 0.15, (i, rel)
 
+    def test_int4_kv_mixed_scalar_tuple_scales(self, packed_model):
+        """Public API edge: per-head k scales with SCALAR v scales (any
+        mix is accepted by kv_scales) — the fold broadcasts the scalar
+        side per head; the engine serves end-to-end."""
+        from gptq_v2_tpu.serving.model import calibrate_kv_scales
+
+        model, _ = packed_model
+        ks, vs = calibrate_kv_scales(model, bits=4)
+        vs_scalar = tuple(max(s) for s in vs)
+        rng = np.random.default_rng(49)
+        prompt = rng.integers(0, model.cfg.vocab_size, (9,)).tolist()
+        eng = Engine(model, max_batch=1, page_size=8, max_seq_len=64,
+                     cache_kind="paged", kv_dtype="int4",
+                     kv_scales=(ks, vs_scalar))
+        out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=5)])
+        assert len(out[0]) == 5
+
     def test_int4_kv_per_head_beats_or_matches_collapsed(self, packed_model):
         """Quality guard for the round-4 collapse removal: against the
         exact-rounded oracle (full-precision cache snapped per head), the

@@ -248,6 +248,25 @@ class TestW4A8:
         # exact ones — tolerance covers that storage rounding
         assert_close_scaled(got, want, rel=1e-2)
 
+    def test_w8a8_codes_do_not_wrap(self):
+        """bits=8 codes span [0, 255] — the int8 MXU operand would WRAP
+        without the 128-centering (code 200 -> -56); this pins the a8
+        kernel against the bf16-activation path on an 8-bit packing
+        whose codes exercise the upper half of the range."""
+        import dataclasses
+
+        w = rand((256, 128), seed=9) * 0.05 + 0.1  # biased: codes skew high
+        p = jax.tree_util.tree_map(jnp.asarray,
+                                   pk.rtn_pack_dense(w, 32, bits=8))
+        codes = pk.unpack_codes(np.asarray(p.qweight), 32, 8)
+        assert codes.max() > 200  # the wrap-prone range is exercised
+        p8 = dataclasses.replace(p, act_bits=8)
+        x = jnp.asarray(rand((8, 256), seed=10) * 0.3, jnp.float32)
+        a16 = np.asarray(w4a16_matmul(x, p), np.float32)
+        a8 = np.asarray(w4a16_matmul(x, p8), np.float32)
+        rel = np.abs(a16 - a8).max() / np.abs(a16).max()
+        assert rel < 0.03, rel
+
     def test_close_to_a16_path(self):
         """The a8 tier tracks the bf16-activation path to ~1% (the
         documented per-row int8 activation-quant trade)."""

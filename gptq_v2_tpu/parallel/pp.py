@@ -569,8 +569,7 @@ def build_pp_decode_loop(mesh: Mesh, n_slots: int, kv_scales=None):
     ENGINE's host-side mask keeps their scheduler positions fixed).
     Sampling runs replicated on every stage (identical psum'd logits +
     key)."""
-    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
-                                            sample_per_row)
+    from gptq_v2_tpu.serving.decode import fori_sample_scaffold
 
     pp, tp = pp_size(mesh), tp_of(mesh)
     assert n_slots % pp == 0, (n_slots, pp)
@@ -579,27 +578,12 @@ def build_pp_decode_loop(mesh: Mesh, n_slots: int, kv_scales=None):
     def make_local(n_steps, return_logprobs):
         def local_loop(model, tokens, cache, positions, temperatures, key,
                        top_ks, top_ps, min_ps):
-            out_shape = ((n_steps, n_slots, 2) if return_logprobs
-                         else (n_steps, n_slots))
-            out0 = jnp.zeros(out_shape, jnp.int32)
-
-            def body(i, carry):
-                toks, cache, key, out = carry
-                logits, cache = _pp_decode_local(model, toks, cache,
-                                                 positions + i, pp, mb)
-                key, sub = jax.random.split(key)
-                toks = sample_per_row(logits, sub, temperatures,
-                                      top_ks=top_ks, top_ps=top_ps,
-                                      min_ps=min_ps)
-                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-                       if return_logprobs else toks)
-                out = jax.lax.dynamic_update_slice(
-                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-                return toks, cache, key, out
-
-            _, cache, key, out = jax.lax.fori_loop(
-                0, n_steps, body, (tokens, cache, key, out0))
-            return out, cache, key
+            return fori_sample_scaffold(
+                n_steps, tokens, cache, key,
+                lambda i, toks, cache: _pp_decode_local(
+                    model, toks, cache, positions + i, pp, mb),
+                temperatures, top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+                return_logprobs=return_logprobs)
         return local_loop
 
     def sharded(model, tokens, cache, positions, temperatures, key, n_steps,

@@ -822,36 +822,20 @@ def build_tp_decode_loop(mesh, cache_template):
     the shard_map: the logits and the PRNG key are identical on every
     device, so every device samples the same token and the loop carry
     stays consistent without any collective."""
-    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
-                                            sample_per_row)
+    from gptq_v2_tpu.serving.decode import fori_sample_scaffold
 
     csp = cache_pspec(cache_template)
 
     def make_local(n_steps, s_bucket, return_logprobs):
         def local_loop(model, tokens, cache, block_tables, positions,
                        temperatures, key, top_ks, top_ps, min_ps):
-            out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
-                         else (n_steps, tokens.shape[0]))
-            out0 = jnp.zeros(out_shape, jnp.int32)
-
-            def body(i, carry):
-                toks, cache, key, out = carry
-                logits, cache = _tp_decode_local(model, toks, cache,
-                                                 block_tables, positions + i,
-                                                 s_bucket=s_bucket)
-                key, sub = jax.random.split(key)
-                toks = sample_per_row(logits, sub, temperatures,
-                                      top_ks=top_ks, top_ps=top_ps,
-                                      min_ps=min_ps)
-                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-                       if return_logprobs else toks)
-                out = jax.lax.dynamic_update_slice(
-                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-                return toks, cache, key, out
-
-            _, cache, key, out = jax.lax.fori_loop(
-                0, n_steps, body, (tokens, cache, key, out0))
-            return out, cache, key
+            return fori_sample_scaffold(
+                n_steps, tokens, cache, key,
+                lambda i, toks, cache: _tp_decode_local(
+                    model, toks, cache, block_tables, positions + i,
+                    s_bucket=s_bucket),
+                temperatures, top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+                return_logprobs=return_logprobs)
         return local_loop
 
     def sharded(model, tokens, cache, block_tables, positions, temperatures,
@@ -1011,8 +995,7 @@ def build_tp_ragged_multi(mesh):
     per-step (page, offset) write targets derived on device, sampling
     replicated (identical logits + key on every device).  Same contract
     as the single-device function."""
-    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
-                                            sample_per_row)
+    from gptq_v2_tpu.serving.decode import fori_sample_scaffold
 
     csp = P(None, None, None, MODEL_AXIS, None)
 
@@ -1026,11 +1009,8 @@ def build_tp_ragged_multi(mesh):
             cu = jnp.minimum(jnp.arange(s + 1, dtype=jnp.int32), num_seqs[0])
             sample_rows = jnp.arange(s, dtype=jnp.int32)
             row_active = jnp.arange(s) < num_seqs[0]
-            out_shape = (n_steps, s, 2) if return_logprobs else (n_steps, s)
-            out0 = jnp.zeros(out_shape, jnp.int32)
 
-            def body(i, carry):
-                toks, cache, key, out = carry
+            def step_fn(i, toks, cache):
                 pos = positions + i
                 page_idx = jnp.clip(pos // ps, 0, block_tables.shape[1] - 1)
                 pg = jnp.take_along_axis(block_tables, page_idx[:, None],
@@ -1045,19 +1025,12 @@ def build_tp_ragged_multi(mesh):
                                     cfg.final_logit_softcap)
                 if cfg.logits_divider is not None:
                     logits = logits / cfg.logits_divider
-                key, sub = jax.random.split(key)
-                toks = sample_per_row(logits, sub, temperatures,
-                                      top_ks=top_ks, top_ps=top_ps,
-                                      min_ps=min_ps)
-                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-                       if return_logprobs else toks)
-                out = jax.lax.dynamic_update_slice(
-                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-                return toks, cache, key, out
+                return logits, cache
 
-            _, cache, key, out = jax.lax.fori_loop(
-                0, n_steps, body, (tokens, cache, key, out0))
-            return out, cache, key
+            return fori_sample_scaffold(
+                n_steps, tokens, cache, key, step_fn, temperatures,
+                top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+                return_logprobs=return_logprobs)
         return local_loop
 
     def sharded(model, tokens, cache, positions, block_tables, kv_lens,

@@ -387,6 +387,37 @@ def decode_sample_multi(
     return jnp.stack(outs), cache, key
 
 
+def fori_sample_scaffold(n_steps, tokens, state0, key, step_fn,
+                         temperatures, top_ks=None, top_ps=None,
+                         min_ps=None, return_logprobs=False):
+    """The shared k-step decode+sample fori scaffold behind EVERY
+    multi-step tick (single-device phased/ragged, TP, PP, MLA, TP-MLA):
+    ``step_fn(i, toks, state) -> (logits, state)`` runs the model; the
+    scaffold owns the PRNG chain (one split per step), per-row sampling,
+    optional token+logprob bitcast packing, and the in-place ``(k, B[,2])``
+    output buffer.  One implementation = one place the token-identity
+    contract lives; every loop builder passes only its forward."""
+    out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
+                 else (n_steps, tokens.shape[0]))
+    out0 = jnp.zeros(out_shape, jnp.int32)
+
+    def body(i, carry):
+        toks, state, key, out = carry
+        logits, state = step_fn(i, toks, state)
+        key, sub = jax.random.split(key)
+        toks = sample_per_row(logits, sub, temperatures,
+                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
+        rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
+               if return_logprobs else toks)
+        out = jax.lax.dynamic_update_slice(
+            out, rec[None], (i,) + (0,) * (out0.ndim - 1))
+        return toks, state, key, out
+
+    _, state, key, out = jax.lax.fori_loop(
+        0, n_steps, body, (tokens, state0, key, out0))
+    return out, state, key
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "s_bucket", "return_logprobs"),
                    donate_argnums=(2,))
@@ -422,26 +453,12 @@ def decode_sample_loop(
     ``scripts/bench_fori_decode.py``).  The engine's default multi-step
     tick (``Engine(multi_step=k)``).
     """
-    out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
-                 else (n_steps, tokens.shape[0]))
-    out0 = jnp.zeros(out_shape, jnp.int32)
-
-    def body(i, carry):
-        toks, cache, key, out = carry
-        logits, cache = _decode_step_impl(model, toks, cache, block_tables,
-                                          positions + i, s_bucket)
-        key, sub = jax.random.split(key)
-        toks = sample_per_row(logits, sub, temperatures,
-                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
-        rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-               if return_logprobs else toks)
-        out = jax.lax.dynamic_update_slice(
-            out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-        return toks, cache, key, out
-
-    _, cache, key, out = jax.lax.fori_loop(
-        0, n_steps, body, (tokens, cache, key, out0))
-    return out, cache, key
+    return fori_sample_scaffold(
+        n_steps, tokens, cache, key,
+        lambda i, toks, cache: _decode_step_impl(
+            model, toks, cache, block_tables, positions + i, s_bucket),
+        temperatures, top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+        return_logprobs=return_logprobs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "s_bucket"),
@@ -573,34 +590,30 @@ def ragged_multi_step(
     Same body-compiled-once + in-place-cache properties as
     :func:`decode_sample_loop`.
     """
+    from gptq_v2_tpu.serving.model import head_logits
+
     s = tokens.shape[0]
     ps = cache.page_size
     cu = jnp.minimum(jnp.arange(s + 1, dtype=jnp.int32), num_seqs[0])
     sample_rows = jnp.arange(s, dtype=jnp.int32)
     row_active = jnp.arange(s) < num_seqs[0]
-    out_shape = (n_steps, s, 2) if return_logprobs else (n_steps, s)
-    out0 = jnp.zeros(out_shape, jnp.int32)
 
-    def body(i, carry):
-        toks, cache, key, out = carry
+    def step_fn(i, toks, cache):
         pos = positions + i
         page_idx = jnp.clip(pos // ps, 0, block_tables.shape[1] - 1)
         pg = jnp.take_along_axis(block_tables, page_idx[:, None],
                                  axis=1)[:, 0]
         pg = jnp.where(row_active, pg, 0)
         of = jnp.where(row_active, pos % ps, 0)
-        toks, cache, key = _ragged_step_core(
-            model, toks, cache, pos, pg, of, block_tables, kv_lens + i, cu,
-            num_seqs, sample_rows, temperatures, key, top_ks, top_ps,
-            min_ps, return_logprobs)
-        out = jax.lax.dynamic_update_slice(
-            out, toks[None], (i,) + (0,) * (out0.ndim - 1))
-        nxt = toks[:, 0] if return_logprobs else toks
-        return nxt, cache, key, out
+        x, cache = _ragged_forward(model, toks, cache, pos, pg, of,
+                                   block_tables, kv_lens + i, cu, num_seqs)
+        last = jnp.take(x, sample_rows, axis=0)
+        return head_logits(model.cfg, model.lm_head, last), cache
 
-    _, cache, key, out = jax.lax.fori_loop(
-        0, n_steps, body, (tokens, cache, key, out0))
-    return out, cache, key
+    return fori_sample_scaffold(
+        n_steps, tokens, cache, key, step_fn, temperatures,
+        top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+        return_logprobs=return_logprobs)
 
 
 def _ragged_forward(model, tokens, cache, positions, tok_pages, tok_offs,

@@ -451,32 +451,18 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
           top_ks, top_ps, min_ps)
 
     def make_local_loop(n_steps, s_bucket, return_logprobs):
-        from gptq_v2_tpu.serving.decode import chosen_logprob, pack_tok_logprob
-
         def local_loop(model, absorbed, cache, tokens, positions,
                        temperatures, key, top_ks, top_ps, min_ps):
+            from gptq_v2_tpu.serving.decode import fori_sample_scaffold
+
             s = cache.max_len if s_bucket is None else min(cache.max_len,
                                                            s_bucket)
-            out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
-                         else (n_steps, tokens.shape[0]))
-            out0 = jnp.zeros(out_shape, jnp.int32)
-
-            def body(i, carry):
-                toks, lat, key, out = carry
-                logits, lat = local_body(model, absorbed, lat, toks,
-                                         positions + i, s)
-                key, sub = jax.random.split(key)
-                toks = sample_per_row(logits, sub, temperatures,
-                                      top_ks=top_ks, top_ps=top_ps,
-                                      min_ps=min_ps)
-                rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-                       if return_logprobs else toks)
-                out = jax.lax.dynamic_update_slice(
-                    out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-                return toks, lat, key, out
-
-            _, lat, key, out = jax.lax.fori_loop(
-                0, n_steps, body, (tokens, cache.lat, key, out0))
+            out, lat, key = fori_sample_scaffold(
+                n_steps, tokens, cache.lat, key,
+                lambda i, toks, lat: local_body(model, absorbed, lat, toks,
+                                                positions + i, s),
+                temperatures, top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+                return_logprobs=return_logprobs)
             return out, MLACache(lat=lat), key
         return local_loop
 
@@ -810,17 +796,12 @@ def mla_decode_sample_loop(
     per-token host sync).  Same PRNG chain and semantics as k calls of
     :func:`mla_decode_sample_step`; the donated latent cache updates in
     place across iterations."""
-    from gptq_v2_tpu.serving.decode import (chosen_logprob, pack_tok_logprob,
-                                            sample_per_row)
+    from gptq_v2_tpu.serving.decode import fori_sample_scaffold
 
     cfg = model.cfg
     s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
-    out_shape = ((n_steps, tokens.shape[0], 2) if return_logprobs
-                 else (n_steps, tokens.shape[0]))
-    out0 = jnp.zeros(out_shape, jnp.int32)
 
-    def body(i, carry):
-        toks, lat, key, out = carry
+    def step_fn(i, toks, lat):
         pos = positions + i
         ropes = [(c[:, None, :], s_[:, None, :])
                  for c, s_ in L.rope_tables(cfg, pos)]
@@ -835,16 +816,10 @@ def mla_decode_sample_loop(
             lat = lat.at[li, :, :s].set(lat_li)
         x = L.rms_norm(x[:, 0], model.norm, cfg.rms_norm_eps,
                        cfg.norm_unit_offset)
-        logits = head_logits(cfg, model.lm_head, x)
-        key, sub = jax.random.split(key)
-        toks = sample_per_row(logits, sub, temperatures,
-                              top_ks=top_ks, top_ps=top_ps, min_ps=min_ps)
-        rec = (pack_tok_logprob(toks, chosen_logprob(logits, toks))
-               if return_logprobs else toks)
-        out = jax.lax.dynamic_update_slice(
-            out, rec[None], (i,) + (0,) * (out0.ndim - 1))
-        return toks, lat, key, out
+        return head_logits(cfg, model.lm_head, x), lat
 
-    _, lat, key, out = jax.lax.fori_loop(
-        0, n_steps, body, (tokens, cache.lat, key, out0))
+    out, lat, key = fori_sample_scaffold(
+        n_steps, tokens, cache.lat, key, step_fn, temperatures,
+        top_ks=top_ks, top_ps=top_ps, min_ps=min_ps,
+        return_logprobs=return_logprobs)
     return out, MLACache(lat=lat), key

@@ -185,33 +185,43 @@ def mla_prefill(
     return head_logits(cfg, model.lm_head, last), MLACache(lat=lat)
 
 
+def _absorbed_q_and_row(cfg, lp, x, cos, sin, wk, lin=_lin):
+    """The absorbed-attention front half shared by every MLA path:
+    normalized input → absorbed queries ``q_eff (..., nq, lat)`` (key
+    half of ``kv_b`` folded into q) and the new latent row(s)
+    ``(..., lat)``; ``lin`` selects the single-device or TP column
+    strategy.  Returns ``(h, q_eff, new_row)`` with ``h`` the
+    input-normed hidden (the MLP path reuses it)."""
+    eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
+    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
+    if cfg.q_lora_rank:
+        qa = L.rms_norm(lin(lp, "self_attn.q_a_proj", h),
+                        lp["self_attn.q_a_layernorm"], eps, uo)
+        q = lin(lp, "self_attn.q_b_proj", qa)
+    else:
+        q = lin(lp, "self_attn.q_proj", h)
+    q = q.reshape(*x.shape[:-1], -1, nope + rd)
+    q_rot = L.apply_rope(q[..., nope:], cos, sin)
+    q_lat = jnp.einsum("...hq,hqc->...hc",
+                       q[..., :nope].astype(jnp.float32),
+                       wk.astype(jnp.float32))
+    q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
+    kv_a = lin(lp, "self_attn.kv_a_proj_with_mqa", h)
+    c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                        lp["self_attn.kv_a_layernorm"], eps, uo)
+    k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
+    new_row = jnp.concatenate([c_kv_n, k_rot[..., 0, :]], axis=-1)
+    return h, q_eff, new_row
+
+
 def _mla_absorbed_block(cfg, lp, wk, wv, x, cos, sin, lat_layer, positions,
                         key_mask, scale=None):
     """One decoder layer of absorbed decode: (B, 1, D) -> (B, 1, D) plus
     the new latent row to store."""
     b = x.shape[0]
     eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
-    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
-    h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
-    if cfg.q_lora_rank:
-        qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
-                        lp["self_attn.q_a_layernorm"], eps, uo)
-        q = _lin(lp, "self_attn.q_b_proj", qa)
-    else:
-        q = _lin(lp, "self_attn.q_proj", h)
-    q = q.reshape(b, 1, -1, nope + rd)
-    q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (B, 1, nq, rd)
-    # absorb the key half of kv_b into the query:  q_lat_h = W_uk_h q_nope_h
-    q_lat = jnp.einsum("bnhq,hqc->bnhc", q[..., :nope].astype(jnp.float32),
-                       wk.astype(jnp.float32))
-    q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
-
-    kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
-    c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
-                        lp["self_attn.kv_a_layernorm"], eps, uo)
-    k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
-    new_row = jnp.concatenate([c_kv_n, k_rot[:, :, 0, :]],
-                              axis=-1)  # (B, 1, lat)
+    h, q_eff, new_row = _absorbed_q_and_row(cfg, lp, x, cos, sin, wk)
     lat_layer = lat_layer.at[jnp.arange(b)[:, None],
                              positions[:, None]].set(
         _quantize_row(new_row, scale).astype(lat_layer.dtype))
@@ -349,7 +359,6 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
         builders."""
         cfg = model.cfg
         eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
-        nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
         b = tokens.shape[0]
         ropes = [(c[:, None, :], s_[:, None, :])
                  for c, s_ in L.rope_tables(cfg, positions)]
@@ -361,25 +370,10 @@ def build_tp_mla_decode_step(mesh, scales: Optional[Tuple[float, ...]] = None):
             wv = absorbed.wv[li][0]
             scale = None if scales is None else scales[li]
             lat_li = lat[li, :, :s]
-            h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
-            if cfg.q_lora_rank:
-                qa = L.rms_norm(_col_lin(lp, "self_attn.q_a_proj", h),
-                                lp["self_attn.q_a_layernorm"], eps, uo)
-                q = _col_lin(lp, "self_attn.q_b_proj", qa)  # local heads
-            else:
-                q = _col_lin(lp, "self_attn.q_proj", h)
-            q = q.reshape(b, 1, -1, nope + rd)
-            q_rot = L.apply_rope(q[..., nope:], cos, sin)
-            q_lat = jnp.einsum("bnhq,hqc->bnhc",
-                               q[..., :nope].astype(jnp.float32),
-                               wk.astype(jnp.float32))
-            q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
-            # replicated latent path: identical on every device
-            kv_a = _col_lin(lp, "self_attn.kv_a_proj_with_mqa", h)
-            c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
-                                lp["self_attn.kv_a_layernorm"], eps, uo)
-            k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
-            new_row = jnp.concatenate([c_kv_n, k_rot[:, :, 0, :]], axis=-1)
+            # q path on local head shards; the latent path is replicated
+            # (identical on every device) — _col_lin covers both
+            h, q_eff, new_row = _absorbed_q_and_row(cfg, lp, x, cos, sin,
+                                                    wk, lin=_col_lin)
             lat_li = lat_li.at[jnp.arange(b)[:, None],
                                positions[:, None]].set(
                 _quantize_row(new_row, scale).astype(lat_li.dtype))
@@ -576,7 +570,6 @@ def mla_ragged_step(
 
     cfg = model.cfg
     eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
-    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     t = tokens.shape[0]
     ps = cache.page_size
     mp = block_tables.shape[1]
@@ -603,28 +596,10 @@ def mla_ragged_step(
         cos, sin = ropes[cfg.layer_rope(li)]
         wk, wv = absorbed.wk[li], absorbed.wv[li]
         scale = None if scales is None else scales[li]
-        h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
-        if cfg.q_lora_rank:
-            qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
-                            lp["self_attn.q_a_layernorm"], eps, uo)
-            q = _lin(lp, "self_attn.q_b_proj", qa)
-        else:
-            q = _lin(lp, "self_attn.q_proj", h)
-        q = q.reshape(t, 1, -1, nope + rd)
-        q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (T, 1, nq, rd)
-        q_lat = jnp.einsum("bnhq,hqc->bnhc",
-                           q[..., :nope].astype(jnp.float32),
-                           wk.astype(jnp.float32))
-        q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot],
-                                axis=-1)[:, 0]  # (T, nq, lat)
-
-        kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
-        c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
-                            lp["self_attn.kv_a_layernorm"], eps, uo)
-        k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
-        new_row = jnp.concatenate([c_kv_n[:, 0], k_rot[:, 0, 0]], axis=-1)
+        h, q_eff4, new_row = _absorbed_q_and_row(cfg, lp, x, cos, sin, wk)
+        q_eff = q_eff4[:, 0]  # (T, nq, lat)
         lat = lat.at[li, tok_pages, tok_offs].set(
-            _quantize_row(new_row, scale).astype(lat.dtype))
+            _quantize_row(new_row[:, 0], scale).astype(lat.dtype))
 
         # chunked per-row attention: gather + score CH rows at a time
         qk = q_eff
@@ -706,7 +681,6 @@ def mla_verify_chunk(
     the latent row at position p is only read by queries at >= p)."""
     cfg = model.cfg
     eps, uo = cfg.rms_norm_eps, cfg.norm_unit_offset
-    nope, rd = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     b, qn = tokens.shape
     s = cache.max_len if s_bucket is None else min(cache.max_len, s_bucket)
     pos_b = positions[:, None] + jnp.arange(qn)[None]  # (B, Q)
@@ -721,25 +695,7 @@ def mla_verify_chunk(
         cos, sin = ropes[cfg.layer_rope(li)]
         wk, wv = absorbed.wk[li], absorbed.wv[li]
         scale = None if scales is None else scales[li]
-        h = L.rms_norm(x, lp["input_layernorm"], eps, uo)
-        if cfg.q_lora_rank:
-            qa = L.rms_norm(_lin(lp, "self_attn.q_a_proj", h),
-                            lp["self_attn.q_a_layernorm"], eps, uo)
-            q = _lin(lp, "self_attn.q_b_proj", qa)
-        else:
-            q = _lin(lp, "self_attn.q_proj", h)
-        q = q.reshape(b, qn, -1, nope + rd)
-        q_rot = L.apply_rope(q[..., nope:], cos, sin)  # (B, Q, nq, rd)
-        q_lat = jnp.einsum("bnhq,hqc->bnhc",
-                           q[..., :nope].astype(jnp.float32),
-                           wk.astype(jnp.float32))
-        q_eff = jnp.concatenate([q_lat.astype(q.dtype), q_rot], axis=-1)
-
-        kv_a = _lin(lp, "self_attn.kv_a_proj_with_mqa", h)
-        c_kv_n = L.rms_norm(kv_a[..., :cfg.kv_lora_rank],
-                            lp["self_attn.kv_a_layernorm"], eps, uo)
-        k_rot = L.apply_rope(kv_a[..., None, cfg.kv_lora_rank:], cos, sin)
-        new_rows = jnp.concatenate([c_kv_n, k_rot[:, :, 0]], axis=-1)
+        h, q_eff, new_rows = _absorbed_q_and_row(cfg, lp, x, cos, sin, wk)
         lat = lat.at[li, rows_b, pos_b].set(
             _quantize_row(new_rows, scale).astype(lat.dtype))
 
